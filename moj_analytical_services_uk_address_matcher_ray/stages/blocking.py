@@ -1,0 +1,354 @@
+"""Blocked candidate-pair generation (operator J6 of SURVEY.md §2.4).
+
+The reference delegates this to Splink: a union of 18 blocking-rule
+equi-joins, deduplicated across rules (splink_model.json:16-89).  Ray-Data
+first, the same computation is ONE shuffle:
+
+  1. parse each rule into per-side key expressions (``l.col = r.col``,
+     ``list_extract``, ``split_part`` conjuncts — the reference's full rule
+     grammar);
+  2. both sides emit ``(rule_idx, block_key, side, <payload cols>)`` rows for
+     every rule whose key is non-null (a vectorised ``map_batches`` flat-map);
+  3. a single ``groupby(["rule_idx", "block_key"]).map_groups`` emits the
+     l x r cross product per block, capped at ``max_pairs_per_block`` (the
+     reference never needed a cap because postcode blocks are naturally
+     small; at web scale a hot key would otherwise go quadratic — dropped
+     pairs are counted in the metrics actor, never silently);
+  4. cross-rule dedup: ``groupby(pair id).map_groups`` keeping the min
+     ``rule_idx`` (deterministic first-rule-wins).
+
+Skew handling: ``detect_hot_keys`` pre-counts per-(rule, key) rows with a
+partial-aggregate pass; keys above ``hot_key_threshold`` are salted — the
+larger side's key gets a ``#<hash(id) % n>`` suffix and the smaller side is
+replicated into every salt bucket, so no single task sees the whole block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..state.metrics import inc_metric
+
+KEY_SEP = "\x1f"
+SALT_SEP = "\x1e"
+
+# ---------------------------------------------------------------------------
+# rule parsing (reference dialect: splink_model.json:16-89)
+# ---------------------------------------------------------------------------
+
+_RE_COL = re.compile(r'^(l|r)\."?(\w+)"?$')
+_RE_LIST_EXTRACT = re.compile(r'^list_extract\((l|r)\."?(\w+)"?,\s*(\d+)\)$')
+_RE_SPLIT_PART = re.compile(r"^split_part\((l|r)\.\"?(\w+)\"?,\s*' ',\s*(\d+)\)$")
+
+
+@dataclass(frozen=True)
+class KeyExpr:
+    col: str
+    op: str  # "col" | "list_extract" | "split_part"
+    idx: int = 0
+
+    def evaluate(self, t: pa.Table) -> list:
+        vals = t[self.col].to_pylist()
+        if self.op == "col":
+            return vals
+        if self.op == "list_extract":
+            # DuckDB list_extract: 1-based, NULL when out of range
+            i = self.idx - 1
+            return [v[i] if v is not None and len(v) > i else None for v in vals]
+        if self.op == "split_part":
+            # DuckDB split_part: 1-based, '' when out of range
+            i = self.idx - 1
+            out = []
+            for v in vals:
+                if v is None:
+                    out.append(None)
+                else:
+                    parts = v.split(" ")
+                    out.append(parts[i] if 0 <= i < len(parts) else "")
+            return out
+        raise ValueError(self.op)
+
+
+def _parse_expr(expr: str) -> tuple[str, KeyExpr]:
+    expr = expr.strip()
+    m = _RE_COL.match(expr)
+    if m:
+        return m.group(1), KeyExpr(m.group(2), "col")
+    m = _RE_LIST_EXTRACT.match(expr)
+    if m:
+        return m.group(1), KeyExpr(m.group(2), "list_extract", int(m.group(3)))
+    m = _RE_SPLIT_PART.match(expr)
+    if m:
+        return m.group(1), KeyExpr(m.group(2), "split_part", int(m.group(3)))
+    raise ValueError(f"unsupported blocking expression: {expr!r}")
+
+
+@dataclass
+class BlockingRule:
+    l_exprs: list[KeyExpr]
+    r_exprs: list[KeyExpr]
+    raw: str
+
+    def columns(self, side: str) -> set[str]:
+        exprs = self.l_exprs if side == "l" else self.r_exprs
+        return {e.col for e in exprs}
+
+
+def parse_blocking_rule(rule: str) -> BlockingRule:
+    l_exprs: list[KeyExpr] = []
+    r_exprs: list[KeyExpr] = []
+    for conjunct in re.split(r"\s+and\s+", rule.strip(), flags=re.I):
+        lhs, rhs = conjunct.split("=", 1)
+        side_a, expr_a = _parse_expr(lhs)
+        side_b, expr_b = _parse_expr(rhs)
+        if side_a == side_b:
+            raise ValueError(f"conjunct references one side twice: {conjunct!r}")
+        if side_a == "l":
+            l_exprs.append(expr_a)
+            r_exprs.append(expr_b)
+        else:
+            l_exprs.append(expr_b)
+            r_exprs.append(expr_a)
+    return BlockingRule(l_exprs, r_exprs, rule)
+
+
+def parse_blocking_rules(rules: list[str]) -> list[BlockingRule]:
+    return [parse_blocking_rule(r) for r in rules]
+
+
+# ---------------------------------------------------------------------------
+# key derivation (step 2)
+# ---------------------------------------------------------------------------
+
+
+def derive_block_keys(
+    t: pa.Table,
+    rules: list[BlockingRule],
+    *,
+    side: str,  # "l" (canonical) | "r" (messy)
+    carry_cols: list[str],
+    hot_keys: dict[tuple[int, str], int] | None = None,
+    salt_side: str = "l",
+) -> pa.Table:
+    """Flat-map one side's batch into (rule_idx, block_key, side, payload)."""
+    n = t.num_rows
+    out_rule: list[int] = []
+    out_key: list[str] = []
+    out_take: list[int] = []
+    hot = hot_keys or {}
+    for rule_idx, rule in enumerate(rules):
+        exprs = rule.l_exprs if side == "l" else rule.r_exprs
+        cols = [e.evaluate(t) for e in exprs]
+        for i in range(n):
+            parts = [c[i] for c in cols]
+            if any(p is None for p in parts):
+                continue
+            key = KEY_SEP.join(parts)
+            n_salts = hot.get((rule_idx, key), 0)
+            if n_salts > 1:
+                if side == salt_side:
+                    # larger side: deterministic salt bucket per row
+                    h = int(
+                        hashlib.blake2b(
+                            f"{rule_idx}|{i}|{key}".encode(), digest_size=4
+                        ).hexdigest(),
+                        16,
+                    )
+                    out_rule.append(rule_idx)
+                    out_key.append(f"{key}{SALT_SEP}{h % n_salts}")
+                    out_take.append(i)
+                else:
+                    # smaller side: replicate into every salt bucket
+                    for s in range(n_salts):
+                        out_rule.append(rule_idx)
+                        out_key.append(f"{key}{SALT_SEP}{s}")
+                        out_take.append(i)
+            else:
+                out_rule.append(rule_idx)
+                out_key.append(key)
+                out_take.append(i)
+    payload = t.select(carry_cols).take(pa.array(out_take, pa.int64()))
+    payload = payload.append_column("rule_idx", pa.array(out_rule, pa.int32()))
+    payload = payload.append_column("block_key", pa.array(out_key, pa.string()))
+    payload = payload.append_column(
+        "side", pa.array([side] * len(out_rule), pa.string())
+    )
+    return payload
+
+
+# ---------------------------------------------------------------------------
+# hot-key detection (optional skew pre-pass)
+# ---------------------------------------------------------------------------
+
+
+def detect_hot_keys(
+    canon: "ray.data.Dataset",
+    messy: "ray.data.Dataset",
+    rules: list[BlockingRule],
+    *,
+    hot_key_threshold: int = 10_000,
+    salt_rows: int = 5_000,
+) -> dict[tuple[int, str], int]:
+    """Count per-(rule, key) rows on the larger (canonical) side with a
+    partial-aggregate pass; return salt factors for keys above threshold."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for rule_idx, rule in enumerate(rules):
+            cols = [e.evaluate(t) for e in rule.l_exprs]
+            for i in range(t.num_rows):
+                parts = [c[i] for c in cols]
+                if any(p is None for p in parts):
+                    continue
+                counts[(rule_idx, KEY_SEP.join(parts))] += 1
+        return pa.table(
+            {
+                "rule_idx": pa.array([k[0] for k in counts], pa.int32()),
+                "block_key": pa.array([k[1] for k in counts], pa.string()),
+                "count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        canon.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["rule_idx", "block_key"])
+        .sum("count")
+    )
+    hot: dict[tuple[int, str], int] = {}
+    for batch in agg.iter_batches(batch_format="pyarrow"):
+        keys = zip(batch["rule_idx"].to_pylist(), batch["block_key"].to_pylist())
+        for key, cnt in zip(keys, batch["sum(count)"].to_pylist()):
+            if cnt > hot_key_threshold:
+                hot[key] = max(2, (cnt + salt_rows - 1) // salt_rows)
+    if hot:
+        inc_metric("blocking.hot_keys", len(hot))
+    return hot
+
+
+# ---------------------------------------------------------------------------
+# pair emission (steps 3-4)
+# ---------------------------------------------------------------------------
+
+
+def make_pair_emitter(
+    carry_cols: list[str],
+    *,
+    max_pairs_per_block: int = 250_000,
+    id_col: str = "ukam_address_id",
+):
+    """Per-(rule_idx, block_key) group function: emit l x r pairs with
+    suffixed payload columns, capped + counted.  Pure-Arrow in and out so
+    nested payload columns (list<struct> histograms) never round-trip
+    through pandas object dtype."""
+
+    def emit(g: pa.Table) -> pa.Table:
+        side = g["side"]
+        left = g.filter(pa.compute.equal(side, "l"))
+        right = g.filter(pa.compute.equal(side, "r"))
+        nl, nr = left.num_rows, right.num_rows
+        if nl == 0 or nr == 0:
+            empty = {
+                **{f"{c}_l": left.select([c])[c] for c in carry_cols},
+                **{f"{c}_r": left.select([c])[c] for c in carry_cols},
+                "rule_idx": pa.array([], pa.int32()),
+            }
+            return pa.table(
+                {
+                    k: (v.slice(0, 0) if not isinstance(v, pa.Array) else v)
+                    for k, v in empty.items()
+                }
+            )
+        total = nl * nr
+        if total > max_pairs_per_block:
+            # deterministic truncation: keep smallest ids first
+            inc_metric("blocking.dropped_pairs", total - max_pairs_per_block)
+            keep_l = max(1, int(max_pairs_per_block**0.5))
+            keep_r = max(1, max_pairs_per_block // keep_l)
+            left = left.take(
+                pa.compute.sort_indices(left[id_col])[:keep_l]
+            )
+            right = right.take(
+                pa.compute.sort_indices(right[id_col])[:keep_r]
+            )
+            nl, nr = left.num_rows, right.num_rows
+        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
+        lt = left.select(carry_cols).take(li)
+        rt = right.select(carry_cols).take(ri)
+        data = {f"{c}_l": lt[c] for c in carry_cols}
+        data.update({f"{c}_r": rt[c] for c in carry_cols})
+        data["rule_idx"] = pa.array(
+            np.full(nl * nr, g["rule_idx"][0].as_py(), dtype=np.int32)
+        )
+        return pa.table(data)
+
+    return emit
+
+
+def dedupe_pairs_first_rule_wins(pairs: "ray.data.Dataset", *, id_col: str = "ukam_address_id"):
+    """Cross-rule dedup: one row per (id_l, id_r), min rule_idx wins."""
+
+    def pick(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(g["rule_idx"])
+        return g.take(idx[:1])
+
+    return pairs.groupby([f"{id_col}_l", f"{id_col}_r"]).map_groups(
+        pick, batch_format="pyarrow"
+    )
+
+
+def generate_candidate_pairs(
+    canon: "ray.data.Dataset",
+    messy: "ray.data.Dataset",
+    rules: list[str] | list[BlockingRule],
+    *,
+    carry_cols: list[str],
+    max_pairs_per_block: int = 250_000,
+    hot_key_threshold: int | None = None,
+    id_col: str = "ukam_address_id",
+) -> "ray.data.Dataset":
+    """J6 end-to-end: key derivation -> one groupby shuffle -> pair emission
+    -> cross-rule dedup.  ``canon`` rows become ``*_l``, ``messy`` ``*_r``."""
+    parsed = (
+        parse_blocking_rules(rules) if rules and isinstance(rules[0], str) else rules
+    )
+    hot = None
+    if hot_key_threshold:
+        hot = detect_hot_keys(canon, messy, parsed, hot_key_threshold=hot_key_threshold)
+    keyed_l = canon.map_batches(
+        derive_block_keys,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "rules": parsed,
+            "side": "l",
+            "carry_cols": carry_cols,
+            "hot_keys": hot,
+        },
+    )
+    keyed_r = messy.map_batches(
+        derive_block_keys,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "rules": parsed,
+            "side": "r",
+            "carry_cols": carry_cols,
+            "hot_keys": hot,
+        },
+    )
+    both = keyed_l.union(keyed_r)
+    pairs = both.groupby(["rule_idx", "block_key"]).map_groups(
+        make_pair_emitter(
+            carry_cols, max_pairs_per_block=max_pairs_per_block, id_col=id_col
+        ),
+        batch_format="pyarrow",
+    )
+    return dedupe_pairs_first_rule_wins(pairs, id_col=id_col)

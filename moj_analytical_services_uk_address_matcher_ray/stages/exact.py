@@ -1,0 +1,328 @@
+"""Deterministic matching stages (J1, J2, J3, J5 — SURVEY.md §2.4, §3.2).
+
+Re-derivation of linking_model/exact_matching/*.py as Ray Data shuffles:
+
+  * J1 ``restrict_canonical_to_fuzzy_keys`` — semi-join canonical against
+    the distinct fuzzy blocking keys ('exact' or 'drop_last_char' postcode
+    strategies, input_filters.py:34-96).
+  * J2 ``annotate_exact_matches`` — equi-join on (original_address_concat,
+    postcode).  The reference picks an *arbitrary* canonical on duplicates
+    (LATERAL ... LIMIT 1 without ORDER BY, annotate_exact_matches.py:48-57);
+    we pick the MIN canonical ukam id — deterministic under retries, matching
+    the trigram stage's own convention (resolve_with_trigrams.py:79-80).
+  * J3 ``resolve_with_trigrams`` — per-(block key, trigram hash) unique
+    index; fuzzy rows whose hits all point at one canonical resolve
+    (resolve_with_trigrams.py:22-175).
+  * J5 ``run_deterministic_match_pass`` — driver loop: anti-join the
+    already-matched ids before each stage (first stage wins), union stage
+    outputs, left-join back to every fuzzy row (matching_stages.py:140-307).
+
+In the source-code domain the exact stage keys on ``content_sha256`` —
+content-hash dedup — via the ``match_cols`` parameter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .best_match import (
+    MATCH_REASON_EXACT,
+    MATCH_REASON_UNIQUE_TRIGRAM,
+)
+from .joins import anti_join, left_join, semi_join
+
+MATCH_OUT_COLS = [
+    "ukam_address_id",
+    "canonical_ukam_address_id",
+    "resolved_canonical_id",
+    "match_reason",
+]
+
+
+# ---------------------------------------------------------------------------
+# J1
+# ---------------------------------------------------------------------------
+
+
+def _drop_last_char(t: pa.Table, col: str, out: str) -> pa.Table:
+    vals = [
+        (v[:-1] if v is not None and len(v) > 1 else None) for v in t[col].to_pylist()
+    ]
+    return t.append_column(out, pa.array(vals, pa.string()))
+
+
+def restrict_canonical_to_fuzzy_keys(
+    canon: "ray.data.Dataset",
+    fuzzy: "ray.data.Dataset",
+    *,
+    key_col: str = "postcode",
+    strategy: str = "exact",  # "exact" | "drop_last_char"
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    if strategy not in ("exact", "drop_last_char"):
+        raise ValueError(f"unknown postcode strategy {strategy!r}")
+    if strategy == "exact":
+        return semi_join(canon, fuzzy, key_col, num_partitions=num_partitions)
+    ckey = canon.map_batches(
+        _drop_last_char,
+        batch_format="pyarrow",
+        fn_kwargs={"col": key_col, "out": "__k"},
+    )
+    fkey = fuzzy.map_batches(
+        _drop_last_char,
+        batch_format="pyarrow",
+        fn_kwargs={"col": key_col, "out": "__k"},
+    )
+    out = semi_join(ckey, fkey, "__k", num_partitions=num_partitions)
+    # keep the group key for downstream per-group stages (trie)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [("postcode_group" if c == "__k" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2
+# ---------------------------------------------------------------------------
+
+
+def annotate_exact_matches(
+    fuzzy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    match_cols: tuple[str, ...] = ("original_address_concat", "postcode"),
+    match_reason: str = MATCH_REASON_EXACT,
+) -> "ray.data.Dataset":
+    """Exact equi-join on ``match_cols``; duplicates on the canonical side
+    collapse deterministically to the min canonical ukam id."""
+
+    def _key(t: pa.Table, side: str) -> pa.Table:
+        parts = [t[c].to_pylist() for c in match_cols]
+        keys = [
+            "\x1f".join(p) if all(x is not None for x in p) else None
+            for p in zip(*parts)
+        ]
+        uid_col = "unique_id" if side == "c" and "unique_id" in t.column_names else None
+        uids = (
+            [str(v) if v is not None else None for v in t[uid_col].to_pylist()]
+            if uid_col
+            else [None] * t.num_rows
+        )
+        out = pa.table(
+            {
+                "ukam_address_id": t["ukam_address_id"],
+                "canonical_unique_id": pa.array(uids, pa.string()),
+                "__key": pa.array(keys, pa.string()),
+                "__side": pa.array([side] * t.num_rows, pa.string()),
+            }
+        )
+        return out.filter(pa.compute.is_valid(out["__key"]))
+
+    fz = fuzzy.map_batches(_key, batch_format="pyarrow", fn_kwargs={"side": "f"})
+    cz = canon.map_batches(_key, batch_format="pyarrow", fn_kwargs={"side": "c"})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        cs = g[g["__side"] == "c"]
+        fs = g[g["__side"] == "f"]
+        if len(cs) == 0 or len(fs) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in MATCH_OUT_COLS}
+            )
+        best = cs.sort_values("ukam_address_id", kind="mergesort").iloc[0]
+        return pd.DataFrame(
+            {
+                "ukam_address_id": fs["ukam_address_id"].to_numpy(),
+                "canonical_ukam_address_id": best["ukam_address_id"],
+                "resolved_canonical_id": best["canonical_unique_id"],
+                "match_reason": match_reason,
+            }
+        )
+
+    return fz.union(cz).groupby("__key").map_groups(per_key, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J3 — unique trigram resolution
+# ---------------------------------------------------------------------------
+
+
+def _trigram_hash(tokens: tuple[str, ...]) -> str:
+    return hashlib.blake2b(" ".join(tokens).encode(), digest_size=8).hexdigest()
+
+
+def _explode_trigrams(
+    t: pa.Table,
+    *,
+    tokens_col: str,
+    block_col: str,
+    id_cols: list[str],
+    ngram_size: int,
+) -> pa.Table:
+    toks = t[tokens_col].to_pylist()
+    blocks = t[block_col].to_pylist()
+    ids = {c: t[c].to_pylist() for c in id_cols}
+    out_ids: dict[str, list] = {c: [] for c in id_cols}
+    out_block, out_hash = [], []
+    for i, lst in enumerate(toks):
+        if lst is None or len(lst) < ngram_size:
+            continue
+        seen = set()
+        for j in range(len(lst) - ngram_size + 1):
+            tri = tuple(lst[j : j + ngram_size])
+            h = _trigram_hash(tri)
+            if h in seen:
+                continue  # DISTINCT per row
+            seen.add(h)
+            for c in id_cols:
+                out_ids[c].append(ids[c][i])
+            out_block.append(blocks[i])
+            out_hash.append(h)
+    data = {c: pa.array(out_ids[c]) for c in id_cols}
+    data["block_key"] = pa.array(out_block, pa.string())
+    data["trigram_hash"] = pa.array(out_hash, pa.string())
+    return pa.table(data)
+
+
+def resolve_with_trigrams(
+    fuzzy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    tokens_col: str = "address_tokens",
+    block_col: str = "postcode",
+    ngram_size: int = 3,
+    min_unique_hits: int = 1,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    canon_tris = canon.map_batches(
+        lambda t, **kw: _explode_trigrams(
+            t.rename_columns(
+                [
+                    {"unique_id": "canonical_unique_id", "ukam_address_id": "canonical_ukam_address_id"}.get(c, c)
+                    for c in t.column_names
+                ]
+            ),
+            **kw,
+        ),
+        batch_format="pyarrow",
+        fn_kwargs={
+            "tokens_col": tokens_col,
+            "block_col": block_col,
+            "id_cols": ["canonical_ukam_address_id", "canonical_unique_id"],
+            "ngram_size": ngram_size,
+        },
+    )
+
+    def unique_index(g: pd.DataFrame) -> pd.DataFrame:
+        if g["canonical_ukam_address_id"].nunique() != 1:
+            return g.head(0)
+        return g.sort_values("canonical_ukam_address_id", kind="mergesort").head(1)
+
+    index = canon_tris.groupby(["block_key", "trigram_hash"]).map_groups(
+        unique_index, batch_format="pandas"
+    )
+
+    fuzzy_tris = fuzzy.map_batches(
+        _explode_trigrams,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "tokens_col": tokens_col,
+            "block_col": block_col,
+            "id_cols": ["ukam_address_id"],
+            "ngram_size": ngram_size,
+        },
+    )
+    from .joins import _resolve_partitions
+
+    links = fuzzy_tris.join(
+        index,
+        "inner",
+        _resolve_partitions(num_partitions),
+        on=("block_key", "trigram_hash"),
+    )
+
+    def consensus(g: pd.DataFrame) -> pd.DataFrame:
+        if g["canonical_ukam_address_id"].nunique() != 1 or len(g) < min_unique_hits:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in MATCH_OUT_COLS + ["trigram_hit_count"]})
+        return pd.DataFrame(
+            {
+                "ukam_address_id": [g["ukam_address_id"].iloc[0]],
+                "canonical_ukam_address_id": [g["canonical_ukam_address_id"].min()],
+                "resolved_canonical_id": [g["canonical_unique_id"].min()],
+                "match_reason": [MATCH_REASON_UNIQUE_TRIGRAM],
+                "trigram_hit_count": [len(g)],
+            }
+        )
+
+    return links.groupby("ukam_address_id").map_groups(
+        consensus, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — the deterministic pass driver loop
+# ---------------------------------------------------------------------------
+
+
+def run_deterministic_match_pass(
+    fuzzy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    stages: list[str] = ["exact"],
+    match_cols: tuple[str, ...] = ("original_address_concat", "postcode"),
+    restrict_key: str | None = "postcode",
+    restrict_strategy: str = "exact",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """matching_stages.py:214-307: EXACT always first, then enabled stages;
+    each stage only sees records no earlier stage matched; output = every
+    fuzzy row + nullable (resolved_canonical_id, canonical_ukam_address_id,
+    match_reason)."""
+    from .trie import resolve_with_trie
+
+    if restrict_key is not None:
+        canon_r = restrict_canonical_to_fuzzy_keys(
+            canon, fuzzy, key_col=restrict_key, strategy=restrict_strategy,
+            num_partitions=num_partitions,
+        ).materialize()
+    else:
+        canon_r = canon
+
+    stage_fns = {
+        "exact": lambda fz: annotate_exact_matches(fz, canon_r, match_cols=match_cols),
+        "unique_trigram": lambda fz: resolve_with_trigrams(
+            fz, canon_r, num_partitions=num_partitions
+        ),
+        "trie": lambda fz: resolve_with_trie(fz, canon_r),
+    }
+    ordered = ["exact"] + [s for s in stages if s != "exact"]
+
+    matches: "ray.data.Dataset | None" = None
+    unmatched = fuzzy
+    for stage_name in ordered:
+        if matches is not None:
+            unmatched = anti_join(
+                unmatched, matches, "ukam_address_id", num_partitions=num_partitions
+            ).materialize()
+            if unmatched.count() == 0:
+                break
+        new = (
+            stage_fns[stage_name](unmatched)
+            .map_batches(lambda t: t.select(MATCH_OUT_COLS), batch_format="pyarrow")
+            .materialize()
+        )
+        matches = new if matches is None else matches.union(new).materialize()
+
+    proj = matches
+    return left_join(
+        fuzzy,
+        proj,
+        on="ukam_address_id",
+        num_partitions=num_partitions,
+        right_suffix="_match",
+    )

@@ -1,0 +1,271 @@
+"""Second pass: distinguishing-token rescoring (operator P1, SURVEY.md §2.6).
+
+The reference implements this as 7 chained DuckDB relations over the pairwise
+prediction table (post_linkage/identify_distinguishing_tokens.py:4-476).
+Every step is local to one messy record's candidate group, so the whole
+operator collapses to a single
+``pairs.groupby("ukam_address_id_r").map_groups(rescore_group)`` — one
+shuffle, then pure per-group Python over a handful of short token lists.
+
+Semantics preserved exactly (verified against the reference's test_bigrams
+fixtures):
+  * top-N per messy record ordered by (match_weight DESC, unique_id_l DESC);
+  * up to TWO trailing common-end tokens (from ``common_end_tokens_hist_r``)
+    stripped from both address strings, stopping at the first non-common one;
+  * block token/bigram histograms pool ALL candidates' token lists — bigrams
+    are built over the *flattened concatenation*, crossing candidate
+    boundaries (a reference quirk we keep);
+  * per-pair maps: overlap counts use block-level counts (1/cnt^2 reward),
+    "elsewhere in block but not this" counts punish, missing tokens penalise;
+  * bigram maps are filtered for redundancy against the unigram maps;
+  * mw_adjustment = 3*sum(1/cnt^2) - 1.5*#elsewhere - 0.1*#missing
+                    + 3*sum(1/cnt^2 bigram) - 1.5*#bigram-elsewhere.
+
+Diagnostic map columns are emitted as deterministic JSON strings (sorted
+keys) so the output schema stays flat Arrow.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+
+import pandas as pd
+
+REWARD_MULTIPLIER = 3.0
+PUNISHMENT_MULTIPLIER = 1.5
+BIGRAM_REWARD_MULTIPLIER = 3.0
+BIGRAM_PUNISHMENT_MULTIPLIER = 1.5
+MISSING_TOKEN_PENALTY = 0.1
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(addr: str | None, postcode: str | None) -> list[str]:
+    """concat_ws(' ', addr, postcode).trim().upper().split(r'\\s+')."""
+    parts = [p for p in (addr, postcode) if isinstance(p, str)]
+    s = " ".join(parts).strip().upper()
+    return _WS.split(s)
+
+
+def _strip_common_end(addr: str | None, common: set[str]) -> str | None:
+    """Remove up to 2 trailing tokens that are in ``common``, stopping at the
+    first non-common token (identify_distinguishing_tokens.py:60-113)."""
+    if addr is None:
+        return None
+    toks = _WS.split(addr.strip().upper()) if addr.strip() else []
+    for _ in range(2):
+        if toks and toks[-1] in common:
+            toks = toks[:-1]
+        else:
+            break
+    return " ".join(toks)
+
+
+def _bigrams(tokens: list[str]) -> list[tuple[str, str]]:
+    return [(tokens[i], tokens[i + 1]) for i in range(len(tokens) - 1)]
+
+
+def _map_json(d: dict, *, tuple_keys: bool = False) -> str:
+    if tuple_keys:
+        items = sorted(((" ".join(k), v) for k, v in d.items()))
+    else:
+        items = sorted(d.items())
+    return json.dumps(dict(items), separators=(",", ":"))
+
+
+def make_rescore_group_fn(
+    *,
+    match_weight_threshold: float = -20.0,
+    top_n_matches: int = 5,
+    use_bigrams: bool = True,
+    reward_multiplier: float = REWARD_MULTIPLIER,
+    punishment_multiplier: float = PUNISHMENT_MULTIPLIER,
+    bigram_reward_multiplier: float = BIGRAM_REWARD_MULTIPLIER,
+    bigram_punishment_multiplier: float = BIGRAM_PUNISHMENT_MULTIPLIER,
+    missing_token_penalty: float = MISSING_TOKEN_PENALTY,
+):
+    """Build the per-group rescoring function for ``map_groups``."""
+
+    def rescore(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["match_weight"] > match_weight_threshold]
+        if len(g) == 0:
+            return _empty_out(use_bigrams)
+        # top-N: ORDER BY match_weight DESC, unique_id_l DESC (reference :48-56)
+        g = g.sort_values(
+            ["match_weight", "unique_id_l"], ascending=[False, False], kind="mergesort"
+        ).head(top_n_matches)
+
+        hist_r = g["common_end_tokens_hist_r"].iloc[0]
+        common = {e["tok"] for e in hist_r} if hist_r is not None else set()
+
+        addr_l = [_strip_common_end(a, common) for a in g["original_address_concat_l"]]
+        addr_r = [_strip_common_end(a, common) for a in g["original_address_concat_r"]]
+        pc_l = list(g["postcode_l"])
+        pc_r = list(g["postcode_r"])
+
+        tokens_r = _tokens(addr_r[0], pc_r[0])
+        tokens_r_set = set(tokens_r)
+
+        tokens_l_per_pair = [_tokens(a, p) for a, p in zip(addr_l, pc_l)]
+        tokens_in_block_l: list[str] = [t for toks in tokens_l_per_pair for t in toks]
+        hist_all_tokens_block = Counter(tokens_in_block_l)
+        hist_overlap_r_block = {
+            k: v for k, v in hist_all_tokens_block.items() if k in tokens_r_set
+        }
+
+        if use_bigrams:
+            bigrams_block = _bigrams(tokens_in_block_l)
+            hist_all_bigrams_block = Counter(bigrams_block)
+            bigrams_r = _bigrams(tokens_r)
+            bigrams_r_set = set(bigrams_r)
+            hist_overlap_bigrams_r_block = {
+                k: v for k, v in hist_all_bigrams_block.items() if k in bigrams_r_set
+            }
+
+        rows = []
+        for i in range(len(g)):
+            row = g.iloc[i]
+            tokens_l = tokens_l_per_pair[i]
+            tokens_l_set = set(tokens_l)
+            overlapping = {
+                k: v for k, v in hist_overlap_r_block.items() if k in tokens_l_set
+            }
+            toks_r_not_in_l = {t for t in tokens_r if t not in tokens_l_set}
+            elsewhere = {
+                k: v for k, v in hist_all_tokens_block.items() if k in toks_r_not_in_l
+            }
+            missing = [t for t in tokens_l if t not in tokens_r_set]
+
+            adj = (
+                reward_multiplier * sum(1.0 / (v * v) for v in overlapping.values())
+                - punishment_multiplier * len(elsewhere)
+                - missing_token_penalty * len(missing)
+            )
+
+            out = {
+                "unique_id_l": row["unique_id_l"],
+                "unique_id_r": row["unique_id_r"],
+                "ukam_address_id_r": row["ukam_address_id_r"],
+                "ukam_address_id_l": row["ukam_address_id_l"],
+                "match_weight_original": row["match_weight"],
+                "overlapping_tokens_this_l_and_r": _map_json(overlapping),
+                "tokens_elsewhere_in_block_but_not_this": _map_json(elsewhere),
+                "missing_tokens": json.dumps(missing),
+                "original_address_concat_l": addr_l[i],
+                "postcode_l": row["postcode_l"],
+                "original_address_concat_r": addr_r[i],
+                "postcode_r": row["postcode_r"],
+            }
+
+            if use_bigrams:
+                bigrams_l = set(_bigrams(tokens_l))
+                overlap_bg = {
+                    k: v
+                    for k, v in hist_overlap_bigrams_r_block.items()
+                    if k in bigrams_l
+                }
+                bg_r_not_in_l = {b for b in bigrams_r if b not in bigrams_l}
+                elsewhere_bg = {
+                    k: v
+                    for k, v in hist_all_bigrams_block.items()
+                    if k in bg_r_not_in_l
+                }
+                # redundancy filter vs unigram maps (reference :367-401)
+                overlap_bg_f = {
+                    k: v
+                    for k, v in overlap_bg.items()
+                    if not (
+                        k[0] in overlapping
+                        and overlapping[k[0]] <= v
+                        and k[1] in overlapping
+                        and overlapping[k[1]] <= v
+                    )
+                }
+                elsewhere_bg_f = {
+                    k: v
+                    for k, v in elsewhere_bg.items()
+                    if not (
+                        k[0] in elsewhere
+                        and elsewhere[k[0]] <= v
+                        and k[1] in elsewhere
+                        and elsewhere[k[1]] <= v
+                    )
+                }
+                adj += bigram_reward_multiplier * sum(
+                    1.0 / (v * v) for v in overlap_bg_f.values()
+                ) - bigram_punishment_multiplier * len(elsewhere_bg_f)
+                out["overlapping_bigrams_this_l_and_r"] = _map_json(
+                    overlap_bg, tuple_keys=True
+                )
+                out["bigrams_elsewhere_in_block_but_not_this"] = _map_json(
+                    elsewhere_bg, tuple_keys=True
+                )
+                out["overlapping_bigrams_this_l_and_r_filtered"] = _map_json(
+                    overlap_bg_f, tuple_keys=True
+                )
+                out["bigrams_elsewhere_in_block_but_not_this_filtered"] = _map_json(
+                    elsewhere_bg_f, tuple_keys=True
+                )
+
+            out["mw_adjustment"] = adj
+            out["match_weight"] = row["match_weight"] + adj
+            rows.append(out)
+        return pd.DataFrame(rows)
+
+    return rescore
+
+
+def _empty_out(use_bigrams: bool) -> pd.DataFrame:
+    cols = [
+        "unique_id_l",
+        "unique_id_r",
+        "ukam_address_id_r",
+        "ukam_address_id_l",
+        "match_weight_original",
+        "overlapping_tokens_this_l_and_r",
+        "tokens_elsewhere_in_block_but_not_this",
+        "missing_tokens",
+        "original_address_concat_l",
+        "postcode_l",
+        "original_address_concat_r",
+        "postcode_r",
+    ]
+    if use_bigrams:
+        cols += [
+            "overlapping_bigrams_this_l_and_r",
+            "bigrams_elsewhere_in_block_but_not_this",
+            "overlapping_bigrams_this_l_and_r_filtered",
+            "bigrams_elsewhere_in_block_but_not_this_filtered",
+        ]
+    cols += ["mw_adjustment", "match_weight"]
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+
+
+def improve_predictions_using_distinguishing_tokens(
+    pairs: "ray.data.Dataset",
+    *,
+    match_weight_threshold: float = -20.0,
+    top_n_matches: int = 5,
+    use_bigrams: bool = True,
+    **multipliers,
+) -> "ray.data.Dataset":
+    """P1 as one groupby-shuffle + per-group function.
+
+    A global pre-filter on ``match_weight`` shrinks the shuffle before the
+    groupby (the threshold is re-applied inside the group fn, harmlessly).
+    """
+    import pyarrow.compute as pc
+
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.greater(t["match_weight"], match_weight_threshold)),
+        batch_format="pyarrow",
+    )
+    fn = make_rescore_group_fn(
+        match_weight_threshold=match_weight_threshold,
+        top_n_matches=top_n_matches,
+        use_bigrams=use_bigrams,
+        **multipliers,
+    )
+    return pairs.groupby("ukam_address_id_r").map_groups(fn, batch_format="pandas")

@@ -1,0 +1,308 @@
+"""Pairwise Fellegi-Sunter scoring — the actor-pool stage (SURVEY.md §2.5).
+
+``PairScorer`` is a callable class for
+``ds_pairs.map_batches(PairScorer, concurrency=N, batch_size=B,
+batch_format="pandas")``: the model spec and TF lookup dicts are loaded once
+per actor in ``__init__`` (zero-copy ``ray.get`` of broadcast refs), and each
+``__call__`` evaluates all comparison levels over a batch of candidate pairs
+with suffixed columns (``*_l`` canonical, ``*_r`` messy — the reference's
+convention, proven by tests/test_source_dataset.py:73-85).
+
+Level semantics are re-derived from splink_model.json + public FS math (see
+state/model.py).  The histogram-product comparison computes
+``P = prod(rel_freq ^ min(cnt_l, cnt_r))`` over keys present on both sides in
+plain float64 — underflow to 0.0 lands in the smallest band, exactly as the
+reference's DuckDB doubles behave — then bands it against the level
+thresholds, so the 35 levels cost one pass.
+
+The ``threshold_match_weight`` filter (reference predict(-50)) is fused into
+the same stage: pruned pairs never hit the object store again.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..state.model import Comparison, FSModel, Level
+
+# ---------------------------------------------------------------------------
+# scalar helpers
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded edit distance <= k (O(k*len) instead of O(len^2))."""
+    if a is None or b is None:
+        return False
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if hi < lb:
+            cur[hi + 1 :] = [k + 1] * (lb - hi)
+        if min(cur[lo - 1 : hi + 1]) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def split_part(s, part: int) -> str:
+    """DuckDB split_part: 1-based, '' when out of range or null."""
+    if s is None or (isinstance(s, float) and np.isnan(s)):
+        return ""
+    parts = s.split(" ")
+    return parts[part - 1] if 0 < part <= len(parts) else ""
+
+
+def hist_product(hist_l, hist_r) -> float:
+    """P = prod over keys of hist_l also in hist_r of rel_freq^min(cnt_l,cnt_r).
+
+    Histograms are ``list<struct<tok, rel_freq, count>>``; key equality is
+    (tok, rel_freq) — full struct equality, matching DuckDB map semantics.
+    """
+    if hist_l is None or hist_r is None or len(hist_l) == 0 or len(hist_r) == 0:
+        return 1.0
+    right = {(e["tok"], e["rel_freq"]): e["count"] for e in hist_r}
+    p = 1.0
+    for e in hist_l:
+        cr = right.get((e["tok"], e["rel_freq"]))
+        if cr:
+            p *= e["rel_freq"] ** min(e["count"], cr)
+    return p
+
+
+_DIGITS = r"(\d+)"
+
+
+# ---------------------------------------------------------------------------
+# vectorised level predicates
+# ---------------------------------------------------------------------------
+
+
+def _notna(s: pd.Series) -> np.ndarray:
+    return s.notna().to_numpy()
+
+
+def _isna(s: pd.Series) -> np.ndarray:
+    return s.isna().to_numpy()
+
+
+def _eq(a: pd.Series, b: pd.Series) -> np.ndarray:
+    return (a.to_numpy(dtype=object) == b.to_numpy(dtype=object)) & _notna(a) & _notna(b)
+
+
+class _ComparisonEvaluator:
+    """Evaluates one comparison's ordered levels over a batch, returning
+    (level_index, log2_bf) arrays."""
+
+    def __init__(self, comp: Comparison, tf_tables: dict[str, dict[str, float]]):
+        self.comp = comp
+        self.tf_tables = tf_tables
+
+    def _level_mask(self, lv: Level, df: pd.DataFrame, hist_p: np.ndarray | None) -> np.ndarray:
+        k, p = lv.kind, lv.params
+        n = len(df)
+        if k == "else":
+            return np.ones(n, dtype=bool)
+        if k in ("null_any", "null_any_level"):
+            m = np.zeros(n, dtype=bool)
+            for c in p["cols"]:
+                m |= _isna(df[f"{c}_l"]) | _isna(df[f"{c}_r"])
+            return m
+        if k == "null_all":
+            m = np.ones(n, dtype=bool)
+            for c in p["cols"]:
+                m &= _isna(df[f"{c}_l"]) & _isna(df[f"{c}_r"])
+            return m
+        if k == "exact":
+            return _eq(df[f"{p['col']}_l"], df[f"{p['col']}_r"])
+        if k == "pair_equal":
+            return _eq(df[f"{p['col_l']}_l"], df[f"{p['col_r']}_r"])
+        if k == "cross_equal":
+            a, b = p["col_a"], p["col_b"]
+            return _eq(df[f"{a}_l"], df[f"{b}_r"]) | _eq(df[f"{b}_l"], df[f"{a}_r"])
+        if k == "digits_equal":
+            c = p["col"]
+            dl = df[f"{c}_l"].str.extract(_DIGITS, expand=False)
+            dr = df[f"{c}_r"].str.extract(_DIGITS, expand=False)
+            return _eq(dl, dr)
+        if k == "flat_presence_mismatch":
+            fp_l, fp_r = df["flat_positional_l"], df["flat_positional_r"]
+            fl_l, fl_r = df["flat_letter_l"], df["flat_letter_r"]
+            return (_notna(fp_l) & _isna(fp_r) & _notna(fl_r)) | (
+                _notna(fp_r) & _isna(fp_l) & _notna(fl_l)
+            )
+        if k == "hist_product_lt":
+            assert hist_p is not None
+            return hist_p < p["threshold"]
+        if k == "lev_leq":
+            c, kk = p["col"], p["k"]
+            al = df[f"{c}_l"].to_numpy(dtype=object)
+            ar = df[f"{c}_r"].to_numpy(dtype=object)
+            return np.fromiter(
+                (
+                    levenshtein_leq(x, y, kk) if x is not None and y is not None else False
+                    for x, y in zip(al, ar)
+                ),
+                dtype=bool,
+                count=n,
+            )
+        if k == "split_part_equal":
+            c, part = p["col"], p["part"]
+            al = df[f"{c}_l"].to_numpy(dtype=object)
+            ar = df[f"{c}_r"].to_numpy(dtype=object)
+            return np.fromiter(
+                (split_part(x, part) == split_part(y, part) for x, y in zip(al, ar)),
+                dtype=bool,
+                count=n,
+            )
+        raise ValueError(f"unknown level kind {k!r}")
+
+    def evaluate(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        n = len(df)
+        hist_p: np.ndarray | None = None
+        needs_hist = any(lv.kind == "hist_product_lt" for lv in self.comp.levels)
+        if needs_hist:
+            col = next(
+                lv.params["col"] for lv in self.comp.levels if lv.kind == "hist_product_lt"
+            )
+            hl = df[f"{col}_l"].to_numpy(dtype=object)
+            hr = df[f"{col}_r"].to_numpy(dtype=object)
+            hist_p = np.fromiter(
+                (hist_product(a, b) for a, b in zip(hl, hr)), dtype=np.float64, count=n
+            )
+        level_idx = np.full(n, -1, dtype=np.int32)
+        log2_bf = np.zeros(n, dtype=np.float64)
+        remaining = np.ones(n, dtype=bool)
+        for i, lv in enumerate(self.comp.levels):
+            if not remaining.any():
+                break
+            mask = self._level_mask(lv, df, hist_p) & remaining
+            if not mask.any():
+                continue
+            level_idx[mask] = i
+            if lv.is_null:
+                pass  # BF = 1 -> log2 0
+            else:
+                bf = np.full(mask.sum(), lv.bf, dtype=np.float64)
+                if lv.tf_col and lv.tf_col in self.tf_tables:
+                    tf = self.tf_tables[lv.tf_col]
+                    vals_l = df[f"{lv.tf_col}_l"].to_numpy(dtype=object)[mask]
+                    vals_r = df[f"{lv.tf_col}_r"].to_numpy(dtype=object)[mask]
+                    adj = np.ones(len(bf), dtype=np.float64)
+                    for j, (vl, vr) in enumerate(zip(vals_l, vals_r)):
+                        tl = tf.get(vl)
+                        tr = tf.get(vr)
+                        t = max(x for x in (tl, tr) if x is not None) if (tl or tr) else None
+                        if t:
+                            adj[j] = (lv.u / t) ** lv.tf_weight
+                    bf *= adj
+                log2_bf[mask] = np.log2(bf)
+            remaining &= ~mask
+        return level_idx, log2_bf
+
+
+# ---------------------------------------------------------------------------
+# the actor-pool stage
+# ---------------------------------------------------------------------------
+
+
+class PairScorer:
+    """Stateful scoring stage.
+
+    Parameters
+    ----------
+    model_ref : FSModel or ObjectRef of one — resolved once per actor.
+    tf_tables_ref : dict[col -> dict[value -> tf]] (or ObjectRef) for
+        tf-adjusted levels (reference splink_model.py:117-131).
+    threshold_match_weight : fused prune (reference predict -50).
+    emit_gammas : also emit per-comparison level indices (``gamma_<name>``),
+        for debugging/parity checks.
+    """
+
+    def __init__(
+        self,
+        model_ref,
+        tf_tables_ref=None,
+        *,
+        threshold_match_weight: float | None = None,
+        emit_gammas: bool = False,
+    ):
+        model: FSModel = (
+            ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        )
+        tf_tables = (
+            ray.get(tf_tables_ref)
+            if isinstance(tf_tables_ref, ray.ObjectRef)
+            else (tf_tables_ref or {})
+        )
+        self.model = model
+        self.evaluators = [_ComparisonEvaluator(c, tf_tables) for c in model.comparisons]
+        self.threshold = threshold_match_weight
+        self.emit_gammas = emit_gammas
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        """Arrow in / Arrow out — nested payload columns (histograms) stay in
+        Arrow; only the evaluation view is pandas (cheap object view)."""
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            t = t.append_column("match_weight", pa.array([], pa.float64()))
+            t = t.append_column("match_probability", pa.array([], pa.float64()))
+            return t
+        df = t.to_pandas()
+        mw = np.full(len(df), self.model.prior_log2_odds, dtype=np.float64)
+        gammas = {}
+        for ev in self.evaluators:
+            idx, log2_bf = ev.evaluate(df)
+            mw += log2_bf
+            if self.emit_gammas:
+                gammas[f"gamma_{ev.comp.name}"] = idx
+        for name, idx in gammas.items():
+            t = t.append_column(name, pa.array(idx, pa.int32()))
+        t = t.append_column("match_weight", pa.array(mw, pa.float64()))
+        t = t.append_column(
+            "match_probability", pa.array((2.0**mw) / (1.0 + 2.0**mw), pa.float64())
+        )
+        if self.threshold is not None:
+            t = t.filter(pa.compute.greater(t["match_weight"], self.threshold))
+        return t
+
+
+def score_pairs(
+    pairs: "ray.data.Dataset",
+    model: FSModel,
+    tf_tables: dict[str, dict[str, float]] | None = None,
+    *,
+    threshold_match_weight: float | None = -50.0,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 4096,
+    emit_gammas: bool = False,
+) -> "ray.data.Dataset":
+    """Score candidate pairs with an actor pool; prune below threshold."""
+    model_ref = ray.put(model)
+    tf_ref = ray.put(tf_tables or {})
+    return pairs.map_batches(
+        PairScorer,
+        fn_constructor_args=(model_ref, tf_ref),
+        fn_constructor_kwargs={
+            "threshold_match_weight": threshold_match_weight,
+            "emit_gammas": emit_gammas,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

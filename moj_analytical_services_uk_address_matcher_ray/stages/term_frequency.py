@@ -1,0 +1,302 @@
+"""Term-frequency operators (A1-A8 of SURVEY.md §2.3).
+
+The reference computes token TFs with an explode -> window -> join ->
+re-aggregate SQL chain (term_frequencies.py:8-144).  Ray-Data-first, the same
+result is a two-pass pipeline with *no* row-explosion shuffle:
+
+  pass 1: ``map_batches`` emits per-batch partial (token, count) aggregates
+          -> tiny ``groupby("token").sum`` -> small TF table on the driver
+          (broadcast once via ``ray.put``).
+  pass 2: an actor-pool ``map_batches`` stage holds the TF dict (built once
+          per actor in ``__init__``) and annotates each row's token list in
+          place.
+
+Token-list logic (common-end tokens, frequency bands, histograms) follows
+term_frequencies.py:147-368 exactly; histograms (DuckDB
+``list_aggregate(…, 'histogram')`` producing ``map<struct,uint64>``) are
+represented as ``list<struct<tok, rel_freq, count>>`` sorted by key, which is
+Arrow-kernel-friendly and preserves the comparison semantics (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterable
+
+import pyarrow as pa
+import ray
+
+DEFAULT_REL_FREQ = 5e-5  # reference term_frequencies.py:43 COALESCE default
+
+TOKEN_STRUCT = pa.struct([("tok", pa.string()), ("rel_freq", pa.float64())])
+HIST_STRUCT = pa.struct(
+    [("tok", pa.string()), ("rel_freq", pa.float64()), ("count", pa.int64())]
+)
+
+# ---------------------------------------------------------------------------
+# pass 1 — corpus token frequencies (A1 first half / A7 / A8)
+# ---------------------------------------------------------------------------
+
+
+def partial_token_counts(t: pa.Table, *, cols: tuple[str, ...]) -> pa.Table:
+    """Per-batch combiner: one (token, count) row per distinct token in the
+    batch.  Collapses the batch ~100x before the groupby shuffle."""
+    counts: Counter = Counter()
+    for col in cols:
+        if col not in t.column_names:
+            continue
+        field = t[col]
+        if pa.types.is_list(field.type) or pa.types.is_large_list(field.type):
+            for lst in field.to_pylist():
+                if lst:
+                    counts.update(tok for tok in lst if tok is not None)
+        else:
+            counts.update(v for v in field.to_pylist() if v is not None)
+    return pa.table(
+        {
+            "token": pa.array(list(counts.keys()), pa.string()),
+            "count": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def compute_token_rel_freq(
+    ds: "ray.data.Dataset",
+    *,
+    cols: tuple[str, ...] = ("address_without_numbers_tokenised",),
+) -> pa.Table:
+    """A1/A7: corpus-wide relative token frequencies.
+
+    Output is a *small* arrow table ``(token, count, rel_freq)`` with
+    ``rel_freq = count / total_token_occurrences`` (term_frequencies.py:20-30).
+    The result is intentionally materialised (it is the broadcast side of the
+    annotation stage); at 10^12 rows its size is bounded by vocabulary, not
+    corpus size.
+    """
+    partials = ds.map_batches(
+        partial_token_counts,
+        batch_format="pyarrow",
+        fn_kwargs={"cols": cols},
+    )
+    agg = partials.groupby("token").sum("count")
+    tf = agg.to_arrow_refs()
+    tables = [ray.get(r) for r in tf]
+    table = pa.concat_tables([tb for tb in tables if tb.num_rows], promote_options="default") \
+        if any(tb.num_rows for tb in tables) else pa.table({"token": pa.array([], pa.string()), "sum(count)": pa.array([], pa.int64())})
+    counts = table["sum(count)"]
+    total = sum(counts.to_pylist()) or 1
+    rel = pa.array([c / total for c in counts.to_pylist()], pa.float64())
+    return pa.table(
+        {"token": table["token"], "count": counts, "rel_freq": rel}
+    )
+
+
+def tf_table_to_dict(tf: pa.Table) -> dict[str, float]:
+    return dict(zip(tf["token"].to_pylist(), tf["rel_freq"].to_pylist()))
+
+
+# ---------------------------------------------------------------------------
+# pass 2 — annotate rows with token_rel_freq_arr (A1 second half / A2)
+# ---------------------------------------------------------------------------
+
+
+class TermFrequencyAnnotator:
+    """Actor-pool stage: attach ``token_rel_freq_arr`` to every row.
+
+    ``tf_ref`` is a ``ray.put`` object ref of a dict (or a plain dict for
+    unit tests) — fetched once per actor, zero-copy from the local object
+    store.  Reference semantics: term_frequencies.py:84-144 (LEFT JOIN with
+    COALESCE 5e-5 for unseen tokens, order preserved).
+    """
+
+    def __init__(
+        self,
+        tf_ref,
+        *,
+        source_col: str = "address_without_numbers_tokenised",
+        default: float = DEFAULT_REL_FREQ,
+    ):
+        self.tf = ray.get(tf_ref) if isinstance(tf_ref, ray.ObjectRef) else tf_ref
+        self.source_col = source_col
+        self.default = default
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tf, default = self.tf, self.default
+        lists = t[self.source_col].to_pylist()
+        out = []
+        for lst in lists:
+            if lst is None:
+                out.append(None)
+            else:
+                out.append(
+                    [
+                        {"tok": tok, "rel_freq": tf.get(tok, default)}
+                        for tok in lst
+                    ]
+                )
+        t = t.drop_columns([self.source_col])
+        return t.append_column(
+            "token_rel_freq_arr", pa.array(out, pa.list_(TOKEN_STRUCT))
+        )
+
+
+# ---------------------------------------------------------------------------
+# A3 — move common end tokens to their own field
+# ---------------------------------------------------------------------------
+
+
+def move_common_end_tokens_to_field(
+    t: pa.Table, *, end_tokens: frozenset[str]
+) -> pa.Table:
+    """term_frequencies.py:147-212: from the last 3 entries take those whose
+    token is in the common-end list -> ``common_end_tokens``; then drop such
+    tokens from the last 2 positions of ``token_rel_freq_arr``."""
+    arrs = t["token_rel_freq_arr"].to_pylist()
+    common_out, kept_out = [], []
+    for arr in arrs:
+        if arr is None:
+            common_out.append(None)
+            kept_out.append(None)
+            continue
+        tail = arr[-3:]
+        common = [x for x in tail if x["tok"] in end_tokens]
+        common_toks = {x["tok"] for x in common}
+        n = len(arr)
+        kept = [
+            x
+            for i, x in enumerate(arr, start=1)
+            if not (i > n - 2 and x["tok"] in common_toks)
+        ]
+        common_out.append(common)
+        kept_out.append(kept)
+    t = t.drop_columns(["token_rel_freq_arr"])
+    t = t.append_column("common_end_tokens", pa.array(common_out, pa.list_(TOKEN_STRUCT)))
+    t = t.append_column("token_rel_freq_arr", pa.array(kept_out, pa.list_(TOKEN_STRUCT)))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# A4 / A5 — first unusual token fallback
+# ---------------------------------------------------------------------------
+
+FIRST_UNUSUAL_THRESHOLD = 0.001  # term_frequencies.py:224
+
+
+def first_unusual_token(t: pa.Table) -> pa.Table:
+    arrs = t["token_rel_freq_arr"].to_pylist()
+    out = []
+    for arr in arrs:
+        fut = None
+        if arr:
+            for x in arr:
+                if x["rel_freq"] < FIRST_UNUSUAL_THRESHOLD:
+                    fut = x
+                    break
+        out.append(fut)
+    return t.append_column("first_unusual_token", pa.array(out, TOKEN_STRUCT))
+
+
+def use_first_unusual_token_if_no_numeric_token(t: pa.Table) -> pa.Table:
+    """term_frequencies.py:236-261: when numeric_token_1 is null, promote the
+    first unusual token into it and remove *all* entries with that token from
+    the array."""
+    arrs = t["token_rel_freq_arr"].to_pylist()
+    futs = t["first_unusual_token"].to_pylist()
+    nt1 = t["numeric_token_1"].to_pylist()
+    new_nt1, new_arr = [], []
+    for arr, fut, n1 in zip(arrs, futs, nt1):
+        if n1 is None:
+            new_nt1.append(fut["tok"] if fut else None)
+            if arr is not None and fut is not None:
+                new_arr.append([x for x in arr if x["tok"] != fut["tok"]])
+            else:
+                new_arr.append(arr)
+        else:
+            new_nt1.append(n1)
+            new_arr.append(arr)
+    t = t.drop_columns(["numeric_token_1", "token_rel_freq_arr", "first_unusual_token"])
+    t = t.append_column("numeric_token_1", pa.array(new_nt1, pa.string()))
+    t = t.append_column("token_rel_freq_arr", pa.array(new_arr, pa.list_(TOKEN_STRUCT)))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# A6 — frequency bands
+# ---------------------------------------------------------------------------
+
+UNUSUAL_BAND = (5e-5, 1e-4)
+VERY_UNUSUAL_BAND = (1e-7, 5e-5)
+EXTREMELY_UNUSUAL_MAX = 1e-7
+
+
+def separate_unusual_tokens(t: pa.Table) -> pa.Table:
+    """term_frequencies.py:264-307: stable-sort entries ascending by
+    rel_freq, band into unusual / very unusual / extremely unusual token
+    lists."""
+    arrs = t["token_rel_freq_arr"].to_pylist()
+    unusual, very, extreme = [], [], []
+    for arr in arrs:
+        if arr is None:
+            unusual.append(None)
+            very.append(None)
+            extreme.append(None)
+            continue
+        ordered = sorted(arr, key=lambda x: x["rel_freq"])
+        unusual.append(
+            [x["tok"] for x in ordered if UNUSUAL_BAND[0] <= x["rel_freq"] < UNUSUAL_BAND[1]]
+        )
+        very.append(
+            [
+                x["tok"]
+                for x in ordered
+                if VERY_UNUSUAL_BAND[0] <= x["rel_freq"] < VERY_UNUSUAL_BAND[1]
+            ]
+        )
+        extreme.append([x["tok"] for x in ordered if x["rel_freq"] < EXTREMELY_UNUSUAL_MAX])
+    for name, vals in (
+        ("unusual_tokens_arr", unusual),
+        ("very_unusual_tokens_arr", very),
+        ("extremely_unusual_tokens_arr", extreme),
+    ):
+        t = t.append_column(name, pa.array(vals, pa.list_(pa.string())))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# C16 — histograms + final layout
+# ---------------------------------------------------------------------------
+
+
+def _histogram(entries: Iterable[dict] | None) -> list[dict] | None:
+    if entries is None:
+        return None
+    counts = Counter((x["tok"], x["rel_freq"]) for x in entries)
+    return [
+        {"tok": k[0], "rel_freq": k[1], "count": v}
+        for k, v in sorted(counts.items(), key=lambda kv: (kv[0][0], kv[0][1]))
+    ]
+
+
+def final_column_order(t: pa.Table) -> pa.Table:
+    """term_frequencies.py:340-368: multiset-count identical struct entries
+    into histogram columns and order the flagship columns first."""
+    tok_hist = [_histogram(a) for a in t["token_rel_freq_arr"].to_pylist()]
+    end_hist = [_histogram(a) for a in t["common_end_tokens"].to_pylist()]
+    t = t.drop_columns(["token_rel_freq_arr", "common_end_tokens"])
+    t = t.append_column("token_rel_freq_arr_hist", pa.array(tok_hist, pa.list_(HIST_STRUCT)))
+    t = t.append_column("common_end_tokens_hist", pa.array(end_hist, pa.list_(HIST_STRUCT)))
+    lead = [
+        c
+        for c in (
+            "unique_id",
+            "numeric_token_1",
+            "numeric_token_2",
+            "numeric_token_3",
+            "token_rel_freq_arr_hist",
+            "common_end_tokens_hist",
+            "postcode",
+        )
+        if c in t.column_names
+    ]
+    rest = [c for c in t.column_names if c not in lead]
+    return t.select(lead + rest)

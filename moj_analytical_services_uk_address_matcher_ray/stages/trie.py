@@ -1,0 +1,125 @@
+"""Suffix-trie resolution stage (operator J4 — SURVEY.md §2.4).
+
+The reference delegates this to the external ``splink_udfs`` DuckDB
+extension (`build_suffix_trie` / `find_address`, resolve_with_trie.py:11-56;
+match reason "trie: exact match with skips and fuzziness").  The extension's
+exact semantics are not part of the reference repo, so this is a
+re-derivation of the documented behaviour: per blocking group, canonical
+token lists are folded into a suffix trie (tokens consumed from the END of
+the address), and each fuzzy record walks the trie from its own last token,
+*skipping* fuzzy tokens absent from the current trie level; it resolves iff
+the walk pins down exactly one canonical record.
+
+Ray shape: both sides are co-grouped on the blocking key with ONE
+``groupby(key).map_groups`` — the trie is per-group state inside the group
+function, so no actor is needed (SURVEY §2.2 J4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+from .best_match import MATCH_REASON_TRIE
+
+_END = "\x00end"
+
+
+def _build_suffix_trie(canon_rows: list[tuple[str, str, list[str]]]) -> dict:
+    """trie node: {token: child, _END: set of (ukam, unique) that end here or
+    pass through}."""
+    root: dict = {_END: set()}
+    for ukam, uid, tokens in canon_rows:
+        node = root
+        node[_END].add((ukam, uid))
+        for tok in reversed(tokens or []):
+            node = node.setdefault(tok, {_END: set()})
+            node[_END].add((ukam, uid))
+    return root
+
+
+def _find_address(tokens: list[str], root: dict, *, min_depth: int = 2):
+    """Walk from the end of ``tokens``; skip tokens missing at the current
+    level; resolve when exactly one canonical remains at depth>=min_depth."""
+    node = root
+    depth = 0
+    candidates = None
+    for tok in reversed(tokens or []):
+        child = node.get(tok)
+        if child is None:
+            continue  # skip
+        node = child
+        depth += 1
+        candidates = node[_END]
+        if depth >= min_depth and len(candidates) == 1:
+            return next(iter(candidates))
+    if candidates is not None and len(candidates) == 1 and depth >= min_depth:
+        return next(iter(candidates))
+    return None
+
+
+def resolve_with_trie(
+    fuzzy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    tokens_col: str = "address_tokens",
+    block_col: str = "postcode",
+    min_depth: int = 2,
+) -> "ray.data.Dataset":
+    """Per-group trie build + probe; emits the standard match projection."""
+
+    def _project(t, side: str):
+        import pyarrow as pa
+
+        uid = (
+            [str(v) if v is not None else None for v in t["unique_id"].to_pylist()]
+            if side == "c" and "unique_id" in t.column_names
+            else [None] * t.num_rows
+        )
+        return pa.table(
+            {
+                "ukam_address_id": t["ukam_address_id"],
+                "canonical_unique_id": pa.array(uid, pa.string()),
+                "__tokens": t[tokens_col],
+                "__block": t[block_col],
+                "__side": pa.array([side] * t.num_rows, pa.string()),
+            }
+        )
+
+    fz = fuzzy.map_batches(_project, batch_format="pyarrow", fn_kwargs={"side": "f"})
+    cz = canon.map_batches(_project, batch_format="pyarrow", fn_kwargs={"side": "c"})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        cs = g[g["__side"] == "c"]
+        fs = g[g["__side"] == "f"]
+        out_cols = [
+            "ukam_address_id",
+            "canonical_ukam_address_id",
+            "resolved_canonical_id",
+            "match_reason",
+        ]
+        if len(cs) == 0 or len(fs) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        trie = _build_suffix_trie(
+            [
+                (r["ukam_address_id"], r["canonical_unique_id"], list(r["__tokens"]))
+                for _, r in cs.iterrows()
+            ]
+        )
+        rows = []
+        for _, r in fs.iterrows():
+            hit = _find_address(list(r["__tokens"] or []), trie, min_depth=min_depth)
+            if hit is not None:
+                rows.append(
+                    {
+                        "ukam_address_id": r["ukam_address_id"],
+                        "canonical_ukam_address_id": hit[0],
+                        "resolved_canonical_id": hit[1],
+                        "match_reason": MATCH_REASON_TRIE,
+                    }
+                )
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        return pd.DataFrame(rows)
+
+    return fz.union(cz).groupby("__block").map_groups(per_group, batch_format="pandas")
