@@ -1,0 +1,223 @@
+"""The cleaning pipeline — composition of C1-C16 + TF stages (§3.1).
+
+Mirrors the reference's stage queues (cleaning/pipelines.py:35-63):
+
+  QUEUE_PRE_TF   : C1..C13 (12 stages, fused by Ray's streaming executor)
+  [TF pass]      : on-the-fly corpus TF (A1/A7) or precomputed table (A2)
+  QUEUE_POST_TF  : A3 common-end tokens, A4/A5 first-unusual fallback,
+                   A6 frequency bands, C16 histograms + final layout.
+
+The reference runs everything on one DuckDB connection; here the pre-TF
+stages are chained ``map_batches`` (zero-copy Arrow, operator-fused), the TF
+table is a two-pass partial-aggregate + broadcast dict, and the post-TF
+stages fuse again.  One full-pipeline run = at most ONE small shuffle (the
+TF groupby over per-batch partial counts).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..stages import cleaning as C
+from ..stages import term_frequency as TF
+
+#: default common-end-token frequency floor — analogue of the reference's
+#: ``token_count > 3000`` CSV threshold (term_frequencies.py:162-169), as a
+#: *relative* share of rows so it scales with corpus size.
+COMMON_END_TOKEN_ROW_SHARE = 0.01
+
+
+def pre_tf_stages() -> list:
+    """QUEUE_PRE_TF — order is semantics-bearing (pipelines.py:35-48)."""
+    return [
+        C.assign_ukam_address_id,
+        C.trim_whitespace_address_and_postcode,
+        C.upper_case_address_and_postcode,
+        C.canonicalise_postcode,
+        C.clean_address_string_first_pass,
+        C.remove_duplicate_end_tokens,
+        C.derive_original_address_concat,
+        C.parse_out_flat_position_and_letter,
+        C.parse_out_numbers,
+        C.clean_address_string_second_pass,
+        C.split_numeric_tokens_to_cols,
+        C.create_tokenised_address_concat,
+        C.tokenise_address_without_numbers,
+    ]
+
+
+def apply_pre_tf(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    for fn in pre_tf_stages():
+        ds = ds.map_batches(fn, batch_format="pyarrow")
+    return ds
+
+
+def compute_end_token_counts(ds: "ray.data.Dataset") -> pa.Table:
+    """Count how often each token is the FINAL address token — the corpus
+    analogue of the reference's checked-in common_end_tokens.csv."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for lst in t["address_tokens"].to_pylist():
+            if lst:
+                counts[lst[-1]] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "token_count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum(
+        "token_count"
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+    )
+    return pa.table({"token": tbl["token"], "token_count": tbl["sum(token_count)"]})
+
+
+def common_end_tokens_from_counts(
+    counts: pa.Table, *, min_count: int
+) -> frozenset[str]:
+    return frozenset(
+        tok
+        for tok, n in zip(counts["token"].to_pylist(), counts["token_count"].to_pylist())
+        if n > min_count
+    )
+
+
+def apply_post_tf(
+    ds: "ray.data.Dataset",
+    tf: dict[str, float] | "ray.ObjectRef",
+    end_tokens: frozenset[str],
+    *,
+    tf_concurrency: int | tuple[int, int] = 2,
+) -> "ray.data.Dataset":
+    ds = ds.map_batches(
+        TF.TermFrequencyAnnotator,
+        fn_constructor_args=(tf,),
+        batch_format="pyarrow",
+        concurrency=tf_concurrency,
+    )
+    ds = ds.map_batches(
+        TF.move_common_end_tokens_to_field,
+        batch_format="pyarrow",
+        fn_kwargs={"end_tokens": end_tokens},
+    )
+    ds = ds.map_batches(TF.first_unusual_token, batch_format="pyarrow")
+    ds = ds.map_batches(
+        TF.use_first_unusual_token_if_no_numeric_token, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(TF.separate_unusual_tokens, batch_format="pyarrow")
+    ds = ds.map_batches(TF.final_column_order, batch_format="pyarrow")
+    return ds
+
+
+def clean_dataset(
+    ds: "ray.data.Dataset",
+    *,
+    rel_tok_freq: dict[str, float] | None = None,
+    end_tokens: frozenset[str] | None = None,
+    tf_concurrency: int | tuple[int, int] = 2,
+) -> "ray.data.Dataset":
+    """Full cleaning pipeline.
+
+    ``rel_tok_freq=None`` -> on-the-fly corpus TF (reference
+    ``clean_data_on_the_fly``); a dict -> precomputed-TF variant
+    (``clean_data_using_precomputed_rel_tok_freq``).  ``end_tokens=None``
+    derives the common-end-token set from the corpus itself.
+    """
+    ds = apply_pre_tf(ds)
+    if rel_tok_freq is None or end_tokens is None:
+        ds = ds.materialize()  # both TF passes read the pre-TF output once
+    if rel_tok_freq is None:
+        rel_tok_freq = TF.tf_table_to_dict(TF.compute_token_rel_freq(ds))
+    if end_tokens is None:
+        counts = compute_end_token_counts(ds)
+        n_rows = ds.count()
+        end_tokens = common_end_tokens_from_counts(
+            counts, min_count=max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))
+        )
+    tf_ref = ray.put(rel_tok_freq)
+    return apply_post_tf(ds, tf_ref, end_tokens, tf_concurrency=tf_concurrency)
+
+
+def clean_data_with_minimal_steps(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Reference ``clean_data_with_minimal_steps`` — pre-TF stages only."""
+    return apply_pre_tf(ds)
+
+
+# ---------------------------------------------------------------------------
+# C14 — adjacent-record distinguishing tokens (opt-in, ordering-sensitive)
+# ---------------------------------------------------------------------------
+
+_REMOVE_IN_ADJ = {"FLAT", "APARTMENT", "UNIT"}
+
+
+def derive_adjacent_distinguishing_tokens(
+    ds: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """token_parsing.py:11-115: sort by reverse(address_concat); compare each
+    row's token suffix with its sorted neighbours; split tokens into
+    ``distinguishing_adj_start_tokens`` (head) and ``common_adj_start_tokens``
+    (shared suffix).
+
+    Ray note: ``ds.sort`` gives the global order; lag/lead are evaluated
+    within each batch after a coalescing repartition, so up to one row per
+    block boundary sees a missing neighbour (treated as no-overlap) — an
+    explicitly documented approximation of the reference's global window.
+    """
+
+    def add_sort_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__rev",
+            pa.array(
+                [s[::-1] if s is not None else None for s in t["address_concat"].to_pylist()],
+                pa.string(),
+            ),
+        )
+
+    ds = ds.map_batches(add_sort_key, batch_format="pyarrow").sort("__rev")
+
+    def windows(t: pa.Table) -> pa.Table:
+        toks_all = [
+            [x for x in (lst or []) if x not in _REMOVE_IN_ADJ]
+            for lst in (
+                s.split(" ") if s is not None else []
+                for s in t["address_concat"].to_pylist()
+            )
+        ]
+
+        def common_suffix(a: list[str] | None, b: list[str] | None) -> int:
+            if a is None or b is None:
+                return 0
+            n = 0
+            for x, y in zip(reversed(a), reversed(b)):
+                if x == y:
+                    n += 1
+                else:
+                    break
+            return n
+
+        dis, com = [], []
+        for i, toks in enumerate(toks_all):
+            prev = toks_all[i - 1] if i > 0 else None
+            nxt = toks_all[i + 1] if i + 1 < len(toks_all) else None
+            k = max(common_suffix(toks, prev), common_suffix(toks, nxt))
+            split = len(toks) - k
+            dis.append(toks[:split])
+            com.append(toks[split:])
+        t = t.drop_columns(["__rev"])
+        t = t.append_column(
+            "distinguishing_adj_start_tokens", pa.array(dis, pa.list_(pa.string()))
+        )
+        t = t.append_column(
+            "common_adj_start_tokens", pa.array(com, pa.list_(pa.string()))
+        )
+        return t
+
+    return ds.map_batches(windows, batch_format="pyarrow", batch_size=8192)

@@ -1,0 +1,286 @@
+"""Flagship pipeline: record linkage over source-code file tables.
+
+Input (BASELINE.json input_hint): Parquet table
+``(repo, path, commit, lang, content)``.  The domain transposition
+(SURVEY.md §1.4) maps file identity onto the reference's address schema so
+the ENTIRE address machinery — cleaning, TF, blocking, FS scoring,
+distinguishing-token rescore, clustering — runs unchanged:
+
+  address_concat  <- path tokens (dirs + basename, '/._-' -> ' ') + repo name
+  postcode        <- "<LANG> <BASENAME-STEM>" (outward = lang "district",
+                     inward = stem "unit"; levenshtein levels then capture
+                     stem typos, split_part levels capture same-lang /
+                     same-stem partial agreement)
+  numeric tokens  <- version/size tokens in the path (v2, 64, 2021)
+  unique_id       <- "repo::path@commit"
+  content_sha256  <- per-row invariant, preserved end-to-end; the
+                     deterministic EXACT stage keys on it (content dedup)
+
+Pipeline (self-dedup / two-corpus linkage):
+  read (columns pruned) -> features+sha256 (map_batches; ``content`` dropped
+  immediately after hashing so blocks stay narrow) -> clean_dataset ->
+  deterministic exact pass on sha256 -> blocking (lang+stem / repo-bigram /
+  sha-prefix / postcode-analogue rules) -> FS scoring actor pool -> rescore
+  -> edges(mw >= tau) + exact edges -> hash-min connected components ->
+  cluster table (node, cluster_id) with sha256 carried through.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..stages import cleaning as C
+from ..stages.blocking import generate_candidate_pairs
+from ..stages.cluster import connected_components
+from ..stages.exact import annotate_exact_matches
+from ..stages.rescore import improve_predictions_using_distinguishing_tokens
+from ..stages.scoring import score_pairs
+from ..state.model import FSModel, code_model
+from .clean import clean_dataset
+
+_SPLIT_PATH = re.compile(r"[/._\-]+")
+_STEM_STRIP = re.compile(r"[^A-Z0-9]")
+
+#: content fingerprint: the K smallest line-hashes (a deterministic minhash
+#: sample of the file's distinct lines).  Near-duplicates (a few lines
+#: edited) share most fingerprint tokens; unrelated files share none.  The
+#: tokens join the identity text (feeding the token-histogram comparison and
+#: TF banding) AND become dedicated blocking-key columns fp_1/fp_2.
+FINGERPRINT_K = 6
+
+
+def _content_fingerprint(content: str | None, k: int = FINGERPRINT_K) -> list[str]:
+    if not content:
+        return []
+    import hashlib as _hl
+
+    hashes = sorted(
+        _hl.blake2b(line.encode(), digest_size=6).hexdigest()
+        for line in set(content.split("\n"))
+        if line.strip()
+    )
+    return ["Q" + h.upper() for h in hashes[:k]]
+
+#: blocking rules for the code domain — the three key families of the north
+#: star (lang + path-suffix token, repo-name bigram, sha256 prefix) plus the
+#: full postcode-analogue, expressed in the same rule dialect the reference
+#: model uses (so the same parser drives both domains).
+CODE_BLOCKING_RULES = [
+    # lang+stem (postcode analogue) exact — the main key
+    "l.postcode = r.postcode",
+    # same stem, numeric version agreement
+    "split_part(l.postcode, ' ', 2) = split_part(r.postcode, ' ', 2) and l.numeric_token_1 = r.numeric_token_1",
+    # lang + first unusual path token
+    "split_part(l.postcode, ' ', 1) = split_part(r.postcode, ' ', 1) and list_extract(l.unusual_tokens_arr, 1) = list_extract(r.unusual_tokens_arr, 1)",
+    # repo-name bigram analogue: very unusual token pair
+    "list_extract(l.very_unusual_tokens_arr, 1) = list_extract(r.very_unusual_tokens_arr, 1)",
+    # content-hash prefix (near-exact content lands in one block)
+    "l.sha_prefix = r.sha_prefix",
+    # content fingerprint agreement (near-dup content, path fully renamed)
+    "l.fp_1 = r.fp_1",
+    "l.fp_2 = r.fp_2",
+    "l.fp_1 = r.fp_2",
+    "l.fp_2 = r.fp_1",
+]
+
+
+def derive_code_features(t: pa.Table) -> pa.Table:
+    """(repo, path, commit, lang, content) -> address-shaped row + sha256.
+
+    ``content`` is dropped right after hashing (SURVEY §7.4 "wide rows"):
+    only (identity text, sha) travel through the shuffles.
+    """
+    t = C.add_sha256(t, col="content", out="content_sha256")
+    repos = t["repo"].to_pylist()
+    paths = t["path"].to_pylist()
+    commits = t["commit"].to_pylist()
+    langs = t["lang"].to_pylist()
+    shas = t["content_sha256"].to_pylist()
+    contents = t["content"].to_pylist()
+    uid, addr, pcode, shap, fp1, fp2, fps = [], [], [], [], [], [], []
+    for repo, path, commit, lang, sha, content in zip(
+        repos, paths, commits, langs, shas, contents
+    ):
+        uid.append(f"{repo}::{path}@{commit}")
+        segs = [s for s in _SPLIT_PATH.split(path or "") if s]
+        rsegs = [s for s in _SPLIT_PATH.split(repo or "") if s]
+        fp = _content_fingerprint(content)
+        addr.append(" ".join(segs + rsegs + fp).upper())
+        basename = (path or "").rsplit("/", 1)[-1]
+        base_stem = basename.split(".", 1)[0]  # "parser_v2.py" -> "parser_v2"
+        stem = _STEM_STRIP.sub("", base_stem.upper())[:12] or "X"
+        pcode.append(f"{(lang or 'UNK').upper()} {stem}")
+        shap.append(sha[:8] if sha else None)
+        fp1.append(fp[0] if len(fp) > 0 else None)
+        fp2.append(fp[1] if len(fp) > 1 else None)
+        fps.append(fp)
+    out = pa.table(
+        {
+            "unique_id": pa.array(uid, pa.string()),
+            "address_concat": pa.array(addr, pa.string()),
+            "postcode": pa.array(pcode, pa.string()),
+            "sha_prefix": pa.array(shap, pa.string()),
+            "fp_1": pa.array(fp1, pa.string()),
+            "fp_2": pa.array(fp2, pa.string()),
+            "fp_tokens": pa.array(fps, pa.list_(pa.string())),
+            "content_sha256": pa.array(shas, pa.string()),
+            "lang": t["lang"],
+            "repo": t["repo"],
+            "path": t["path"],
+            "commit": t["commit"],
+        }
+    )
+    return out
+
+
+#: lean pair payload for the self-dedup flow (blocking keys are derived
+#: BEFORE pairs are emitted, so the unusual-token arrays never travel)
+DEDUP_CARRY_COLS = [
+    "ukam_address_id",
+    "unique_id",
+    "original_address_concat",
+    "postcode",
+    "numeric_token_1",
+    "numeric_token_2",
+    "token_rel_freq_arr_hist",
+    "common_end_tokens_hist",
+    "fp_tokens",
+    "content_sha256",
+]
+
+#: columns the scorer + rescorer need on each pair side (full address model)
+PAIR_CARRY_COLS = [
+    "ukam_address_id",
+    "unique_id",
+    "original_address_concat",
+    "postcode",
+    "flat_positional",
+    "flat_letter",
+    "numeric_token_1",
+    "numeric_token_2",
+    "numeric_token_3",
+    "token_rel_freq_arr_hist",
+    "common_end_tokens_hist",
+    "unusual_tokens_arr",
+    "very_unusual_tokens_arr",
+    "extremely_unusual_tokens_arr",
+]
+
+
+def prepare_code_dataset(
+    files: "ray.data.Dataset",
+    *,
+    rel_tok_freq: dict[str, float] | None = None,
+    tf_concurrency: int | tuple[int, int] = 2,
+) -> "ray.data.Dataset":
+    """features + full cleaning; returns the cleaned, scored-ready table."""
+    feats = files.map_batches(derive_code_features, batch_format="pyarrow")
+    return clean_dataset(
+        feats, rel_tok_freq=rel_tok_freq, tf_concurrency=tf_concurrency
+    )
+
+
+def dedup_code_corpus(
+    files: "ray.data.Dataset",
+    *,
+    model: FSModel | None = None,
+    score_threshold: float = -20.0,
+    edge_threshold: float = 10.0,
+    max_pairs_per_block: int = 50_000,
+    hot_key_threshold: int | None = 50_000,
+    scorer_concurrency: int | tuple[int, int] = 4,
+    use_rescore: bool = False,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Self-dedup the corpus into entity clusters.
+
+    Returns Dataset (unique_id, content_sha256, cluster_id).
+    """
+    model = model or code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    cleaned = prepare_code_dataset(files).materialize()
+
+    # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256)
+    exact = annotate_exact_matches(
+        cleaned,
+        cleaned,
+        match_cols=("content_sha256",),
+        exclude_self=True,
+    ).materialize()
+    exact_edges = exact.map_batches(
+        lambda t: pa.table(
+            {"src": t["ukam_address_id"], "dst": t["canonical_ukam_address_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    # 2. probabilistic pass over blocked candidate pairs (self-join, ordered)
+    carry = DEDUP_CARRY_COLS
+    pairs = generate_candidate_pairs(
+        cleaned,
+        cleaned,
+        model.blocking_rules,
+        carry_cols=carry,
+        max_pairs_per_block=max_pairs_per_block,
+        hot_key_threshold=hot_key_threshold,
+        ordered_self_pairs=True,
+    )
+    scored = score_pairs(
+        pairs,
+        model,
+        threshold_match_weight=score_threshold,
+        concurrency=scorer_concurrency,
+    )
+    if use_rescore:
+        scored = improve_predictions_using_distinguishing_tokens(
+            scored, match_weight_threshold=score_threshold
+        )
+    edges = scored.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.filter(pc.greater_equal(t["match_weight"], edge_threshold))[
+                    "ukam_address_id_l"
+                ],
+                "dst": t.filter(pc.greater_equal(t["match_weight"], edge_threshold))[
+                    "ukam_address_id_r"
+                ],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    # 3. transitive closure over exact + probabilistic edges
+    nodes = cleaned.map_batches(
+        lambda t: pa.table({"node": t["ukam_address_id"]}), batch_format="pyarrow"
+    )
+    comps = connected_components(
+        exact_edges.union(edges), nodes=nodes, num_partitions=num_partitions
+    )
+
+    # 4. map surrogate ids back to (unique_id, sha256)
+    from ..stages.joins import inner_join
+
+    id_map = cleaned.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["ukam_address_id"],
+                "unique_id": t["unique_id"],
+                "content_sha256": t["content_sha256"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = inner_join(id_map, comps, on="node", num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "unique_id": t["unique_id"],
+                "content_sha256": t["content_sha256"],
+                "cluster_id": t["cluster_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

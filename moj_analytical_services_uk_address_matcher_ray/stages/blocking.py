@@ -315,9 +315,15 @@ def generate_candidate_pairs(
     max_pairs_per_block: int = 250_000,
     hot_key_threshold: int | None = None,
     id_col: str = "ukam_address_id",
+    ordered_self_pairs: bool = False,
 ) -> "ray.data.Dataset":
     """J6 end-to-end: key derivation -> one groupby shuffle -> pair emission
-    -> cross-rule dedup.  ``canon`` rows become ``*_l``, ``messy`` ``*_r``."""
+    -> cross-rule dedup.  ``canon`` rows become ``*_l``, ``messy`` ``*_r``.
+
+    ``ordered_self_pairs=True`` is the self-dedup mode (canon is messy): only
+    pairs with ``id_l < id_r`` survive, so each unordered pair appears once
+    and self-pairs never do — applied *before* the dedup shuffle to halve it.
+    """
     parsed = (
         parse_blocking_rules(rules) if rules and isinstance(rules[0], str) else rules
     )
@@ -351,4 +357,11 @@ def generate_candidate_pairs(
         ),
         batch_format="pyarrow",
     )
+    if ordered_self_pairs:
+        pairs = pairs.map_batches(
+            lambda t: t.filter(
+                pa.compute.less(t[f"{id_col}_l"], t[f"{id_col}_r"])
+            ),
+            batch_format="pyarrow",
+        )
     return dedupe_pairs_first_rule_wins(pairs, id_col=id_col)

@@ -77,6 +77,22 @@ def connected_components(
     )
     edges = _mirror_edges(edges).materialize()
 
+    if edges.count() == 0:
+        # no edges at all: every node is its own singleton cluster
+        if nodes is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "cluster_id": pa.array([], pa.string()),
+                    }
+                )
+            )
+        return nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "cluster_id": t["node"]}),
+            batch_format="pyarrow",
+        )
+
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"], "label": t["src"]})
 

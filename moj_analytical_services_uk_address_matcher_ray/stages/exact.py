@@ -98,9 +98,15 @@ def annotate_exact_matches(
     *,
     match_cols: tuple[str, ...] = ("original_address_concat", "postcode"),
     match_reason: str = MATCH_REASON_EXACT,
+    exclude_self: bool = False,
 ) -> "ray.data.Dataset":
     """Exact equi-join on ``match_cols``; duplicates on the canonical side
-    collapse deterministically to the min canonical ukam id."""
+    collapse deterministically to the min canonical ukam id.
+
+    ``exclude_self=True`` is the self-dedup mode (canon is the fuzzy table
+    itself, keyed on ``content_sha256``): a row never matches itself, so
+    singleton hashes stay unmatched and duplicate groups resolve to the
+    group's min id."""
 
     def _key(t: pa.Table, side: str) -> pa.Table:
         parts = [t[c].to_pylist() for c in match_cols]
@@ -134,15 +140,35 @@ def annotate_exact_matches(
             return pd.DataFrame(
                 {c: pd.Series(dtype=object) for c in MATCH_OUT_COLS}
             )
-        best = cs.sort_values("ukam_address_id", kind="mergesort").iloc[0]
-        return pd.DataFrame(
-            {
-                "ukam_address_id": fs["ukam_address_id"].to_numpy(),
-                "canonical_ukam_address_id": best["ukam_address_id"],
-                "resolved_canonical_id": best["canonical_unique_id"],
-                "match_reason": match_reason,
-            }
-        )
+        cs = cs.sort_values("ukam_address_id", kind="mergesort")
+        if not exclude_self:
+            best = cs.iloc[0]
+            return pd.DataFrame(
+                {
+                    "ukam_address_id": fs["ukam_address_id"].to_numpy(),
+                    "canonical_ukam_address_id": best["ukam_address_id"],
+                    "resolved_canonical_id": best["canonical_unique_id"],
+                    "match_reason": match_reason,
+                }
+            )
+        rows = []
+        c_ids = cs["ukam_address_id"].to_numpy()
+        c_uids = cs["canonical_unique_id"].to_numpy()
+        for f_id in fs["ukam_address_id"]:
+            j = 1 if len(c_ids) > 1 and c_ids[0] == f_id else 0
+            if c_ids[j] == f_id:
+                continue  # only itself in the group
+            rows.append(
+                {
+                    "ukam_address_id": f_id,
+                    "canonical_ukam_address_id": c_ids[j],
+                    "resolved_canonical_id": c_uids[j],
+                    "match_reason": match_reason,
+                }
+            )
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in MATCH_OUT_COLS})
+        return pd.DataFrame(rows)
 
     return fz.union(cz).groupby("__key").map_groups(per_key, batch_format="pandas")
 

@@ -145,6 +145,28 @@ class _ComparisonEvaluator:
             return (_notna(fp_l) & _isna(fp_r) & _notna(fl_r)) | (
                 _notna(fp_r) & _isna(fp_l) & _notna(fl_l)
             )
+        if k == "overlap_geq":
+            c, kk = p["col"], p["k"]
+            al = df[f"{c}_l"].to_numpy(dtype=object)
+            ar = df[f"{c}_r"].to_numpy(dtype=object)
+
+            def _ov(x, y):
+                if x is None or y is None or len(x) == 0 or len(y) == 0:
+                    return False
+                return len(set(x) & set(y)) >= kk
+
+            return np.fromiter(
+                (_ov(x, y) for x, y in zip(al, ar)), dtype=bool, count=n
+            )
+        if k == "null_or_empty_list":
+            m = np.zeros(n, dtype=bool)
+            for c in p["cols"]:
+                for suffix in ("_l", "_r"):
+                    vals = df[f"{c}{suffix}"].to_numpy(dtype=object)
+                    m |= np.fromiter(
+                        (v is None or len(v) == 0 for v in vals), dtype=bool, count=n
+                    )
+            return m
         if k == "hist_product_lt":
             assert hist_p is not None
             return hist_p < p["threshold"]

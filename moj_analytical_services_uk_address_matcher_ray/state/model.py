@@ -325,6 +325,77 @@ def default_blocking_rules() -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# the source-code-domain model
+# ---------------------------------------------------------------------------
+
+
+def code_model(blocking_rules: list[str] | None = None) -> FSModel:
+    """Fellegi-Sunter model for the source-code-file domain.
+
+    Same comparison architecture as the address model (ordered levels, log2
+    Bayes factors, TF adjustments, histogram-product bands) but re-weighted
+    for code: path identity (lang+stem "postcode", version-number "numeric
+    tokens") is weak evidence — many unrelated files share a basename — while
+    content-fingerprint overlap (``fp_tokens``: minhash of file lines) is the
+    dominant signal.  Weights chosen so an unrelated same-basename pair lands
+    well below 0 and a true near-duplicate lands above +15.
+    """
+    addr = default_address_model()
+    by_name = {c.name: c for c in addr.comparisons}
+
+    pc_levels = [
+        Level("null", "null_all", {"cols": ["postcode"]}, is_null=True),
+        Level("exact", "exact", {"col": "postcode"}, m=300, u=1),
+        Level("lev<=1", "lev_leq", {"col": "postcode", "k": 1}, m=100, u=1),
+        Level("lev<=2", "lev_leq", {"col": "postcode", "k": 2}, m=30, u=1),
+        Level("lang", "split_part_equal", {"col": "postcode", "part": 1}, m=4, u=1),
+        Level("stem", "split_part_equal", {"col": "postcode", "part": 2}, m=30, u=1),
+        Level("else", "else", m=1, u=8),
+    ]
+    n1_levels = [
+        Level("null", "null_any", {"cols": ["numeric_token_1"]}, is_null=True),
+        Level("exact", "exact", {"col": "numeric_token_1"}, m=30, u=1,
+              tf_col="numeric_token_1", tf_weight=0.1),
+        Level("digits", "digits_equal", {"col": "numeric_token_1"}, m=30, u=1,
+              tf_col="numeric_token_1", tf_weight=0.1),
+        Level("inverted", "cross_equal",
+              {"col_a": "numeric_token_2", "col_b": "numeric_token_1"}, m=4, u=1),
+        Level("one null", "null_any_level", {"cols": ["numeric_token_1"]}, m=1, u=4),
+        Level("else", "else", m=1, u=4),
+    ]
+    n2_levels = [
+        Level("null", "null_all", {"cols": ["numeric_token_2"]}, is_null=True),
+        Level("exact", "exact", {"col": "numeric_token_2"}, m=8, u=1,
+              tf_col="numeric_token_2", tf_weight=0.1),
+        Level("inverted", "cross_equal",
+              {"col_a": "numeric_token_1", "col_b": "numeric_token_2"}, m=2, u=1),
+        Level("one null", "null_any_level", {"cols": ["numeric_token_2"]}, m=1, u=2),
+        Level("else", "else", m=1, u=2),
+    ]
+    fp_levels = [
+        Level("null", "null_or_empty_list", {"cols": ["fp_tokens"]}, is_null=True),
+        Level(">=4 shared", "overlap_geq", {"col": "fp_tokens", "k": 4}, m=16384, u=1),
+        Level(">=2 shared", "overlap_geq", {"col": "fp_tokens", "k": 2}, m=1024, u=1),
+        Level(">=1 shared", "overlap_geq", {"col": "fp_tokens", "k": 1}, m=64, u=1),
+        Level("none shared", "else", m=1, u=128),
+    ]
+    comparisons = [
+        by_name["original_address_concat"],
+        Comparison("numeric_token_1", n1_levels),
+        Comparison("numeric_token_2", n2_levels),
+        by_name["token_rel_freq_arr_hist"],
+        by_name["common_end_tokens"],
+        Comparison("postcode", pc_levels),
+        Comparison("fp_tokens", fp_levels),
+    ]
+    return FSModel(
+        prior=1e-6,
+        comparisons=comparisons,
+        blocking_rules=blocking_rules if blocking_rules is not None else [],
+    )
+
+
+# ---------------------------------------------------------------------------
 # reference-format JSON loader
 # ---------------------------------------------------------------------------
 
