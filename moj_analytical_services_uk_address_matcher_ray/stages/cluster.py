@@ -1,21 +1,21 @@
-"""Iterative hash-min connected components over an edge Dataset.
+"""Iterative hash-to-min connected components over an edge Dataset.
 
 The north rule extends the reference's best-match-per-record selection with
 transitive clustering: scored pairs above threshold are edges, and entity
-clusters are the connected components.  Implemented as the classic
-log-rounds map-reduce CC (hash-to-min label propagation):
+clusters are the connected components.  Implemented as the Hash-to-Min
+map-reduce CC algorithm (Rastogi et al., ICDE'13 — see PAPERS.md): the
+graph's adjacency is a Dataset of (node, nbr) rows, and each round is ONE
+``groupby(node).map_groups``:
 
-  labels(node) = node                                  # init
-  repeat:
-      cand  = edges joined with labels on src          # hash join
-      prop  = (dst, label) from cand                   # propagate
-      labels = union(labels, prop).groupby(node).min   # hash-min
+    m = min(nbrs ∪ {node})
+    emit (m, v)  for every v in nbrs ∪ {node}     # send cluster to the min
+    emit (v, m)  for every v in nbrs ∪ {node}     # send the min everywhere
 
-Each round is one hash join + one groupby — all streaming, no driver-side
-state.  Convergence is detected with an order-independent 64-bit checksum of
-(node, label) pairs (one cheap aggregate pass per round); identical checksum
-on consecutive rounds == fixpoint.  Edges are mirrored once up front so
-propagation is symmetric; expected rounds = O(log diameter).
+which converges in O(log diameter) rounds; at the fixpoint every node's
+neighbourhood is exactly {its component min}.  No joins, no driver state —
+one hash shuffle per round, streaming throughout.  Convergence is detected
+with an order-independent 64-bit checksum of the adjacency rows (one cheap
+aggregate pass per round).
 
 Node ids are strings; the component label is the lexicographic MIN node id —
 deterministic, retry-safe.
@@ -25,36 +25,43 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyarrow as pa
 import ray
 
-from .joins import inner_join
 
-
-def _mirror_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
-    def mirror(t: pa.Table) -> pa.Table:
-        fwd = pa.table({"src": t["src"], "dst": t["dst"]})
-        rev = pa.table({"src": t["dst"], "dst": t["src"]})
-        return pa.concat_tables([fwd, rev])
-
-    return edges.map_batches(mirror, batch_format="pyarrow")
-
-
-def _checksum(labels: "ray.data.Dataset") -> int:
-    """Order-independent checksum: sum of 64-bit hashes of (node, label)."""
+def _checksum(ds: "ray.data.Dataset", cols: tuple[str, str]) -> int:
+    """Order-independent checksum: sum of 64-bit hashes of row tuples."""
 
     def part(t: pa.Table) -> pa.Table:
         total = 0
-        for n, lb in zip(t["node"].to_pylist(), t["label"].to_pylist()):
-            h = hashlib.blake2b(f"{n}\x00{lb}".encode(), digest_size=8)
+        for a, b in zip(t[cols[0]].to_pylist(), t[cols[1]].to_pylist()):
+            h = hashlib.blake2b(f"{a}\x00{b}".encode(), digest_size=8)
             total = (total + int.from_bytes(h.digest(), "big")) % (1 << 63)
         return pa.table({"c": pa.array([total], pa.int64())})
 
-    partials = labels.map_batches(part, batch_format="pyarrow")
+    partials = ds.map_batches(part, batch_format="pyarrow")
     return sum(
-        v for b in partials.iter_batches(batch_format="pyarrow") for v in b["c"].to_pylist()
+        v
+        for b in partials.iter_batches(batch_format="pyarrow")
+        for v in b["c"].to_pylist()
     ) % (1 << 63)
+
+
+def _hash_to_min_round(g: pa.Table) -> pa.Table:
+    node = g["node"][0].as_py()
+    vals = set(g["nbr"].to_pylist())
+    vals.add(node)
+    m = min(vals)
+    out_n, out_v = [], []
+    for v in vals:
+        if v != m:
+            out_n.append(m)
+            out_v.append(v)
+        out_n.append(v)
+        out_v.append(m)
+    return pa.table(
+        {"node": pa.array(out_n, pa.string()), "nbr": pa.array(out_v, pa.string())}
+    )
 
 
 def connected_components(
@@ -64,7 +71,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
-    num_partitions: int = 32,
+    num_partitions: int = 32,  # kept for API compat; groupby sizes itself
 ) -> "ray.data.Dataset":
     """Compute components of the undirected graph given by ``edges``.
 
@@ -72,68 +79,60 @@ def connected_components(
     node id of the component.  ``nodes`` optionally supplies isolated nodes
     (a single-column Dataset named ``node``) so singletons appear too.
     """
-    edges = edges.map_batches(
-        lambda t: pa.table({"src": t[src], "dst": t[dst]}), batch_format="pyarrow"
-    )
-    edges = _mirror_edges(edges).materialize()
 
-    if edges.count() == 0:
-        # no edges at all: every node is its own singleton cluster
-        if nodes is None:
-            return ray.data.from_arrow(
-                pa.table(
-                    {
-                        "node": pa.array([], pa.string()),
-                        "cluster_id": pa.array([], pa.string()),
-                    }
-                )
-            )
-        return nodes.map_batches(
-            lambda t: pa.table({"node": t["node"], "cluster_id": t["node"]}),
-            batch_format="pyarrow",
+    def mirror(t: pa.Table) -> pa.Table:
+        a = pa.concat_arrays(
+            [t[src].combine_chunks().cast(pa.string()), t[dst].combine_chunks().cast(pa.string())]
         )
+        b = pa.concat_arrays(
+            [t[dst].combine_chunks().cast(pa.string()), t[src].combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"node": a, "nbr": b})
 
-    def init_labels(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["src"], "label": t["src"]})
-
-    labels = edges.map_batches(init_labels, batch_format="pyarrow")
+    adj = edges.map_batches(mirror, batch_format="pyarrow")
     if nodes is not None:
-        labels = labels.union(
+        adj = adj.union(
             nodes.map_batches(
-                lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].combine_chunks().cast(pa.string()),
+                        "nbr": t["node"].combine_chunks().cast(pa.string()),
+                    }
+                ),
                 batch_format="pyarrow",
             )
         )
-    labels = labels.groupby("node").min("label")
-    labels = labels.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
-        batch_format="pyarrow",
-    ).materialize()
+    adj = adj.materialize()
+    if adj.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "cluster_id": pa.array([], pa.string()),
+                }
+            )
+        )
 
-    prev_sum = _checksum(labels)
+    prev = None
     for _ in range(max_rounds):
-        cand = inner_join(
-            edges,
-            labels,
-            on="src",
-            right_on="node",
-            num_partitions=num_partitions,
+        adj = (
+            adj.groupby("node")
+            .map_groups(_hash_to_min_round, batch_format="pyarrow")
+            .materialize()
         )
-        prop = cand.map_batches(
-            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        merged = labels.union(prop).groupby("node").min("label")
-        labels = merged.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        cur = _checksum(labels)
-        if cur == prev_sum:
+        cur = _checksum(adj, ("node", "nbr"))
+        if cur == prev:
             break
-        prev_sum = cur
+        prev = cur
+
+    labels = adj.groupby("node").min("nbr")
     return labels.map_batches(
-        lambda t: pa.table({"node": t["node"], "cluster_id": t["label"]}),
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "cluster_id": pa.compute.min_element_wise(t["min(nbr)"], t["node"]),
+            }
+        ),
         batch_format="pyarrow",
     )
 
@@ -153,14 +152,4 @@ def connected_components_local(edge_list: list[tuple[str, str]]) -> dict[str, st
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    # path-compress to min label
-    out = {}
-    for n in list(parent):
-        r = find(n)
-        out[n] = r
-    # ensure label is the min of the component
-    comp_min: dict[str, str] = {}
-    for n, r in out.items():
-        if r not in comp_min or n < comp_min[r]:
-            comp_min[r] = min(n, comp_min.get(r, n))
-    return {n: comp_min[r] for n, r in out.items()}
+    return {n: find(n) for n in list(parent)}

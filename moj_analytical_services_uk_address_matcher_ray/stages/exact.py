@@ -263,13 +263,11 @@ def resolve_with_trigrams(
             "ngram_size": ngram_size,
         },
     )
-    from .joins import _resolve_partitions
+    from .joins import inner_join
 
-    links = fuzzy_tris.join(
-        index,
-        "inner",
-        _resolve_partitions(num_partitions),
-        on=("block_key", "trigram_hash"),
+    links = inner_join(
+        fuzzy_tris, index, ("block_key", "trigram_hash"),
+        num_partitions=num_partitions,
     )
 
     def consensus(g: pd.DataFrame) -> pd.DataFrame:
@@ -279,7 +277,7 @@ def resolve_with_trigrams(
             {
                 "ukam_address_id": [g["ukam_address_id"].iloc[0]],
                 "canonical_ukam_address_id": [g["canonical_ukam_address_id"].min()],
-                "resolved_canonical_id": [g["canonical_unique_id"].min()],
+                "resolved_canonical_id": [str(g["canonical_unique_id"].min())],
                 "match_reason": [MATCH_REASON_UNIQUE_TRIGRAM],
                 "trigram_hit_count": [len(g)],
             }

@@ -1,79 +1,177 @@
 """Distributed join helpers (operators J1/J2/J5/K5 of SURVEY.md §2.4/§2.7).
 
-Ray Data 2.49 ships a hash-partitioned ``Dataset.join`` — we wrap it with the
-join flavours the reference leans on (inner / left equi-joins, and semi /
-anti joins used by the deterministic match-pass loop,
-matching_stages.py:173-182).  Semi/anti are expressed as a left join against
-the deduplicated key set of the right side plus a marker filter — one hash
-shuffle each, no driver materialisation, scale-safe.
+Ray Data 2.49 ships a hash-partitioned ``Dataset.join``, but in local
+testing it raises ``ArrowInvalid: No match ... for key field reference`` when
+a join side derives from an aggregate (empty hash partitions lose their
+schema).  The engine therefore uses its own co-partitioned hash join built
+on the ``union -> groupby(key).map_groups`` machinery that the rest of the
+engine already exercises heavily: both sides are tagged and unioned with
+aligned schemas, one hash shuffle co-locates equal keys, and a per-group
+Arrow cross-merge emits the joined rows.  Semantics follow SQL equi-joins:
+NULL keys never match (left rows with NULL keys still survive a left join).
 
-For *small* right sides prefer ``broadcast_semi_filter`` (a ``ray.put`` key
-set read inside ``map_batches``) — zero shuffle.
+Semi / anti joins reuse the same machinery against the deduplicated key set
+of the right side (matching_stages.py:173-182's anti-join loop).  For
+*small* right sides prefer ``broadcast_semi_filter`` — zero shuffle.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-DEFAULT_PARTITIONS = 32
+DEFAULT_PARTITIONS = 32  # kept for API compat; the groupby decides its own
+
+_JK = "__join_key"
+_SIDE = "__join_side"
 
 
-def _resolve_partitions(n: int) -> int:
-    """Cap join partition count so the hash-join aggregator actors can all
-    schedule alongside the streaming executor's map tasks (each aggregator
-    reserves a CPU slot; oversubscribing deadlocks on a small cluster)."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(1, min(n, max(2, cpus // 2)))
+def _key_strings(t: pa.Table, cols: tuple[str, ...]) -> list:
+    """Serialise key tuples to strings (equality-preserving); None if any
+    component is NULL (SQL semantics)."""
+    parts = [t[c].to_pylist() for c in cols]
+    out = []
+    for tup in zip(*parts):
+        if any(v is None for v in tup):
+            out.append(None)
+        else:
+            out.append("\x1f".join(repr(v) for v in tup))
+    return out
 
 
-def inner_join(
+def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
+    return pa.nulls(n, typ)
+
+
+def _arrowize(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Force Arrow blocks (pandas-block datasets report Python/numpy types
+    from ``schema()``, which breaks typed null-filling)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _schema_of(ds: "ray.data.Dataset") -> pa.Schema:
+    sch = ds.schema()
+    names, types = sch.names, sch.types
+    return pa.schema([pa.field(n, t) for n, t in zip(names, types)])
+
+
+def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: tuple[str, ...] | str,
     *,
     right_on=None,
-    num_partitions: int = DEFAULT_PARTITIONS,
-    left_suffix: str | None = None,
-    right_suffix: str | None = None,
+    how: str = "inner",  # "inner" | "left"
+    right_suffix: str = "_r",
+    num_partitions: int = DEFAULT_PARTITIONS,  # accepted, unused (groupby decides)
 ) -> "ray.data.Dataset":
+    """Co-partitioned equi-join.  Output = all left columns + right columns
+    (right key columns dropped; clashing right names get ``right_suffix``)."""
     on = (on,) if isinstance(on, str) else tuple(on)
-    right_on = (right_on,) if isinstance(right_on, str) else right_on
-    return left.join(
-        right,
-        "inner",
-        _resolve_partitions(num_partitions),
-        on=on,
-        right_on=right_on,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
+    right_on = (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on or on)
+    )
+    left = _arrowize(left)
+    right = _arrowize(right)
+    if left.schema() is None:  # fully empty left -> empty result
+        return left
+    if right.schema() is None:  # fully empty right
+        # inner: nothing joins; left: every left row survives with no right
+        # payload columns (schema unknown for an empty right side)
+        return left.limit(0) if how == "inner" else left
+    lschema = _schema_of(left)
+    rschema = _schema_of(right)
+    lcols = list(lschema.names)
+    rcols_payload = [c for c in rschema.names if c not in right_on]
+    # output names for right payload columns
+    rout = {
+        c: (c + right_suffix if c in lcols else c) for c in rcols_payload
+    }
+    rtypes = {c: rschema.field(c).type for c in rcols_payload}
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        data = {c: t[c] for c in lcols}
+        data[_JK] = pa.array(_key_strings(t, on), pa.string())
+        data[_SIDE] = pa.array(["l"] * t.num_rows, pa.string())
+        for c in rcols_payload:
+            data[rout[c]] = _typed_nulls(t.num_rows, rtypes[c])
+        return pa.table(data)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        data = {c: _typed_nulls(t.num_rows, lschema.field(c).type) for c in lcols}
+        data[_JK] = pa.array(_key_strings(t, right_on), pa.string())
+        data[_SIDE] = pa.array(["r"] * t.num_rows, pa.string())
+        for c in rcols_payload:
+            data[rout[c]] = t[c]
+        keep = pc.is_valid(data[_JK])
+        return pa.table(data).filter(keep)  # null right keys never match
+
+    out_cols = lcols + [rout[c] for c in rcols_payload]
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow")
+    rt = right.map_batches(prep_right, batch_format="pyarrow")
+
+    null_keys = None
+    if how == "left":
+        # left rows with NULL keys can't be shuffled on the key; carry them
+        # around the join directly (they join to nothing).
+        null_keys = lt.map_batches(
+            lambda t: t.filter(pc.is_null(t[_JK])).select(out_cols),
+            batch_format="pyarrow",
+        )
+        lt = lt.map_batches(
+            lambda t: t.filter(pc.is_valid(t[_JK])), batch_format="pyarrow"
+        )
+    else:
+        lt = lt.map_batches(
+            lambda t: t.filter(pc.is_valid(t[_JK])), batch_format="pyarrow"
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        sides = g[_SIDE]
+        lrows = g.filter(pc.equal(sides, "l"))
+        rrows = g.filter(pc.equal(sides, "r"))
+        nl, nr = lrows.num_rows, rrows.num_rows
+        if nl == 0:
+            return g.select(out_cols).slice(0, 0)
+        if nr == 0:
+            if how == "left":
+                return lrows.select(out_cols)
+            return g.select(out_cols).slice(0, 0)
+        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
+        lpart = lrows.select(lcols).take(li)
+        rpart = rrows.select([rout[c] for c in rcols_payload]).take(ri)
+        data = {c: lpart[c] for c in lcols}
+        for c in rcols_payload:
+            data[rout[c]] = rpart[rout[c]]
+        return pa.table(data) if data else g.select(out_cols).slice(0, 0)
+
+    joined = lt.union(rt).groupby(_JK).map_groups(merge, batch_format="pyarrow")
+    if null_keys is not None:
+        joined = joined.union(null_keys)
+    return joined
+
+
+def inner_join(
+    left, right, on, *, right_on=None, num_partitions: int = DEFAULT_PARTITIONS,
+    left_suffix=None, right_suffix=None,
+):
+    return hash_join(
+        left, right, on, right_on=right_on, how="inner",
+        right_suffix=right_suffix or "_r", num_partitions=num_partitions,
     )
 
 
 def left_join(
-    left: "ray.data.Dataset",
-    right: "ray.data.Dataset",
-    on: tuple[str, ...] | str,
-    *,
-    right_on=None,
-    num_partitions: int = DEFAULT_PARTITIONS,
-    left_suffix: str | None = None,
-    right_suffix: str | None = None,
-) -> "ray.data.Dataset":
-    on = (on,) if isinstance(on, str) else tuple(on)
-    right_on = (right_on,) if isinstance(right_on, str) else right_on
-    return left.join(
-        right,
-        "left_outer",
-        _resolve_partitions(num_partitions),
-        on=on,
-        right_on=right_on,
-        left_suffix=left_suffix,
-        right_suffix=right_suffix,
+    left, right, on, *, right_on=None, num_partitions: int = DEFAULT_PARTITIONS,
+    left_suffix=None, right_suffix=None,
+):
+    return hash_join(
+        left, right, on, right_on=right_on, how="left",
+        right_suffix=right_suffix or "_r", num_partitions=num_partitions,
     )
 
 

@@ -102,13 +102,19 @@ def resolve_with_trie(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
         trie = _build_suffix_trie(
             [
-                (r["ukam_address_id"], r["canonical_unique_id"], list(r["__tokens"]))
+                (
+                    r["ukam_address_id"],
+                    r["canonical_unique_id"],
+                    [] if r["__tokens"] is None else list(r["__tokens"]),
+                )
                 for _, r in cs.iterrows()
             ]
         )
         rows = []
         for _, r in fs.iterrows():
-            hit = _find_address(list(r["__tokens"] or []), trie, min_depth=min_depth)
+            toks = r["__tokens"]
+            toks = [] if toks is None else list(toks)
+            hit = _find_address(toks, trie, min_depth=min_depth)
             if hit is not None:
                 rows.append(
                     {

@@ -1,0 +1,115 @@
+"""Blocking: rule parsing, key derivation, pair generation, caps, salting."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+    KEY_SEP,
+    derive_block_keys,
+    generate_candidate_pairs,
+    parse_blocking_rule,
+)
+from moj_analytical_services_uk_address_matcher_ray.state.model import (
+    default_blocking_rules,
+)
+
+
+def test_parse_all_reference_rules():
+    rules = [parse_blocking_rule(r) for r in default_blocking_rules()]
+    assert len(rules) == 18
+    # rule 2 is asymmetric: l.numeric_token_1 = r.numeric_token_2
+    r2 = rules[1]
+    assert r2.l_exprs[0].col == "numeric_token_1"
+    assert r2.r_exprs[0].col == "numeric_token_2"
+    # last rule is plain postcode equality
+    assert rules[-1].l_exprs[0].col == "postcode"
+
+
+def test_derive_block_keys_null_and_list_semantics():
+    rule = parse_blocking_rule(
+        "list_extract(l.unusual_tokens_arr, 2) = list_extract(r.unusual_tokens_arr, 1)"
+        " and split_part(l.postcode, ' ', 1) = split_part(r.postcode, ' ', 1)"
+    )
+    t = pa.table(
+        {
+            "unusual_tokens_arr": pa.array([["A", "B"], ["A"]], pa.list_(pa.string())),
+            "postcode": pa.array(["W1G 9SU", "W1G 9SU"], pa.string()),
+            "ukam_address_id": pa.array(["u1", "u2"], pa.string()),
+        }
+    )
+    out = derive_block_keys(t, [rule], side="l", carry_cols=["ukam_address_id"])
+    # row 2 has no 2nd unusual token -> NULL key -> dropped
+    assert out.num_rows == 1
+    assert out["block_key"].to_pylist() == [f"B{KEY_SEP}W1G"]
+
+
+def test_pair_generation_and_dedup(ray_session):
+    canon = rd.from_items(
+        [
+            {"ukam_address_id": "c1", "postcode": "P1", "x": 1},
+            {"ukam_address_id": "c2", "postcode": "P1", "x": 2},
+            {"ukam_address_id": "c3", "postcode": "P2", "x": 3},
+        ]
+    )
+    messy = rd.from_items(
+        [
+            {"ukam_address_id": "m1", "postcode": "P1", "x": 4},
+            {"ukam_address_id": "m2", "postcode": "P3", "x": 5},
+        ]
+    )
+    # two redundant rules -> dedup must collapse to one row per pair
+    pairs = generate_candidate_pairs(
+        canon,
+        messy,
+        ["l.postcode = r.postcode", 'l."postcode" = r."postcode"'],
+        carry_cols=["ukam_address_id", "postcode", "x"],
+    ).materialize()
+    rows = pairs.take_all()
+    got = {(r["ukam_address_id_l"], r["ukam_address_id_r"]) for r in rows}
+    assert got == {("c1", "m1"), ("c2", "m1")}
+    assert all(r["rule_idx"] == 0 for r in rows)  # first rule wins
+    assert all(r["postcode_l"] == r["postcode_r"] == "P1" for r in rows)
+
+
+def test_pair_cap(ray_session):
+    canon = rd.from_items(
+        [{"ukam_address_id": f"c{i}", "k": "X"} for i in range(20)]
+    )
+    messy = rd.from_items(
+        [{"ukam_address_id": f"m{i}", "k": "X"} for i in range(20)]
+    )
+    pairs = generate_candidate_pairs(
+        canon, messy, ["l.k = r.k"], carry_cols=["ukam_address_id", "k"],
+        max_pairs_per_block=16,
+    ).materialize()
+    # cap 16 -> 4x4 deterministic prefix
+    assert pairs.count() == 16
+    ls = {r["ukam_address_id_l"] for r in pairs.take_all()}
+    assert ls == {"c0", "c1", "c10", "c11"}  # lexicographic smallest 4
+
+
+def test_ordered_self_pairs(ray_session):
+    ds = rd.from_items(
+        [{"ukam_address_id": f"u{i}", "k": "X"} for i in range(4)]
+    )
+    pairs = generate_candidate_pairs(
+        ds, ds, ["l.k = r.k"], carry_cols=["ukam_address_id", "k"],
+        ordered_self_pairs=True,
+    ).materialize()
+    rows = {(r["ukam_address_id_l"], r["ukam_address_id_r"]) for r in pairs.take_all()}
+    assert len(rows) == 6  # C(4,2)
+    assert all(a < b for a, b in rows)
+
+
+def test_salting_replicates_small_side(ray_session):
+    canon = rd.from_items(
+        [{"ukam_address_id": f"c{i}", "k": "HOT"} for i in range(30)]
+    )
+    messy = rd.from_items([{"ukam_address_id": "m0", "k": "HOT"}])
+    pairs = generate_candidate_pairs(
+        canon, messy, ["l.k = r.k"], carry_cols=["ukam_address_id", "k"],
+        hot_key_threshold=10,  # 30 rows > 10 -> salted into ceil(30/5k)=2.. buckets
+    ).materialize()
+    # every canonical row still pairs with m0 exactly once after salting+dedup
+    got = {(r["ukam_address_id_l"], r["ukam_address_id_r"]) for r in pairs.take_all()}
+    assert got == {(f"c{i}", "m0") for i in range(30)}

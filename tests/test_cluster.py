@@ -1,0 +1,52 @@
+"""Connected components: distributed hash-min vs driver union-find."""
+
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.cluster import (
+    connected_components,
+    connected_components_local,
+)
+
+
+def _edges(pairs):
+    return rd.from_items([{"src": a, "dst": b} for a, b in pairs])
+
+
+def test_chain_and_triangle(ray_session):
+    pairs = [("b", "c"), ("a", "b"), ("d", "e"), ("e", "f"), ("f", "d")]
+    out = connected_components(_edges(pairs)).materialize()
+    got = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d"}
+
+
+def test_matches_local_union_find(ray_session):
+    import random
+
+    rng = random.Random(5)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    out = connected_components(
+        _edges(pairs), nodes=rd.from_items([{"node": n} for n in nodes])
+    ).materialize()
+    got = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    expected = connected_components_local(pairs)
+    for n in nodes:
+        assert got[n] == expected.get(n, n)
+
+
+def test_isolated_nodes_are_singletons(ray_session):
+    out = connected_components(
+        _edges([("a", "b")]),
+        nodes=rd.from_items([{"node": n} for n in ["a", "b", "z"]]),
+    ).materialize()
+    got = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_long_path_converges(ray_session):
+    # a path of 40 nodes stresses the round loop (diameter >> 1)
+    pairs = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
+    out = connected_components(_edges(pairs)).materialize()
+    got = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    assert set(got.values()) == {"p00"}

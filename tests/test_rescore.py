@@ -1,0 +1,116 @@
+"""Second-pass semantics — the reference's test_bigrams scenarios ported
+(/root/reference/tests/test_bigrams.py:156-247)."""
+
+import json
+
+import pandas as pd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.rescore import (
+    make_rescore_group_fn,
+)
+
+
+def _group(messy: str, canonical: list[str], common_end_token: str | None = None):
+    hist = (
+        [{"tok": common_end_token, "rel_freq": 0.0004, "count": 1}]
+        if common_end_token
+        else []
+    )
+    rows = []
+    for i, addr in enumerate(canonical, start=1):
+        rows.append(
+            {
+                "match_weight": 0.0,
+                "match_probability": 0.5,
+                "unique_id_l": f"l{i}",
+                "unique_id_r": "r1",
+                "original_address_concat_l": addr,
+                "original_address_concat_r": messy,
+                "common_end_tokens_hist_r": hist,
+                "postcode_l": "W1A",
+                "postcode_r": "W1A",
+                "ukam_address_id_l": i,
+                "ukam_address_id_r": 1,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _run(messy, canonical, common_end_token=None):
+    fn = make_rescore_group_fn(match_weight_threshold=-100, top_n_matches=5)
+    out = fn(_group(messy, canonical, common_end_token))
+    return {row["unique_id_l"]: row for _, row in out.iterrows()}
+
+
+def test_scenario_one():
+    out = _run("10 X Y Z", ["10 X Y Z", "9 X Y Z"], common_end_token="D")
+    l1 = out["l1"]
+    overlap = json.loads(l1["overlapping_tokens_this_l_and_r"])
+    assert overlap["10"] == 1
+    bigrams = json.loads(l1["overlapping_bigrams_this_l_and_r_filtered"])
+    assert bigrams["10 X"] == 1
+    l2 = out["l2"]
+    elsewhere = json.loads(l2["tokens_elsewhere_in_block_but_not_this"])
+    assert elsewhere["10"] == 1
+
+
+def test_scenario_two():
+    out = _run(
+        "9 A B C D",
+        ["9 A C D", "9 B C D", "8 B A C D Z"],
+        common_end_token="D",
+    )
+    l1 = out["l1"]
+    overlap = json.loads(l1["overlapping_tokens_this_l_and_r"])
+    assert overlap["A"] == 2
+    assert overlap["9"] == 2
+    assert "D" not in overlap  # stripped as common end token
+    bigrams = json.loads(l1["overlapping_bigrams_this_l_and_r_filtered"])
+    assert bigrams["9 A"] == 1
+    l2 = out["l2"]
+    bigrams2 = json.loads(l2["overlapping_bigrams_this_l_and_r_filtered"])
+    assert bigrams2["B C"] == 1
+    l3 = out["l3"]
+    bg_elsewhere = json.loads(l3["bigrams_elsewhere_in_block_but_not_this_filtered"])
+    assert bg_elsewhere["9 A"] == 1
+
+
+def test_scenario_three():
+    out = _run(
+        "1 HIGH STREET BOVINGDON",
+        ["1 HIGH STREET BOVINGDON", "THE ANNEXE 1 HIGH STREET BOVINGDON"],
+    )
+    l1 = out["l1"]
+    overlap = json.loads(l1["overlapping_tokens_this_l_and_r"])
+    assert overlap["HIGH"] == 2
+    assert overlap["STREET"] == 2
+    l2 = out["l2"]
+    assert json.loads(l2["missing_tokens"]) == ["THE", "ANNEXE"]
+
+
+def test_top_n_and_tiebreak():
+    # 7 candidates, top_n=5: ordered mw DESC then unique_id_l DESC
+    rows = _group("10 X", [f"10 X{i}" for i in range(7)])
+    rows["match_weight"] = [1, 1, 2, 2, 3, 3, 3]
+    fn = make_rescore_group_fn(match_weight_threshold=-100, top_n_matches=5)
+    out = fn(rows)
+    kept = set(out["unique_id_l"])
+    # mw 3: l5,l6,l7; mw 2: l3,l4 -> top 5 = l7,l6,l5,l4,l3 (id desc within ties)
+    assert kept == {"l3", "l4", "l5", "l6", "l7"}
+
+
+def test_mw_adjustment_formula():
+    out = _run("10 X", ["10 X"])
+    l1 = out["l1"]
+    overlap = json.loads(l1["overlapping_tokens_this_l_and_r"])
+    # tokens: 10, X, W1A all overlap with count 1 -> reward 3*3 = 9
+    # bigrams (10,X),(X,W1A) overlap count 1 but filtered (unigrams cover) -> 0
+    assert overlap == {"10": 1, "X": 1, "W1A": 1}
+    assert l1["mw_adjustment"] == 9.0
+    assert l1["match_weight"] == 9.0
+
+
+def test_threshold_filters_group():
+    fn = make_rescore_group_fn(match_weight_threshold=5.0)
+    out = fn(_group("10 X", ["10 X"]))  # mw = 0 < 5
+    assert len(out) == 0
