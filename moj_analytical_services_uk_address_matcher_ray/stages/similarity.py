@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths:
+  * ``brute_force_topk`` — the baseline: the (small) query matrix is
+    broadcast once with ``ray.put`` and every batch does one numpy matmul
+    against it; per-batch partial top-k results are then reduced to the
+    global top-k with a single tiny groupby.  Never materialises the corpus.
+  * ``ivf_topk`` — the scale path: a k-means-ish coarse quantiser (trained
+    on a sample) assigns every vector to a centroid cell; queries probe only
+    the ``n_probe`` nearest cells, so the matmul touches a fraction of the
+    corpus.  Same output schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    return V / norms[:, None]
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_ids: list | None = None,
+) -> pa.Table:
+    """Exact cosine top-k: returns (query_id, vec_id, cosine, rank).
+
+    Partial top-k per batch (map_batches) -> global reduce on the driver
+    over ~num_batches*k rows — no shuffle, no corpus materialisation.
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(Q)
+    qids = query_ids if query_ids is not None else list(range(len(Q)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm = ray.get(q_ref)
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        ids = t[id_col].to_pylist()
+        sims = Qm @ V.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        out_q, out_v, out_s = [], [], []
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        for qi in range(nq):
+            for vi in top[qi]:
+                out_q.append(qi)
+                out_v.append(ids[vi])
+                out_s.append(float(sims[qi, vi]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).iter_batches(
+        batch_format="pyarrow"
+    ):
+        parts.append(b)
+    all_parts = pa.concat_tables(parts, promote_options="default")
+    # global reduce (tiny: n_queries * k * n_batches rows)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    qi_arr = all_parts["qi"].to_pylist()
+    v_arr = all_parts["vec_id"].to_pylist()
+    s_arr = all_parts["cosine"].to_pylist()
+    by_q: dict[int, list] = {}
+    for qi, v, s in zip(qi_arr, v_arr, s_arr):
+        by_q.setdefault(qi, []).append((s, v))
+    for qi in sorted(by_q):
+        rows = sorted(by_q[qi], key=lambda x: (-x[0], str(x[1])))[:k]
+        for rank, (s, v) in enumerate(rows, start=1):
+            out_q.append(qids[qi])
+            out_v.append(v)
+            out_s.append(s)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_v),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
+def train_centroids(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = 29,
+) -> np.ndarray:
+    """Lloyd iterations on a driver-side sample — the coarse quantiser."""
+    sample = ds.limit(sample_size).take_all()
+    X = _normalize(np.asarray([r[vec_col] for r in sample], dtype=np.float32))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_ids: list | None = None,
+) -> pa.Table:
+    """IVF approximate top-k: only batch rows assigned to one of the query's
+    ``n_probe`` nearest cells enter the matmul.  Output schema matches
+    ``brute_force_topk`` (plus approximate recall semantics)."""
+    C = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    c_ref = ray.put((C, Q, probe_cells))
+    qids = query_ids if query_ids is not None else list(range(len(Q)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Cm, Qm, probes = ray.get(c_ref)
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        ids = t[id_col].to_pylist()
+        cells = np.argmax(V @ Cm.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Qm)):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = Qm[qi] @ V[mask].T
+            sub_ids = [ids[i] for i in np.where(mask)[0]]
+            kk = min(k, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sub_ids) else np.arange(len(sub_ids))
+            for vi in top:
+                out_q.append(qi)
+                out_v.append(sub_ids[vi])
+                out_s.append(float(sims[vi]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    by_q: dict[int, list] = {}
+    for qi, v, s in zip(
+        allp["qi"].to_pylist(), allp["vec_id"].to_pylist(), allp["cosine"].to_pylist()
+    ):
+        by_q.setdefault(qi, []).append((s, v))
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qi in sorted(by_q):
+        rows = sorted(by_q[qi], key=lambda x: (-x[0], str(x[1])))[:k]
+        for rank, (s, v) in enumerate(rows, start=1):
+            out_q.append(qids[qi])
+            out_v.append(v)
+            out_s.append(s)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_v),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )

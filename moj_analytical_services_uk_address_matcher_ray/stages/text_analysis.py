@@ -1,0 +1,150 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All vectorised per-batch; the language-ID stage is
+an actor pool (stopword tables built once per actor).
+
+SQL-reproducible semantics (the oracle contract): every statistic here is
+defined by simple, DuckDB-expressible formulas so the driver can verify the
+Ray output against an ANSI-SQL oracle value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+_WS = r"\s+"
+
+# tiny per-language stopword lists (public common words) for the n-gram/
+# stopword heuristic language-ID
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "por"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "den", "zu"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"},
+    "zh": set(),  # handled by the CJK-codepoint ratio below
+}
+
+
+class LanguageId:
+    """Actor-pool stage: add ``lang_pred`` + ``lang_score``.
+
+    Heuristic: CJK codepoint share decides 'zh'; otherwise the language with
+    the highest stopword hit-rate wins ('und' when nothing hits).
+    """
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿]")
+        self.tables = {k: v for k, v in _STOPWORDS.items() if v}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in t["text"].to_pylist():
+            text = text or ""
+            n_chars = max(1, len(text))
+            cjk = len(self.cjk.findall(text))
+            if cjk / n_chars > 0.05:
+                preds.append("zh")
+                scores.append(cjk / n_chars)
+                continue
+            toks = [w.lower() for w in self.word.findall(text)]
+            if not toks:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            best, best_rate = "und", 0.0
+            for lang, stop in self.tables.items():
+                rate = sum(1 for w in toks if w in stop) / len(toks)
+                if rate > best_rate:
+                    best, best_rate = lang, rate
+            preds.append(best)
+            scores.append(best_rate)
+        t = t.append_column("lang_pred", pa.array(preds, pa.string()))
+        t = t.append_column("lang_score", pa.array(scores, pa.float64()))
+        return t
+
+
+def quality_score(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Quality heuristics as plain columns (SQL-mirrorable):
+
+      n_chars        LENGTH(text)
+      n_tokens       number of whitespace-separated tokens
+      mean_token_len n_chars_alpha / n_tokens
+      punct_ratio    punctuation chars / chars
+      digit_ratio    digit chars / chars
+      upper_ratio    uppercase chars / chars
+    """
+    arr = t[text_col].combine_chunks()
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    n_chars = pc.utf8_length(arr)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), pattern=_WS)
+    n_tokens = pc.list_value_length(toks)
+    punct = pc.utf8_length(pc.replace_substring_regex(arr, pattern=r"[^[:punct:]]", replacement=""))
+    digit = pc.utf8_length(pc.replace_substring_regex(arr, pattern=r"[^0-9]", replacement=""))
+    upper = pc.utf8_length(pc.replace_substring_regex(arr, pattern=r"[^A-Z]", replacement=""))
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int32()))
+    t = t.append_column("n_chars_q", n_chars.cast(pa.int64()))
+    t = t.append_column("n_tokens", n_tokens.cast(pa.int64()))
+    t = t.append_column(
+        "punct_ratio", pc.divide(punct.cast(pa.float64()), denom.cast(pa.float64()))
+    )
+    t = t.append_column(
+        "digit_ratio", pc.divide(digit.cast(pa.float64()), denom.cast(pa.float64()))
+    )
+    t = t.append_column(
+        "upper_ratio", pc.divide(upper.cast(pa.float64()), denom.cast(pa.float64()))
+    )
+    return t
+
+
+def token_count(t: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + a BPE-ish subword-unit estimate
+    (count of ``\\w+|[^\\w\\s]`` matches — words and punctuation runs)."""
+    texts = t[text_col].to_pylist()
+    ws = []
+    bpe = []
+    word_re = re.compile(r"\w+|[^\w\s]")
+    for s in texts:
+        s = s or ""
+        ws.append(len(s.split()) if s.strip() else 0)
+        bpe.append(len(word_re.findall(s)))
+    t = t.append_column("ws_tokens", pa.array(ws, pa.int64()))
+    t = t.append_column("bpe_ish_tokens", pa.array(bpe, pa.int64()))
+    return t
+
+
+def fingerprint(
+    t: pa.Table, *, text_col: str = "text", window: int = 8
+) -> pa.Table:
+    """Rolling-hash document fingerprint: min rolling hash over byte windows
+    (winnowing-style) + full sha256.  Deterministic; near-identical docs with
+    small edits keep the min-window fingerprint with high probability."""
+    texts = t[text_col].to_pylist()
+    full, mins = [], []
+    B, MOD = 257, (1 << 61) - 1
+    for s in texts:
+        s = s or ""
+        data = s.encode()
+        full.append(hashlib.sha256(data).hexdigest())
+        if len(data) < window:
+            mins.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+            continue
+        h = 0
+        pw = pow(B, window - 1, MOD)
+        best = None
+        for i, byte in enumerate(data):
+            h = (h * B + byte) % MOD
+            if i >= window:
+                h = (h - data[i - window] * pw * B) % MOD
+            if i >= window - 1:
+                best = h if best is None or h < best else best
+        mins.append(f"{best:016x}")
+    t = t.append_column("doc_sha256", pa.array(full, pa.string()))
+    t = t.append_column("doc_min_fingerprint", pa.array(mins, pa.string()))
+    return t

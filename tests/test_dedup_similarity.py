@@ -1,0 +1,116 @@
+"""Dedup flavours + similarity search over small deterministic corpora."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dedup,
+)
+from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about database query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "yet another unrelated document mentioning vectors and embeddings"),
+]
+
+
+def _docs_ds():
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in DOCS])
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup(_docs_ds()).materialize()
+    got = {r["id"]: r["dup_group_id"] for r in out.take_all()}
+    assert got[1] == 1 and got[4] == 1
+    assert got[2] == 2 and got[3] == 3 and got[5] == 5
+
+
+def test_minhash_lsh_dedup(ray_session):
+    out = minhash_lsh_dedup(_docs_ds(), jaccard_threshold=0.5).materialize()
+    got = {r["id"]: r["dup_group_id"] for r in out.take_all()}
+    assert got["1"] == got["2"] == got["4"]  # near-dups cluster
+    assert got["3"] != got["1"] and got["5"] != got["1"]
+
+
+def test_simhash(ray_session):
+    a = simhash64(DOCS[0][1])
+    b = simhash64(DOCS[1][1])
+    c = simhash64(DOCS[2][1])
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+    out = simhash_dedup(_docs_ds(), max_hamming=3).materialize()
+    got = {r["id"]: r["dup_group_id"] for r in out.take_all()}
+    assert got["1"] == got["4"]  # identical text, identical simhash
+    assert got["3"] != got["1"]
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    out = ngram_jaccard_pairs(_docs_ds(), threshold=0.5).materialize()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.take_all()}
+    assert pairs[("1", "4")] == 1.0
+    assert ("1", "2") in pairs
+    assert all(k[0] != "3" and k[1] != "3" for k in pairs)
+
+
+def test_jaccard_scalar():
+    assert jaccard({"a", "b"}, {"a", "b"}) == 1.0
+    assert jaccard({"a"}, {"b"}) == 0.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def _emb_ds(n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, dim).astype(np.float32)
+    base[1] = base[0] + 0.001 * rng.randn(dim)  # near-dup pair (0, 1)
+    return rd.from_items(
+        [{"vec_id": i, "embedding": [float(x) for x in base[i]]} for i in range(n)]
+    ), base
+
+
+def test_embedding_neardup(ray_session):
+    ds, _ = _emb_ds()
+    out = embedding_neardup_pairs(ds, threshold=0.999).materialize()
+    pairs = {(r["id_a"], r["id_b"]) for r in out.take_all()}
+    assert ("0", "1") in pairs
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    ds, base = _emb_ds()
+    q = base[:2]
+    out = brute_force_topk(ds, q, k=5)
+    # verify against direct numpy
+    norms = np.linalg.norm(base, axis=1, keepdims=True)
+    Vn = base / norms
+    Qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Qn @ Vn.T
+    for qi in range(2):
+        expect = list(np.argsort(-sims[qi])[:5])
+        got = [
+            r["vec_id"]
+            for r in out.to_pylist()
+            if r["query_id"] == qi
+        ]
+        assert got == expect
+
+
+def test_ivf_topk_recall(ray_session):
+    ds, base = _emb_ds(n=120)
+    q = base[:2]
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4)
+    for qi in range(2):
+        e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
+        assert len(e & a) >= 3  # >=60% recall with 4/8 probes on random data
