@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship code-linkage pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (identical column
+names/values — both engines are RE2-based so the regex operators agree
+bit-for-bit).  Non-SQL-expressible pipelines (FS scoring, MinHash/SimHash
+dedup, language-ID, IVF ANN) are exposed without an oracle entry -> the
+driver records rows-only checks for those.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +18,959 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from moj_analytical_services_uk_address_matcher_ray.functions import regexes as rx
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _docs_as_address(t: pa.Table) -> pa.Table:
+    """documents -> (unique_id, address_concat) with upper-cased text."""
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "address_concat": pc.utf8_upper(t["text"].combine_chunks()),
+        }
+    )
+
+
+def _derive_repo_files(t: pa.Table) -> pa.Table:
+    """Deterministic documents -> (repo, path, commit, lang, content)."""
+    import hashlib
+
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    srcs = t["source"].to_pylist()
+    langs = t["lang"].to_pylist()
+    return pa.table(
+        {
+            "repo": pa.array([f"org/{s}" for s in srcs], pa.string()),
+            "path": pa.array([f"src/doc_{i}.txt" for i in ids], pa.string()),
+            "commit": pa.array(
+                [hashlib.md5(x.encode()).hexdigest()[:12] for x in texts], pa.string()
+            ),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(texts, pa.string()),
+        }
+    )
+
+
+# The first-pass regex chain as DuckDB SQL (same RE2 patterns as
+# functions/regexes.py — semantics-bearing, keep in sync)
+def _first_pass_sql(col: str) -> str:
+    expr = col
+    for pattern, repl in rx.FIRST_PASS_CHAIN:
+        # DuckDB string literals are NOT backslash-escaped: pass regexes as-is
+        p = pattern.replace("'", "''")
+        r = repl
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"
+
+
+_NUM_PAT_SQL = rx.NUMERIC_TOKEN
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive a repo-file table
+    from ``documents`` and self-dedup it into entity clusters."""
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+
+    files = _read("/root/testdata/sf0.001", "documents").map_batches(
+        _derive_repo_files, batch_format="pyarrow"
+    )
+    return dedup_code_corpus(files, scorer_concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_clean_first_pass(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages import cleaning as C
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_docs_as_address, batch_format="pyarrow")
+    ds = ds.map_batches(C.clean_address_string_first_pass, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cleaned": t["address_concat"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_remove_dup_end_tokens(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages import cleaning as C
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_docs_as_address, batch_format="pyarrow")
+    ds = ds.map_batches(C.remove_duplicate_end_tokens, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cleaned": t["address_concat"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_parse_numbers(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages import cleaning as C
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "address_concat": pc.utf8_upper(t["props"].combine_chunks()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(C.parse_out_numbers, batch_format="pyarrow")
+    ds = ds.map_batches(C.split_numeric_tokens_to_cols, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t: t.select(
+            ["event_id", "numeric_token_1", "numeric_token_2", "numeric_token_3"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_tokenise(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        arr = pc.utf8_trim_whitespace(t["text"].combine_chunks())
+        toks = pc.split_pattern_regex(arr, pattern=r"\s+")
+        joined = [
+            "|".join(lst) if lst is not None else None for lst in toks.to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "tokens": pa.array(joined, pa.string())}
+        )
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def _q_tf_table(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages import term_frequency as TF
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "toks": pc.split_pattern_regex(
+                    pc.utf8_trim_whitespace(t["text"].combine_chunks()), pattern=r"\s+"
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tf = TF.compute_token_rel_freq(ds, cols=("toks",))
+    return pa.table(
+        {"token": tf["token"], "cnt": tf["count"], "rel_freq": tf["rel_freq"]}
+    )
+
+
+def _q_unusual_tokens(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages import term_frequency as TF
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "address_without_numbers_tokenised": pc.split_pattern_regex(
+                    pc.utf8_trim_whitespace(t["text"].combine_chunks()), pattern=r"\s+"
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    tf = TF.tf_table_to_dict(TF.compute_token_rel_freq(ds))
+    ds = ds.map_batches(
+        TF.TermFrequencyAnnotator, fn_constructor_args=(tf,), batch_format="pyarrow",
+        concurrency=1,
+    )
+    ds = ds.map_batches(
+        TF.separate_unusual_tokens,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "unusual_band": (0.005, 0.02),
+            "very_unusual_band": (0.0, 0.005),
+            "extremely_unusual_max": 0.0,
+        },
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "unusual": pa.array(
+                    ["|".join(v) for v in t["unusual_tokens_arr"].to_pylist()],
+                    pa.string(),
+                ),
+                "very_unusual": pa.array(
+                    ["|".join(v) for v in t["very_unusual_tokens_arr"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_group_agg(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_cents": pc.round(
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum_qty"].combine_chunks().cast(pa.int64()),
+                "sum_price_cents": t["sum_price_cents"],
+                "n_rows": t["n_rows"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_topn_per_group(sf_dir: str):
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.assign(rn=range(1, len(g) + 1))
+        return g
+
+    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+
+
+def _q_semi_join(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    return semi_join(cust, orders, "c_custkey")
+
+
+def _q_anti_join(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    # anti-join against HIGH-VALUE orders so the result is non-empty at every
+    # scale factor (an empty Dataset loses its schema through to_pandas)
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(
+                    pc.greater(t["o_totalprice"], 400000.0)
+                )["o_custkey"]
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return anti_join(cust, orders, "c_custkey")
+
+
+def _q_join_agg(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import inner_join
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_cents": pc.round(
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    oc = inner_join(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+    ocn = inner_join(oc, nation, on="c_nationkey", right_on="n_nationkey")
+    out = ocn.groupby("n_name").aggregate(
+        Sum("price_cents", alias_name="revenue_cents"),
+        Count(alias_name="n_orders"),
+    )
+    return out
+
+
+def _q_left_join(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import left_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = left_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sort_limit(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
+def _q_distinct(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    out = ds.groupby(["lang", "source"]).count()
+    return out.map_batches(
+        lambda t: t.select(["lang", "source"]), batch_format="pyarrow"
+    )
+
+
+def _q_union(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    a = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    b = docs.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 300)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return a.union(b)
+
+
+def _q_window_margin(sf_dir: str):
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def margin(g: pd.DataFrame) -> pd.DataFrame:
+        prices = g["o_totalprice"].sort_values(ascending=False).to_numpy()
+        best = prices[0]
+        second = prices[1] if len(prices) > 1 else None
+        return pd.DataFrame(
+            {
+                "o_custkey": [g["o_custkey"].iloc[0]],
+                "best_price": [best],
+                "margin": [best - second if second is not None else None],
+                "n_orders": [len(prices)],
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(margin, batch_format="pandas")
+
+
+def _q_match_metrics(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    out = ds.groupby("event_type").count().to_pandas()
+    out = out.rename(columns={"count()": "match_count"})
+    total = int(out["match_count"].sum())
+    out["match_pct_x10000"] = (
+        (out["match_count"] * 1_000_000 // total).astype("int64")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _q_exact_dedup(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        minhash_lsh_dedup,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, jaccard_threshold=0.8)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=2)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.8)
+    return out.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    # the synthetic embeddings have no near-dup pairs (max cosine ~0.6), so
+    # plant exact duplicates deterministically: vec_id+100000 copies every
+    # vector.  Each original/copy pair (cosine 1.0) must be recovered.
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    shifted = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], pa.scalar(100000, pa.int64())),
+                "embedding": t["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = embedding_neardup_pairs(ds.union(shifted), threshold=0.99)
+    return out.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def _q_ann_topk(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        brute_force_topk,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    qrows = sorted(
+        (r for r in ds.take(64) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = brute_force_topk(
+        ds, Q, k=5, query_ids=[r["vec_id"] for r in qrows]
+    )
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def _q_ivf_topk(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    qrows = sorted(
+        (r for r in ds.take(64) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
+    )
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    return ivf_topk(ds, Q, k=5, query_ids=[r["vec_id"] for r in qrows])
+
+
+def _q_quality(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        quality_score,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_score, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars_q", "n_tokens", "punct_ratio", "digit_ratio", "upper_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        token_count,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(token_count, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "ws_tokens", "bpe_ish_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_langid(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        LanguageId,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=1)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def _q_doc_sha(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.cleaning import add_sha256
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: add_sha256(t, col="text", out="doc_sha256").select(
+            ["doc_id", "doc_sha256"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_window(sf_dir: str):
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks()
+        hour = pc.floor_temporal(ts, unit="hour")
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"], "window_start": hour, "value_cents": cents}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents")
+        )
+    )
+    return out
+
+
+def _q_code_clusters(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+
+    files = _read(sf_dir, "documents").map_batches(
+        _derive_repo_files, batch_format="pyarrow"
+    )
+    return dedup_code_corpus(files, scorer_concurrency=2)
+
+
+def _q_linkage_f1(sf_dir: str):
+    """Planted-cluster recovery on the deterministic synthetic corpus — the
+    north-rule F1 gate as a queryable metric (rows-only check)."""
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.accuracy import (
+        pairwise_f1,
+    )
+
+    files, labels = generate_corpus(GenConfig(seed=42, n_clusters=150))
+    clusters = dedup_code_corpus(rd.from_arrow(files), scorer_concurrency=2)
+    pred = {r["unique_id"]: r["cluster_id"] for r in clusters.take_all()}
+    truth = dict(
+        zip(labels["unique_id"].to_pylist(), labels["cluster_id"].to_pylist())
+    )
+    m = pairwise_f1(pred, truth)
+    return pa.table(
+        {
+            "metric": pa.array(["precision", "recall", "f1"], pa.string()),
+            "value": pa.array([m["precision"], m["recall"], m["f1"]], pa.float64()),
+        }
+    )
+
+
+def _q_address_best_match(sf_dir: str):
+    """Full address FS pipeline on customer-derived messy/canonical tables
+    (rows-only: FS weights are not SQL-expressible)."""
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.clean import (
+        clean_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        PAIR_CARRY_COLS,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.best_match import (
+        best_matches_with_distinguishability,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        generate_candidate_pairs,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.rescore import (
+        improve_predictions_using_distinguishing_tokens,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.scoring import score_pairs
+    from moj_analytical_services_uk_address_matcher_ray.state.model import (
+        default_address_model,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+
+    def to_addr(t: pa.Table, messy: bool) -> pa.Table:
+        names = t["c_name"].to_pylist()
+        segs = t["c_mktsegment"].to_pylist()
+        nk = t["c_nationkey"].to_pylist()
+        ck = t["c_custkey"].to_pylist()
+        addr, pcodes, uids = [], [], []
+        for n, s, k, c in zip(names, segs, nk, ck):
+            base = f"{c % 97} {n.replace('#', ' ')} {s} HOUSE"
+            if messy:
+                base = base.replace("Customer", "CSTMR")  # deterministic mess
+            addr.append(base.upper())
+            pcodes.append(f"N{k} {c % 100:02d}X")
+            uids.append(f"{'m' if messy else 'c'}{c}")
+        return pa.table(
+            {
+                "unique_id": pa.array(uids, pa.string()),
+                "address_concat": pa.array(addr, pa.string()),
+                "postcode": pa.array(pcodes, pa.string()),
+            }
+        )
+
+    messy = cust.map_batches(to_addr, batch_format="pyarrow", fn_kwargs={"messy": True})
+    canon = cust.map_batches(to_addr, batch_format="pyarrow", fn_kwargs={"messy": False})
+    messy_c = clean_dataset(messy).materialize()
+    canon_c = clean_dataset(canon).materialize()
+    model = default_address_model()
+    pairs = generate_candidate_pairs(
+        canon_c, messy_c, model.blocking_rules, carry_cols=PAIR_CARRY_COLS
+    )
+    scored = score_pairs(pairs, model, threshold_match_weight=-50, concurrency=2)
+    improved = improve_predictions_using_distinguishing_tokens(scored)
+    best = best_matches_with_distinguishability(improved, messy_c)
+    return best.map_batches(
+        lambda t: t.select(
+            ["unique_id_r", "unique_id_l", "match_weight", "distinguishability_category"]
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "clean_first_pass": _q_clean_first_pass,
+        "remove_dup_end_tokens": _q_remove_dup_end_tokens,
+        "parse_numbers": _q_parse_numbers,
+        "tokenise": _q_tokenise,
+        "tf_table": _q_tf_table,
+        "unusual_tokens": _q_unusual_tokens,
+        "group_agg": _q_group_agg,
+        "topn_per_group": _q_topn_per_group,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "join_agg": _q_join_agg,
+        "left_join": _q_left_join,
+        "sort_limit": _q_sort_limit,
+        "distinct": _q_distinct,
+        "union_all": _q_union,
+        "window_margin": _q_window_margin,
+        "match_metrics": _q_match_metrics,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "lang_id": _q_langid,
+        "doc_sha256": _q_doc_sha,
+        "events_window": _q_events_window,
+        "code_clusters": _q_code_clusters,
+        "linkage_f1": _q_linkage_f1,
+        "address_best_match": _q_address_best_match,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    first_pass = _first_pass_sql("upper(text)")
+    num_sql = _NUM_PAT_SQL
+    return {
+        "clean_first_pass": f"""
+            SELECT doc_id, {first_pass} AS cleaned FROM documents
+        """,
+        "remove_dup_end_tokens": """
+            WITH t AS (
+                SELECT doc_id, upper(text) AS a,
+                       string_split(upper(text), ' ') AS tk
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN array_length(tk) >= 2 AND tk[-1] = tk[-2]
+                        THEN array_to_string(tk[:-2], ' ')
+                    WHEN array_length(tk) >= 4 AND tk[-4] = tk[-2] AND tk[-3] = tk[-1]
+                        THEN array_to_string(tk[:-3], ' ')
+                    ELSE a
+                END AS cleaned
+            FROM t
+        """,
+        "parse_numbers": f"""
+            WITH t AS (
+                SELECT event_id,
+                       regexp_extract_all(
+                           array_to_string(
+                               regexp_extract_all(upper(props), '{num_sql}'), ' '),
+                           '\\d+') AS d
+                FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN len(d) >= 1 THEN d[1] END AS numeric_token_1,
+                   CASE WHEN len(d) >= 2 THEN d[2] END AS numeric_token_2,
+                   CASE WHEN len(d) >= 3 THEN d[3] END AS numeric_token_3
+            FROM t
+        """,
+        "tokenise": """
+            SELECT doc_id,
+                   array_to_string(regexp_split_to_array(trim(text), '\\s+'), '|')
+                       AS tokens
+            FROM documents
+        """,
+        "tf_table": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS cnt,
+                   COUNT(*) / (SELECT COUNT(*) FROM toks) AS rel_freq
+            FROM toks GROUP BY token
+        """,
+        "unusual_tokens": """
+            WITH toks AS (
+                SELECT doc_id, tok, ord
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+                           generate_subscripts(
+                               regexp_split_to_array(trim(text), '\\s+'), 1) AS ord
+                    FROM documents
+                )
+            ),
+            tf AS (
+                SELECT tok, COUNT(*) / SUM(COUNT(*)) OVER () AS rel_freq
+                FROM toks GROUP BY tok
+            ),
+            joined AS (
+                SELECT toks.doc_id, toks.tok, toks.ord, tf.rel_freq
+                FROM toks JOIN tf USING (tok)
+            )
+            SELECT doc_id,
+                COALESCE(array_to_string(list(tok ORDER BY rel_freq ASC, ord ASC)
+                    FILTER (WHERE rel_freq >= 0.005 AND rel_freq < 0.02), '|'), '')
+                    AS unusual,
+                COALESCE(array_to_string(list(tok ORDER BY rel_freq ASC, ord ASC)
+                    FILTER (WHERE rel_freq < 0.005), '|'), '') AS very_unusual
+            FROM joined GROUP BY doc_id
+        """,
+        "group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS sum_price_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topn_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+            QUALIFY rn <= 3
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        """,
+        "join_agg": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "left_join": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_name
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "sort_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10
+        """,
+        "distinct": "SELECT DISTINCT lang, source FROM documents",
+        "union_all": """
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id FROM documents WHERE n_chars > 300
+        """,
+        "window_margin": """
+            WITH ranked AS (
+                SELECT o_custkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn,
+                       LEAD(o_totalprice) OVER (
+                           PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS nxt,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+                FROM orders
+            )
+            SELECT o_custkey, o_totalprice AS best_price,
+                   o_totalprice - nxt AS margin, n_orders
+            FROM ranked WHERE rn = 1
+        """,
+        "match_metrics": """
+            SELECT event_type, COUNT(*) AS match_count,
+                   CAST(
+                     (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM events)
+                     AS BIGINT) AS match_pct_x10000
+            FROM events GROUP BY event_type
+        """,
+        "exact_dedup": """
+            SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text)
+                AS dup_group_id
+            FROM documents
+        """,
+        "embedding_neardup": """
+            WITH both_sides AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings
+            )
+            SELECT CAST(a.vec_id AS VARCHAR) AS id_a,
+                   CAST(b.vec_id AS VARCHAR) AS id_b
+            FROM both_sides a JOIN both_sides b
+              ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, CAST(vec_id AS VARCHAR) ASC) AS INTEGER)
+                       AS rank
+            FROM sims
+            QUALIFY rank <= 5
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_q,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1) AS digit_ratio,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                       / greatest(length(text), 1) AS upper_ratio
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                        AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
+        "doc_sha256": "SELECT doc_id, sha256(text) AS doc_sha256 FROM documents",
+        "events_window": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "code_clusters": """
+            SELECT 'org/' || source || '::src/doc_' || doc_id || '.txt@'
+                       || substr(md5(text), 1, 12) AS unique_id,
+                   sha256(text) AS content_sha256,
+                   'org/' || source || '::src/doc_' || doc_id || '.txt@'
+                       || substr(md5(text), 1, 12) AS cluster_id
+            FROM documents
+        """,
+        # no oracle (rows-only): minhash_dedup, simhash_dedup, ngram_jaccard,
+        # ivf_topk, lang_id, linkage_f1, address_best_match — model scoring /
+        # iterative / hash-sketch ops that ANSI SQL can't express faithfully.
+    }

@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": ..., "pairs_per_sec": ...}
+
+``--scaling``: run the same job twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and report both throughputs + the scaling
+efficiency (the in-sandbox stand-in for the N vs 4N node criterion).
+
+The linkage corpus is generated deterministically (seeded datagen, sized by
+the scale factor) and cached as parquet under /tmp so both scaling runs read
+identical bytes; one untimed warm-read precedes timing so the page cache is
+hot for both parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/uam_bench_cache"
+
+
+def _sf_value(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_corpus(sf: float) -> str:
+    """Deterministic linkage corpus sized by sf, cached as parquet."""
+    n_clusters = max(200, int(60000 * sf))
+    path = os.path.join(CACHE, f"corpus_seed42_n{n_clusters}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from moj_analytical_services_uk_address_matcher_ray.datagen import (
+            GenConfig,
+            write_corpus,
+        )
+
+        os.makedirs(path, exist_ok=True)
+        write_corpus(path, GenConfig(seed=42, n_clusters=n_clusters, n_repos=200))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(path, "repo_files.parquet")
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        read_metrics,
+        reset_metrics,
+    )
+
+    sf = _sf_value(SF_DIR)
+    timings: dict[str, float] = {}
+
+    # --- headline: flagship linkage over the deterministic corpus ----------
+    corpus_path = ensure_corpus(sf)
+    rd.read_parquet(corpus_path).count()  # untimed warm read (page cache)
+    reset_metrics()
+    t0 = time.perf_counter()
+    clusters = dedup_code_corpus(
+        rd.read_parquet(corpus_path),
+        scorer_concurrency=max(2, NUM_CPUS // 4),
+    ).materialize()
+    n_rows = clusters.count()
+    timings["linkage_dedup"] = time.perf_counter() - t0
+    pairs_scored = int(read_metrics().get("scoring.pairs_scored", 0))
+
+    # --- representative operator pipelines over the sf tables --------------
+    queries = entrymod.queries()
+    bench_queries = [
+        "group_agg",
+        "join_agg",
+        "topn_per_group",
+        "window_margin",
+        "exact_dedup",
+        "minhash_dedup",
+        "ann_topk",
+        "quality_score",
+        "events_window",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize().count()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    out = {
+        "metric": "headline pipelines wall clock (linkage dedup + operator suite)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "linkage_rows": n_rows,
+        "pairs_scored": pairs_scored,
+        "pairs_per_sec": round(pairs_scored / timings["linkage_dedup"], 1)
+        if timings["linkage_dedup"]
+        else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus (same input, fresh sessions)",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+        "pairs_per_sec_8": results[8].get("pairs_per_sec"),
+        "pairs_per_sec_32": results[32].get("pairs_per_sec"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

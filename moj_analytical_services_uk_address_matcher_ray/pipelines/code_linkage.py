@@ -274,7 +274,7 @@ def dedup_code_corpus(
         batch_format="pyarrow",
     )
     out = inner_join(id_map, comps, on="node", num_partitions=num_partitions)
-    return out.map_batches(
+    out = out.map_batches(
         lambda t: pa.table(
             {
                 "unique_id": t["unique_id"],
@@ -284,3 +284,17 @@ def dedup_code_corpus(
         ),
         batch_format="pyarrow",
     )
+
+    # relabel clusters by their min unique_id (human-interpretable and
+    # independent of the surrogate hash space) — one groupby shuffle
+    def relabel(g: pa.Table) -> pa.Table:
+        m = pc.min(g["unique_id"]).as_py()
+        return pa.table(
+            {
+                "unique_id": g["unique_id"],
+                "content_sha256": g["content_sha256"],
+                "cluster_id": pa.array([m] * g.num_rows, pa.string()),
+            }
+        )
+
+    return out.groupby("cluster_id").map_groups(relabel, batch_format="pyarrow")

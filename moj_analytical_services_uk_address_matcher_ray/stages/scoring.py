@@ -285,6 +285,9 @@ class PairScorer:
             t = t.append_column("match_weight", pa.array([], pa.float64()))
             t = t.append_column("match_probability", pa.array([], pa.float64()))
             return t
+        from ..state.metrics import inc_metric
+
+        inc_metric("scoring.pairs_scored", t.num_rows)
         df = t.to_pandas()
         mw = np.full(len(df), self.model.prior_log2_odds, dtype=np.float64)
         gammas = {}

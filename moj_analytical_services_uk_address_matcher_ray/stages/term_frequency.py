@@ -229,10 +229,17 @@ VERY_UNUSUAL_BAND = (1e-7, 5e-5)
 EXTREMELY_UNUSUAL_MAX = 1e-7
 
 
-def separate_unusual_tokens(t: pa.Table) -> pa.Table:
+def separate_unusual_tokens(
+    t: pa.Table,
+    *,
+    unusual_band: tuple[float, float] = UNUSUAL_BAND,
+    very_unusual_band: tuple[float, float] = VERY_UNUSUAL_BAND,
+    extremely_unusual_max: float = EXTREMELY_UNUSUAL_MAX,
+) -> pa.Table:
     """term_frequencies.py:264-307: stable-sort entries ascending by
     rel_freq, band into unusual / very unusual / extremely unusual token
-    lists."""
+    lists.  Band edges are parameters so corpora with different vocabulary
+    scales can band meaningfully (the reference's constants are defaults)."""
     arrs = t["token_rel_freq_arr"].to_pylist()
     unusual, very, extreme = [], [], []
     for arr in arrs:
@@ -243,16 +250,16 @@ def separate_unusual_tokens(t: pa.Table) -> pa.Table:
             continue
         ordered = sorted(arr, key=lambda x: x["rel_freq"])
         unusual.append(
-            [x["tok"] for x in ordered if UNUSUAL_BAND[0] <= x["rel_freq"] < UNUSUAL_BAND[1]]
+            [x["tok"] for x in ordered if unusual_band[0] <= x["rel_freq"] < unusual_band[1]]
         )
         very.append(
             [
                 x["tok"]
                 for x in ordered
-                if VERY_UNUSUAL_BAND[0] <= x["rel_freq"] < VERY_UNUSUAL_BAND[1]
+                if very_unusual_band[0] <= x["rel_freq"] < very_unusual_band[1]
             ]
         )
-        extreme.append([x["tok"] for x in ordered if x["rel_freq"] < EXTREMELY_UNUSUAL_MAX])
+        extreme.append([x["tok"] for x in ordered if x["rel_freq"] < extremely_unusual_max])
     for name, vals in (
         ("unusual_tokens_arr", unusual),
         ("very_unusual_tokens_arr", very),
