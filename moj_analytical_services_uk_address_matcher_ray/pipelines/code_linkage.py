@@ -286,15 +286,21 @@ def dedup_code_corpus(
     )
 
     # relabel clusters by their min unique_id (human-interpretable and
-    # independent of the surrogate hash space) — one groupby shuffle
-    def relabel(g: pa.Table) -> pa.Table:
-        m = pc.min(g["unique_id"]).as_py()
+    # independent of the surrogate hash space) — one bucketed groupby shuffle
+    from ..stages.bucketing import bucketed_group_apply
+
+    def relabel_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        mins = df.groupby("cluster_id")["unique_id"].min()
+        df["cluster_id"] = df["cluster_id"].map(mins)
         return pa.table(
             {
-                "unique_id": g["unique_id"],
-                "content_sha256": g["content_sha256"],
-                "cluster_id": pa.array([m] * g.num_rows, pa.string()),
+                "unique_id": pa.array(df["unique_id"].tolist(), pa.string()),
+                "content_sha256": pa.array(df["content_sha256"].tolist(), pa.string()),
+                "cluster_id": pa.array(df["cluster_id"].tolist(), pa.string()),
             }
         )
 
-    return out.groupby("cluster_id").map_groups(relabel, batch_format="pyarrow")
+    return bucketed_group_apply(out, "cluster_id", relabel_bucket)

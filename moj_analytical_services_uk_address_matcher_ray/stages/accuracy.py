@@ -38,7 +38,9 @@ def evaluate_predictions_against_labels(
             [weight_col, pred_match], ascending=[False, True], kind="mergesort"
         ).head(1)
 
-    top = predictions.groupby(pred_id).map_groups(top1, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby
+
+    top = bucketed_pandas_groupby(predictions, pred_id, top1)
     joined = inner_join(top, labels, on=pred_id, right_on=label_id)
     rows = joined.select_columns([pred_id, pred_match, label_match]).take_all()
     correct = sum(1 for r in rows if str(r[pred_match]) == str(r[label_match]))

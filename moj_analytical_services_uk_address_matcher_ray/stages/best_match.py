@@ -84,7 +84,9 @@ def best_matches_with_distinguishability(
             g = g.head(1)
         return g
 
-    cat = pairs.groupby("unique_id_r").map_groups(per_group, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby
+
+    cat = bucketed_pandas_groupby(pairs, "unique_id_r", per_group)
     cat = cat.select_columns(
         [
             "unique_id_l",
@@ -220,7 +222,9 @@ def select_top_match_candidates(
         )
         return g.head(1).drop(columns=["_dsort"])
 
-    splink_top = filtered.groupby("unique_id_r").map_groups(top1, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby as _bpg
+
+    splink_top = _bpg(filtered, "unique_id_r", top1)
     splink_top = splink_top.map_batches(
         lambda t: pa.table(
             {

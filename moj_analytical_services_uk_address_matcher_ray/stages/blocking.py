@@ -245,65 +245,95 @@ def make_pair_emitter(
     max_pairs_per_block: int = 250_000,
     id_col: str = "ukam_address_id",
 ):
-    """Per-(rule_idx, block_key) group function: emit l x r pairs with
-    suffixed payload columns, capped + counted.  Pure-Arrow in and out so
-    nested payload columns (list<struct> histograms) never round-trip
-    through pandas object dtype."""
+    """Per-BUCKET emitter (see stages/bucketing.py): each bucket holds many
+    (rule_idx, block_key) groups; pairs for all of them are emitted with ONE
+    Arrow ``take`` per side.  Pure-Arrow in and out so nested payload columns
+    (list<struct> histograms) never round-trip through pandas object dtype.
+    Blocks over the cap are deterministically truncated (smallest ids kept)
+    and the dropped-pair count lands in the metrics actor — never silent."""
 
     def emit(g: pa.Table) -> pa.Table:
-        side = g["side"]
-        left = g.filter(pa.compute.equal(side, "l"))
-        right = g.filter(pa.compute.equal(side, "r"))
-        nl, nr = left.num_rows, right.num_rows
-        if nl == 0 or nr == 0:
-            empty = {
-                **{f"{c}_l": left.select([c])[c] for c in carry_cols},
-                **{f"{c}_r": left.select([c])[c] for c in carry_cols},
-                "rule_idx": pa.array([], pa.int32()),
-            }
-            return pa.table(
-                {
-                    k: (v.slice(0, 0) if not isinstance(v, pa.Array) else v)
-                    for k, v in empty.items()
-                }
+        n = g.num_rows
+        empty = None
+        if n == 0:
+            empty = True
+        if not empty:
+            rules = np.asarray(g["rule_idx"].to_pylist(), dtype=np.int64)
+            bkeys = g["block_key"].to_pylist()
+            sides = np.asarray(g["side"].to_pylist(), dtype=object)
+            ids = np.asarray(g[id_col].to_pylist(), dtype=object)
+            comb = np.fromiter(
+                (f"{r}\x1f{k}" for r, k in zip(rules, bkeys)), dtype=object, count=n
             )
-        total = nl * nr
-        if total > max_pairs_per_block:
-            # deterministic truncation: keep smallest ids first
-            inc_metric("blocking.dropped_pairs", total - max_pairs_per_block)
-            keep_l = max(1, int(max_pairs_per_block**0.5))
-            keep_r = max(1, max_pairs_per_block // keep_l)
-            left = left.take(
-                pa.compute.sort_indices(left[id_col])[:keep_l]
+            order = np.argsort(comb, kind="stable")
+            comb_sorted = comb[order]
+            boundaries = np.flatnonzero(
+                np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1]))
             )
-            right = right.take(
-                pa.compute.sort_indices(right[id_col])[:keep_r]
-            )
-            nl, nr = left.num_rows, right.num_rows
-        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
-        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
-        lt = left.select(carry_cols).take(li)
-        rt = right.select(carry_cols).take(ri)
+            li_all: list[int] = []
+            ri_all: list[int] = []
+            rule_all: list[int] = []
+            dropped = 0
+            for b_i, start in enumerate(boundaries):
+                end = boundaries[b_i + 1] if b_i + 1 < len(boundaries) else n
+                idxs = order[start:end]
+                l_idx = idxs[sides[idxs] == "l"]
+                r_idx = idxs[sides[idxs] == "r"]
+                nl, nr = len(l_idx), len(r_idx)
+                if nl == 0 or nr == 0:
+                    continue
+                if nl * nr > max_pairs_per_block:
+                    dropped += nl * nr - max_pairs_per_block
+                    keep_l = max(1, int(max_pairs_per_block**0.5))
+                    keep_r = max(1, max_pairs_per_block // keep_l)
+                    l_idx = l_idx[np.argsort(ids[l_idx], kind="stable")][:keep_l]
+                    r_idx = r_idx[np.argsort(ids[r_idx], kind="stable")][:keep_r]
+                    nl, nr = len(l_idx), len(r_idx)
+                li_all.extend(np.repeat(l_idx, nr))
+                ri_all.extend(np.tile(r_idx, nl))
+                rule_all.extend([int(rules[idxs[0]])] * (nl * nr))
+            if dropped:
+                inc_metric("blocking.dropped_pairs", dropped)
+            empty = not li_all
+        if empty:
+            payload = g.select(carry_cols).slice(0, 0)
+            data = {f"{c}_l": payload[c] for c in carry_cols}
+            data.update({f"{c}_r": payload[c] for c in carry_cols})
+            data["rule_idx"] = pa.array([], pa.int32())
+            return pa.table(data)
+        lt = g.select(carry_cols).take(pa.array(li_all, pa.int64()))
+        rt = g.select(carry_cols).take(pa.array(ri_all, pa.int64()))
         data = {f"{c}_l": lt[c] for c in carry_cols}
         data.update({f"{c}_r": rt[c] for c in carry_cols})
-        data["rule_idx"] = pa.array(
-            np.full(nl * nr, g["rule_idx"][0].as_py(), dtype=np.int32)
-        )
+        data["rule_idx"] = pa.array(rule_all, pa.int32())
         return pa.table(data)
 
     return emit
 
 
 def dedupe_pairs_first_rule_wins(pairs: "ray.data.Dataset", *, id_col: str = "ukam_address_id"):
-    """Cross-rule dedup: one row per (id_l, id_r), min rule_idx wins."""
+    """Cross-rule dedup: one row per (id_l, id_r), min rule_idx wins.
+    Bucketed shuffle + vectorised within-bucket first-of-key selection."""
+    from .bucketing import bucketed_group_apply
 
-    def pick(g: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(g["rule_idx"])
-        return g.take(idx[:1])
+    kl, kr = f"{id_col}_l", f"{id_col}_r"
 
-    return pairs.groupby([f"{id_col}_l", f"{id_col}_r"]).map_groups(
-        pick, batch_format="pyarrow"
-    )
+    def pick_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g
+        ids_l = g[kl].to_pylist()
+        ids_r = g[kr].to_pylist()
+        rules = np.asarray(g["rule_idx"].to_pylist(), dtype=np.int64)
+        comb = np.fromiter(
+            (f"{a}\x1f{b}" for a, b in zip(ids_l, ids_r)), dtype=object, count=n
+        )
+        order = np.lexsort((rules, comb))
+        comb_sorted = comb[order]
+        first = np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1]))
+        return g.take(pa.array(order[first], pa.int64()))
+
+    return bucketed_group_apply(pairs, [kl, kr], pick_bucket)
 
 
 def generate_candidate_pairs(
@@ -350,12 +380,15 @@ def generate_candidate_pairs(
             "hot_keys": hot,
         },
     )
+    from .bucketing import bucketed_group_apply
+
     both = keyed_l.union(keyed_r)
-    pairs = both.groupby(["rule_idx", "block_key"]).map_groups(
+    pairs = bucketed_group_apply(
+        both,
+        ["rule_idx", "block_key"],
         make_pair_emitter(
             carry_cols, max_pairs_per_block=max_pairs_per_block, id_col=id_col
         ),
-        batch_format="pyarrow",
     )
     if ordered_self_pairs:
         pairs = pairs.map_batches(

@@ -47,20 +47,34 @@ def _checksum(ds: "ray.data.Dataset", cols: tuple[str, str]) -> int:
     ) % (1 << 63)
 
 
-def _hash_to_min_round(g: pa.Table) -> pa.Table:
-    node = g["node"][0].as_py()
-    vals = set(g["nbr"].to_pylist())
-    vals.add(node)
-    m = min(vals)
-    out_n, out_v = [], []
-    for v in vals:
-        if v != m:
-            out_n.append(m)
-            out_v.append(v)
-        out_n.append(v)
-        out_v.append(m)
+def _hash_to_min_round_bucket(g: pa.Table) -> pa.Table:
+    """One Hash-to-Min round for a whole BUCKET of nodes, fully vectorised
+    in pandas (see stages/bucketing.py — per-group UDF calls would dominate
+    wall time at high node cardinality).
+
+    Per node with vals = nbrs ∪ {node}, m = min(vals):
+        emit (m, v) for v in vals, v != m
+        emit (v, m) for v in vals
+    """
+    import pandas as pd
+
+    df = g.to_pandas()
+    uniq = df["node"].unique()
+    df = pd.concat(
+        [df, pd.DataFrame({"node": uniq, "nbr": uniq})], ignore_index=True
+    ).drop_duplicates()
+    mins = df.groupby("node")["nbr"].min()
+    mcol = df["node"].map(mins).to_numpy(dtype=object)
+    nbr = df["nbr"].to_numpy(dtype=object)
+    em1 = pd.DataFrame({"node": mcol, "nbr": nbr})
+    em1 = em1[em1["node"] != em1["nbr"]]
+    em2 = pd.DataFrame({"node": nbr, "nbr": mcol})
+    out = pd.concat([em1, em2], ignore_index=True).drop_duplicates()
     return pa.table(
-        {"node": pa.array(out_n, pa.string()), "nbr": pa.array(out_v, pa.string())}
+        {
+            "node": pa.array(out["node"].tolist(), pa.string()),
+            "nbr": pa.array(out["nbr"].tolist(), pa.string()),
+        }
     )
 
 
@@ -113,13 +127,13 @@ def connected_components(
             )
         )
 
+    from .bucketing import bucketed_group_apply
+
     prev = None
     for _ in range(max_rounds):
-        adj = (
-            adj.groupby("node")
-            .map_groups(_hash_to_min_round, batch_format="pyarrow")
-            .materialize()
-        )
+        adj = bucketed_group_apply(
+            adj, "node", _hash_to_min_round_bucket
+        ).materialize()
         cur = _checksum(adj, ("node", "nbr"))
         if cur == prev:
             break

@@ -170,7 +170,9 @@ def annotate_exact_matches(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in MATCH_OUT_COLS})
         return pd.DataFrame(rows)
 
-    return fz.union(cz).groupby("__key").map_groups(per_key, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby
+
+    return bucketed_pandas_groupby(fz.union(cz), "__key", per_key)
 
 
 # ---------------------------------------------------------------------------
@@ -249,8 +251,10 @@ def resolve_with_trigrams(
             return g.head(0)
         return g.sort_values("canonical_ukam_address_id", kind="mergesort").head(1)
 
-    index = canon_tris.groupby(["block_key", "trigram_hash"]).map_groups(
-        unique_index, batch_format="pandas"
+    from .bucketing import bucketed_pandas_groupby
+
+    index = bucketed_pandas_groupby(
+        canon_tris, ["block_key", "trigram_hash"], unique_index
     )
 
     fuzzy_tris = fuzzy.map_batches(
@@ -283,9 +287,7 @@ def resolve_with_trigrams(
             }
         )
 
-    return links.groupby("ukam_address_id").map_groups(
-        consensus, batch_format="pandas"
-    )
+    return bucketed_pandas_groupby(links, "ukam_address_id", consensus)
 
 
 # ---------------------------------------------------------------------------

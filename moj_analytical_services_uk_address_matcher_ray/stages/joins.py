@@ -129,7 +129,10 @@ def hash_join(
             lambda t: t.filter(pc.is_valid(t[_JK])), batch_format="pyarrow"
         )
 
-    def merge(g: pa.Table) -> pa.Table:
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        """Vectorised within-bucket hash join: a dict of right-row indexes per
+        key, one ``take`` per side.  A bucket holds MANY keys (bucketed
+        shuffle — per-group Ray overhead amortised away)."""
         sides = g[_SIDE]
         lrows = g.filter(pc.equal(sides, "l"))
         rrows = g.filter(pc.equal(sides, "r"))
@@ -140,16 +143,34 @@ def hash_join(
             if how == "left":
                 return lrows.select(out_cols)
             return g.select(out_cols).slice(0, 0)
-        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
-        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
-        lpart = lrows.select(lcols).take(li)
-        rpart = rrows.select([rout[c] for c in rcols_payload]).take(ri)
+        rmap: dict[str, list[int]] = {}
+        for j, k in enumerate(rrows[_JK].to_pylist()):
+            rmap.setdefault(k, []).append(j)
+        li: list[int] = []
+        ri: list[int | None] = []
+        for i, k in enumerate(lrows[_JK].to_pylist()):
+            idxs = rmap.get(k)
+            if idxs:
+                for j in idxs:
+                    li.append(i)
+                    ri.append(j)
+            elif how == "left":
+                li.append(i)
+                ri.append(None)  # pa take(None) -> null row
+        if not li:
+            return g.select(out_cols).slice(0, 0)
+        lpart = lrows.select(lcols).take(pa.array(li, pa.int64()))
+        rpart = rrows.select([rout[c] for c in rcols_payload]).take(
+            pa.array(ri, pa.int64())
+        )
         data = {c: lpart[c] for c in lcols}
         for c in rcols_payload:
             data[rout[c]] = rpart[rout[c]]
-        return pa.table(data) if data else g.select(out_cols).slice(0, 0)
+        return pa.table(data)
 
-    joined = lt.union(rt).groupby(_JK).map_groups(merge, batch_format="pyarrow")
+    from .bucketing import bucketed_group_apply
+
+    joined = bucketed_group_apply(lt.union(rt), _JK, merge_bucket)
     if null_keys is not None:
         joined = joined.union(null_keys)
     return joined

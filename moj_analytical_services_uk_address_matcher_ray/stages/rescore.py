@@ -268,4 +268,6 @@ def improve_predictions_using_distinguishing_tokens(
         use_bigrams=use_bigrams,
         **multipliers,
     )
-    return pairs.groupby("ukam_address_id_r").map_groups(fn, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby
+
+    return bucketed_pandas_groupby(pairs, "ukam_address_id_r", fn)

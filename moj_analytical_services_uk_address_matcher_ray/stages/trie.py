@@ -128,4 +128,6 @@ def resolve_with_trie(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
         return pd.DataFrame(rows)
 
-    return fz.union(cz).groupby("__block").map_groups(per_group, batch_format="pandas")
+    from .bucketing import bucketed_pandas_groupby
+
+    return bucketed_pandas_groupby(fz.union(cz), "__block", per_group)

@@ -46,6 +46,11 @@ def checkpoint_stage(
     checkpoint already exists there, skip the work and read it back."""
     if is_complete(path):
         return ray.data.read_parquet(path)
+    if os.path.exists(path):
+        # incomplete checkpoint from a crashed run: wipe and redo
+        import shutil
+
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     t0 = time.perf_counter()
     metrics_before = read_metrics()
