@@ -217,22 +217,29 @@ def dedup_code_corpus(
         batch_format="pyarrow",
     )
 
-    # 2. probabilistic pass over blocked candidate pairs (self-join, ordered)
-    carry = DEDUP_CARRY_COLS
-    pairs = generate_candidate_pairs(
+    # 2. probabilistic pass: fused blocked pair generation + scoring (narrow
+    #    pair shuffles; the wide pair table never hits the object store).
+    #    Without the rescore pass only edge candidates are needed, so the
+    #    fused threshold IS the edge threshold — everything below is pruned
+    #    inside the scoring task.
+    from ..stages.blocking import generate_and_score_pairs
+
+    fused_threshold = score_threshold if use_rescore else edge_threshold - 1e-9
+    emit = (
+        None
+        if use_rescore
+        else ["ukam_address_id_l", "ukam_address_id_r", "match_weight"]
+    )
+    scored = generate_and_score_pairs(
         cleaned,
         cleaned,
-        model.blocking_rules,
-        carry_cols=carry,
+        model,
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=fused_threshold,
+        emit_cols=emit,
         max_pairs_per_block=max_pairs_per_block,
         hot_key_threshold=hot_key_threshold,
         ordered_self_pairs=True,
-    )
-    scored = score_pairs(
-        pairs,
-        model,
-        threshold_match_weight=score_threshold,
-        concurrency=scorer_concurrency,
     )
     if use_rescore:
         scored = improve_predictions_using_distinguishing_tokens(

@@ -387,7 +387,7 @@ def generate_candidate_pairs(
         both,
         ["rule_idx", "block_key"],
         make_pair_emitter(
-            carry_cols, max_pairs_per_block=max_pairs_per_block, id_col=id_col
+            [id_col], max_pairs_per_block=max_pairs_per_block, id_col=id_col
         ),
     )
     if ordered_self_pairs:
@@ -397,4 +397,169 @@ def generate_candidate_pairs(
             ),
             batch_format="pyarrow",
         )
-    return dedupe_pairs_first_rule_wins(pairs, id_col=id_col)
+    pairs = dedupe_pairs_first_rule_wins(pairs, id_col=id_col)
+
+    # pairs are generated and deduped NARROW (ids + rule only) so the heavy
+    # payload columns (token histograms) never ride the emission + dedup
+    # shuffles; the payload is hash-joined back once per side afterwards.
+    payload_cols = [c for c in carry_cols if c != id_col]
+    if not payload_cols:
+        return pairs
+    from .joins import inner_join
+
+    def _suffixed(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            data = {f"{id_col}_{side}": t[id_col]}
+            for c in payload_cols:
+                data[f"{c}_{side}"] = t[c]
+            return pa.table(data)
+
+        return fn
+
+    pay_l = canon.map_batches(_suffixed("l"), batch_format="pyarrow")
+    pay_r = messy.map_batches(_suffixed("r"), batch_format="pyarrow")
+    out = inner_join(pairs, pay_l, on=f"{id_col}_l")
+    out = inner_join(out, pay_r, on=f"{id_col}_r")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fused pair generation + scoring (the 10^12-scale hot path)
+# ---------------------------------------------------------------------------
+
+_EVAL_CACHE: dict = {}
+
+
+def _evaluators_for(model, tf_tables):
+    """Per-process evaluator cache (model arrives zero-copy via ray.get, so
+    object identity is stable per worker)."""
+    from .scoring import _ComparisonEvaluator
+
+    key = (id(model), id(tf_tables))
+    if key not in _EVAL_CACHE:
+        _EVAL_CACHE.clear()  # one model at a time per worker is the norm
+        _EVAL_CACHE[key] = [
+            _ComparisonEvaluator(c, tf_tables or {}) for c in model.comparisons
+        ]
+    return _EVAL_CACHE[key]
+
+
+def generate_and_score_pairs(
+    canon: "ray.data.Dataset",
+    messy: "ray.data.Dataset",
+    model,
+    *,
+    carry_cols: list[str],
+    tf_tables: dict | None = None,
+    threshold_match_weight: float | None = -50.0,
+    emit_cols: list[str] | None = None,
+    max_pairs_per_block: int = 250_000,
+    hot_key_threshold: int | None = None,
+    id_col: str = "ukam_address_id",
+    ordered_self_pairs: bool = False,
+) -> "ray.data.Dataset":
+    """J6 + §2.5 fused: narrow pair generation/dedup, one hash join to attach
+    the canonical payload, then a single bucketed stage that attaches the
+    messy payload AND scores in the same task — the fully-wide pair table
+    exists only transiently inside each bucket task and only rows above the
+    threshold are ever written back to the object store.
+
+    ``emit_cols``: optional projection of the scored output (defaults to ids
+    + rule + match weight/probability + all payload columns).
+    """
+    import pyarrow.compute as pc
+
+    from .bucketing import bucketed_group_apply
+    from .joins import inner_join
+    from .scoring import score_batch
+
+    parsed = (
+        parse_blocking_rules(rules_list)
+        if (rules_list := model.blocking_rules) and isinstance(rules_list[0], str)
+        else model.blocking_rules
+    )
+    pairs = generate_candidate_pairs(
+        canon,
+        messy,
+        parsed,
+        carry_cols=[id_col],  # narrow: ids only
+        max_pairs_per_block=max_pairs_per_block,
+        hot_key_threshold=hot_key_threshold,
+        id_col=id_col,
+        ordered_self_pairs=ordered_self_pairs,
+    )
+    payload_cols = [c for c in carry_cols if c != id_col]
+
+    def _l_payload(t: pa.Table) -> pa.Table:
+        data = {f"{id_col}_l": t[id_col]}
+        for c in payload_cols:
+            data[f"{c}_l"] = t[c]
+        return pa.table(data)
+
+    half = inner_join(
+        pairs,
+        canon.map_batches(_l_payload, batch_format="pyarrow"),
+        on=f"{id_col}_l",
+    )
+
+    model_ref = ray.put(model)
+    tf_ref = ray.put(tf_tables or {})
+    kr = f"{id_col}_r"
+    half_cols = [f"{id_col}_l", kr, "rule_idx"] + [f"{c}_l" for c in payload_cols]
+
+    def _tag_half(t: pa.Table) -> pa.Table:
+        data = {c: t[c] for c in half_cols}
+        for c in payload_cols:
+            data[f"{c}_r"] = pa.nulls(t.num_rows, t[f"{c}_l"].type)
+        data["__side2"] = pa.array(["p"] * t.num_rows, pa.string())
+        return pa.table(data)
+
+    def _tag_messy(t: pa.Table) -> pa.Table:
+        data = {f"{id_col}_l": pa.nulls(t.num_rows, t[id_col].type)}
+        data[kr] = t[id_col]
+        data["rule_idx"] = pa.nulls(t.num_rows, pa.int32())
+        for c in payload_cols:
+            data[f"{c}_l"] = pa.nulls(t.num_rows, t[c].type)
+        for c in payload_cols:
+            data[f"{c}_r"] = t[c]
+        data["__side2"] = pa.array(["m"] * t.num_rows, pa.string())
+        return pa.table(data)
+
+    tagged = half.map_batches(_tag_half, batch_format="pyarrow").union(
+        messy.map_batches(_tag_messy, batch_format="pyarrow")
+    )
+
+    def attach_and_score(g: pa.Table) -> pa.Table:
+        sides = g["__side2"]
+        prows = g.filter(pc.equal(sides, "p"))
+        mrows = g.filter(pc.equal(sides, "m"))
+        out_template = prows.drop_columns(["__side2"])
+        if prows.num_rows == 0 or mrows.num_rows == 0:
+            empty = out_template.slice(0, 0)
+            empty = empty.append_column("match_weight", pa.array([], pa.float64()))
+            empty = empty.append_column(
+                "match_probability", pa.array([], pa.float64())
+            )
+            return empty.select(emit_cols) if emit_cols else empty
+        ridx: dict = {}
+        for j, k in enumerate(mrows[kr].to_pylist()):
+            ridx[k] = j  # messy ids are unique
+        take_m = pa.array(
+            [ridx.get(k) for k in prows[kr].to_pylist()], pa.int64()
+        )
+        mpart = mrows.select([f"{c}_r" for c in payload_cols]).take(take_m)
+        data = {c: prows[c] for c in half_cols}
+        for c in payload_cols:
+            data[f"{c}_r"] = mpart[f"{c}_r"]
+        full = pa.table(data)
+        mdl = ray.get(model_ref)
+        tfs = ray.get(tf_ref)
+        scored = score_batch(
+            full,
+            _evaluators_for(mdl, tfs),
+            mdl.prior_log2_odds,
+            threshold=threshold_match_weight,
+        )
+        return scored.select(emit_cols) if emit_cols else scored
+
+    return bucketed_group_apply(tagged, kr, attach_and_score)

@@ -31,8 +31,22 @@ def default_buckets() -> int:
 
 
 def _combine_keys(t: pa.Table, keys: list[str]) -> list[str]:
-    cols = [t[k].to_pylist() for k in keys]
-    return ["\x1f".join("" if v is None else str(v) for v in tup) for tup in zip(*cols)]
+    """Vectorised key concat (arrow cast + element-wise join); NULLs fold to
+    '' so every row gets a bucket."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for k in keys:
+        arr = t[k]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())
+        parts.append(pc.coalesce(arr, ""))
+    if len(parts) == 1:
+        combined = parts[0]
+    else:
+        combined = pc.binary_join_element_wise(*parts, "\x1f")
+    return combined.to_pylist()
 
 
 def add_bucket_column(

@@ -86,12 +86,19 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 50,
     num_partitions: int = 32,  # kept for API compat; groupby sizes itself
+    driver_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Compute components of the undirected graph given by ``edges``.
 
     Returns a Dataset ``(node, cluster_id)`` where ``cluster_id`` is the min
     node id of the component.  ``nodes`` optionally supplies isolated nodes
     (a single-column Dataset named ``node``) so singletons appear too.
+
+    When the (mirrored) edge set is provably small (< ``driver_threshold``
+    rows — two string columns, trivially driver-sized) the components are
+    solved with an exact union-find on the driver: identical output, none of
+    the per-round shuffle overhead.  Above the threshold the distributed
+    Hash-to-Min loop runs — that is the 10^12-scale path.
     """
 
     def mirror(t: pa.Table) -> pa.Table:
@@ -117,12 +124,29 @@ def connected_components(
             )
         )
     adj = adj.materialize()
-    if adj.count() == 0:
+    n_adj = adj.count()
+    if n_adj == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
                     "node": pa.array([], pa.string()),
                     "cluster_id": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    if n_adj < driver_threshold:
+        # exact driver-side union-find over the narrow edge list
+        pairs: list[tuple[str, str]] = []
+        for b in adj.iter_batches(batch_format="pyarrow"):
+            pairs.extend(zip(b["node"].to_pylist(), b["nbr"].to_pylist()))
+        labels = connected_components_local(pairs)
+        keys = sorted(labels)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(keys, pa.string()),
+                    "cluster_id": pa.array([labels[k] for k in keys], pa.string()),
                 }
             )
         )

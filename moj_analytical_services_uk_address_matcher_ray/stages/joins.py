@@ -28,17 +28,22 @@ _JK = "__join_key"
 _SIDE = "__join_side"
 
 
-def _key_strings(t: pa.Table, cols: tuple[str, ...]) -> list:
-    """Serialise key tuples to strings (equality-preserving); None if any
-    component is NULL (SQL semantics)."""
-    parts = [t[c].to_pylist() for c in cols]
-    out = []
-    for tup in zip(*parts):
-        if any(v is None for v in tup):
-            out.append(None)
-        else:
-            out.append("\x1f".join(repr(v) for v in tup))
-    return out
+def _key_strings(t: pa.Table, cols: tuple[str, ...]) -> pa.Array:
+    """Serialise key tuples to strings (equality-preserving, vectorised);
+    NULL if any component is NULL (SQL semantics).  ``binary_join_element_wise``
+    with null_handling='emit_null' gives exactly that."""
+    parts = []
+    for c in cols:
+        arr = t[c]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if not pa.types.is_string(arr.type):
+            arr = arr.cast(pa.string())
+        parts.append(arr)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(
+        *parts, "\x1f", null_handling="emit_null"
+    )
 
 
 def _typed_nulls(n: int, typ: pa.DataType) -> pa.Array:
@@ -93,7 +98,7 @@ def hash_join(
 
     def prep_left(t: pa.Table) -> pa.Table:
         data = {c: t[c] for c in lcols}
-        data[_JK] = pa.array(_key_strings(t, on), pa.string())
+        data[_JK] = _key_strings(t, on)
         data[_SIDE] = pa.array(["l"] * t.num_rows, pa.string())
         for c in rcols_payload:
             data[rout[c]] = _typed_nulls(t.num_rows, rtypes[c])
@@ -101,7 +106,7 @@ def hash_join(
 
     def prep_right(t: pa.Table) -> pa.Table:
         data = {c: _typed_nulls(t.num_rows, lschema.field(c).type) for c in lcols}
-        data[_JK] = pa.array(_key_strings(t, right_on), pa.string())
+        data[_JK] = _key_strings(t, right_on)
         data[_SIDE] = pa.array(["r"] * t.num_rows, pa.string())
         for c in rcols_payload:
             data[rout[c]] = t[c]

@@ -237,6 +237,44 @@ class _ComparisonEvaluator:
         return level_idx, log2_bf
 
 
+def score_batch(
+    t: "pa.Table",
+    evaluators: list[_ComparisonEvaluator],
+    prior_log2_odds: float,
+    *,
+    threshold: float | None = None,
+    emit_gammas: bool = False,
+) -> "pa.Table":
+    """Pure scoring kernel over an Arrow batch of pairs (used by the
+    PairScorer actor AND the fused attach+score bucket stage)."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        t = t.append_column("match_weight", pa.array([], pa.float64()))
+        t = t.append_column("match_probability", pa.array([], pa.float64()))
+        return t
+    from ..state.metrics import inc_metric
+
+    inc_metric("scoring.pairs_scored", t.num_rows)
+    df = t.to_pandas()
+    mw = np.full(len(df), prior_log2_odds, dtype=np.float64)
+    gammas = {}
+    for ev in evaluators:
+        idx, log2_bf = ev.evaluate(df)
+        mw += log2_bf
+        if emit_gammas:
+            gammas[f"gamma_{ev.comp.name}"] = idx
+    for name, idx in gammas.items():
+        t = t.append_column(name, pa.array(idx, pa.int32()))
+    t = t.append_column("match_weight", pa.array(mw, pa.float64()))
+    t = t.append_column(
+        "match_probability", pa.array((2.0**mw) / (1.0 + 2.0**mw), pa.float64())
+    )
+    if threshold is not None:
+        t = t.filter(pa.compute.greater(t["match_weight"], threshold))
+    return t
+
+
 # ---------------------------------------------------------------------------
 # the actor-pool stage
 # ---------------------------------------------------------------------------
@@ -279,32 +317,13 @@ class PairScorer:
     def __call__(self, t: "pa.Table") -> "pa.Table":
         """Arrow in / Arrow out — nested payload columns (histograms) stay in
         Arrow; only the evaluation view is pandas (cheap object view)."""
-        import pyarrow as pa
-
-        if t.num_rows == 0:
-            t = t.append_column("match_weight", pa.array([], pa.float64()))
-            t = t.append_column("match_probability", pa.array([], pa.float64()))
-            return t
-        from ..state.metrics import inc_metric
-
-        inc_metric("scoring.pairs_scored", t.num_rows)
-        df = t.to_pandas()
-        mw = np.full(len(df), self.model.prior_log2_odds, dtype=np.float64)
-        gammas = {}
-        for ev in self.evaluators:
-            idx, log2_bf = ev.evaluate(df)
-            mw += log2_bf
-            if self.emit_gammas:
-                gammas[f"gamma_{ev.comp.name}"] = idx
-        for name, idx in gammas.items():
-            t = t.append_column(name, pa.array(idx, pa.int32()))
-        t = t.append_column("match_weight", pa.array(mw, pa.float64()))
-        t = t.append_column(
-            "match_probability", pa.array((2.0**mw) / (1.0 + 2.0**mw), pa.float64())
+        return score_batch(
+            t,
+            self.evaluators,
+            self.model.prior_log2_odds,
+            threshold=self.threshold,
+            emit_gammas=self.emit_gammas,
         )
-        if self.threshold is not None:
-            t = t.filter(pa.compute.greater(t["match_weight"], self.threshold))
-        return t
 
 
 def score_pairs(

@@ -19,6 +19,14 @@ def test_chain_and_triangle(ray_session):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d"}
 
 
+def test_chain_and_triangle_distributed(ray_session):
+    # force the Hash-to-Min loop (driver_threshold=0)
+    pairs = [("b", "c"), ("a", "b"), ("d", "e"), ("e", "f"), ("f", "d")]
+    out = connected_components(_edges(pairs), driver_threshold=0).materialize()
+    got = {r["node"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d"}
+
+
 def test_matches_local_union_find(ray_session):
     import random
 
@@ -45,8 +53,9 @@ def test_isolated_nodes_are_singletons(ray_session):
 
 
 def test_long_path_converges(ray_session):
-    # a path of 40 nodes stresses the round loop (diameter >> 1)
+    # a path of 40 nodes stresses the round loop (diameter >> 1); force the
+    # distributed Hash-to-Min path
     pairs = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
-    out = connected_components(_edges(pairs)).materialize()
+    out = connected_components(_edges(pairs), driver_threshold=0).materialize()
     got = {r["node"]: r["cluster_id"] for r in out.take_all()}
     assert set(got.values()) == {"p00"}
