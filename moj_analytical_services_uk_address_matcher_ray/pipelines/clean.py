@@ -90,13 +90,22 @@ def common_end_tokens_from_counts(
     )
 
 
+def _auto_concurrency() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 4)
+
+
 def apply_post_tf(
     ds: "ray.data.Dataset",
     tf: dict[str, float] | "ray.ObjectRef",
     end_tokens: frozenset[str],
     *,
-    tf_concurrency: int | tuple[int, int] = 2,
+    tf_concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
+    tf_concurrency = tf_concurrency or _auto_concurrency()
     ds = ds.map_batches(
         TF.TermFrequencyAnnotator,
         fn_constructor_args=(tf,),
@@ -122,7 +131,7 @@ def clean_dataset(
     *,
     rel_tok_freq: dict[str, float] | None = None,
     end_tokens: frozenset[str] | None = None,
-    tf_concurrency: int | tuple[int, int] = 2,
+    tf_concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """Full cleaning pipeline.
 

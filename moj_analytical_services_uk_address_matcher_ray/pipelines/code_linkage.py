@@ -175,7 +175,7 @@ def prepare_code_dataset(
     files: "ray.data.Dataset",
     *,
     rel_tok_freq: dict[str, float] | None = None,
-    tf_concurrency: int | tuple[int, int] = 2,
+    tf_concurrency: int | tuple[int, int] | None = None,
 ) -> "ray.data.Dataset":
     """features + full cleaning; returns the cleaned, scored-ready table."""
     feats = files.map_batches(derive_code_features, batch_format="pyarrow")

@@ -424,6 +424,252 @@ def generate_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# broadcast-payload scoring (small-side path)
+# ---------------------------------------------------------------------------
+
+
+def _store_from_table(
+    b: pa.Table, payload_cols: list[str], id_col: str, comparison_ready: bool
+) -> dict:
+    from .scoring import hist_to_dict
+
+    ids = b[id_col].to_pylist()
+    cols = []
+    for c in payload_cols:
+        vals = b[c].to_pylist()
+        if comparison_ready and c.endswith("_hist"):
+            vals = [hist_to_dict(v) for v in vals]
+        elif comparison_ready and c == "fp_tokens":
+            vals = [frozenset(v) if v is not None else None for v in vals]
+        cols.append(vals)
+    return {rid: tuple(col[i] for col in cols) for i, rid in enumerate(ids)}
+
+
+@ray.remote
+def _store_task(payload_cols: list[str], id_col: str, ready: bool, *blocks) -> dict:
+    store: dict = {}
+    for b in blocks:
+        store.update(_store_from_table(b, payload_cols, id_col, ready))
+    return store
+
+
+def _build_feature_store(
+    ds: "ray.data.Dataset", carry_cols: list[str], id_col: str,
+    *, comparison_ready: bool = False,
+) -> tuple[dict, dict]:
+    """Driver-side id -> row-tuple store + arrow types of the payload cols.
+
+    ``comparison_ready=True`` (safe only when the scored output does not
+    re-emit payload columns) pre-transforms histogram columns to
+    {(tok, rel_freq): count} dicts and fp token lists to frozensets, so the
+    per-pair comparisons skip their per-call conversions."""
+    payload_cols = [c for c in carry_cols if c != id_col]
+    store: dict = {}
+    types: dict = {}
+    for b in ds.select_columns(carry_cols).iter_batches(batch_format="pyarrow"):
+        for c in payload_cols:
+            if c not in types:
+                types[c] = b[c].type
+        store.update(_store_from_table(b, payload_cols, id_col, comparison_ready))
+    return store, types
+
+
+def _build_feature_store_async(
+    ds: "ray.data.Dataset", carry_cols: list[str], id_col: str,
+    *, comparison_ready: bool = False,
+):
+    """Off-driver store build: conversion work runs in parallel remote tasks
+    (overlapping pair generation); returns (ObjectRef[dict], types)."""
+    payload_cols = [c for c in carry_cols if c != id_col]
+    refs = ds.select_columns(carry_cols).to_arrow_refs()
+    # types from the first non-empty block (cheap driver fetch)
+    types: dict = {}
+    for r in refs:
+        b = ray.get(r)
+        if b.num_rows or not types:
+            for c in payload_cols:
+                types[c] = b[c].type
+        if b.num_rows:
+            break
+    n_tasks = max(1, min(8, len(refs)))
+    chunks = [refs[i::n_tasks] for i in range(n_tasks)]
+    partials = [
+        _store_task.remote(payload_cols, id_col, comparison_ready, *chunk)
+        for chunk in chunks
+        if chunk
+    ]
+
+    @ray.remote
+    def _merge(*parts):
+        out: dict = {}
+        for p in parts:
+            out.update(p)
+        return out
+
+    return _merge.remote(*partials), types
+
+
+class _BroadcastScorer:
+    """Actor-pool stage over NARROW pairs: gather both sides' features from
+    the broadcast store (zero-copy ray.get, once per actor), assemble the
+    pair batch in Arrow, score, filter, project."""
+
+    def __init__(
+        self,
+        store_l_ref,
+        store_r_ref,
+        types_ref,
+        model_ref,
+        tf_ref,
+        *,
+        payload_cols: list[str],
+        id_col: str,
+        threshold: float | None,
+        emit_cols: list[str] | None,
+    ):
+        from .scoring import _ComparisonEvaluator
+
+        self.store_l = ray.get(store_l_ref)
+        self.store_r = (
+            self.store_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
+        )
+        self.types = ray.get(types_ref)
+        model = ray.get(model_ref)
+        tf = ray.get(tf_ref)
+        self.evaluators = [
+            _ComparisonEvaluator(c, tf or {}) for c in model.comparisons
+        ]
+        self.prior = model.prior_log2_odds
+        self.payload_cols = payload_cols
+        self.id_col = id_col
+        self.threshold = threshold
+        self.emit_cols = emit_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = t.num_rows
+        kl, kr = f"{self.id_col}_l", f"{self.id_col}_r"
+        if n == 0:
+            empty = t
+            empty = empty.append_column("match_weight", pa.array([], pa.float64()))
+            empty = empty.append_column(
+                "match_probability", pa.array([], pa.float64())
+            )
+            return empty.select(self.emit_cols) if self.emit_cols else empty
+        ids_l = t[kl].to_pylist()
+        ids_r = t[kr].to_pylist()
+        rows_l = [self.store_l[i] for i in ids_l]
+        rows_r = [self.store_r[i] for i in ids_r]
+        # evaluate directly on pandas OBJECT columns — nested payloads (hist
+        # lists) are never re-encoded to Arrow on the hot path
+        df_data: dict = {}
+        for ci, c in enumerate(self.payload_cols):
+            df_data[f"{c}_l"] = np.fromiter(
+                (r[ci] for r in rows_l), dtype=object, count=n
+            )
+        for ci, c in enumerate(self.payload_cols):
+            df_data[f"{c}_r"] = np.fromiter(
+                (r[ci] for r in rows_r), dtype=object, count=n
+            )
+        df = pd.DataFrame(df_data, copy=False)
+
+        from ..state.metrics import inc_metric
+
+        inc_metric("scoring.pairs_scored", n)
+        mw = np.full(n, self.prior, dtype=np.float64)
+        for ev in self.evaluators:
+            _, log2_bf = ev.evaluate(df)
+            mw += log2_bf
+        keep = (
+            np.ones(n, dtype=bool) if self.threshold is None else mw > self.threshold
+        )
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        out: dict = {
+            kl: t[kl].take(idx),
+            kr: t[kr].take(idx),
+            "rule_idx": t["rule_idx"].take(idx),
+            "match_weight": pa.array(mw[keep], pa.float64()),
+            "match_probability": pa.array(
+                (2.0 ** mw[keep]) / (1.0 + 2.0 ** mw[keep]), pa.float64()
+            ),
+        }
+        # nested payload columns are only materialised when the caller asked
+        # for them (e.g. the rescore flow) — the dedup flow emits ids + mw
+        wanted = self.emit_cols or (
+            [kl, kr, "rule_idx"]
+            + [f"{c}_{s}" for c in self.payload_cols for s in ("l", "r")]
+            + ["match_weight", "match_probability"]
+        )
+        kept_rows = np.flatnonzero(keep)
+        for name in wanted:
+            if name in out:
+                continue
+            for s, rows in (("_l", rows_l), ("_r", rows_r)):
+                if name.endswith(s) and name[: -len(s)] in self.payload_cols:
+                    c = name[: -len(s)]
+                    ci = self.payload_cols.index(c)
+                    out[name] = pa.array(
+                        [rows[i][ci] for i in kept_rows], self.types[c]
+                    )
+                    break
+        return pa.table({k: out[k] for k in wanted if k in out})
+
+
+def _broadcast_score(
+    pairs: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    messy: "ray.data.Dataset",
+    model,
+    *,
+    tf_tables,
+    carry_cols: list[str],
+    threshold: float | None,
+    emit_cols: list[str] | None,
+    id_col: str,
+) -> "ray.data.Dataset":
+    payload_cols = [c for c in carry_cols if c != id_col]
+    emits_payload = emit_cols is None or any(
+        c[:-2] in payload_cols for c in emit_cols if c.endswith(("_l", "_r"))
+    )
+    # store construction runs in remote tasks, OVERLAPPING the narrow pair
+    # generation upstream; scorer actors block on the refs in __init__
+    store_l_ref, types = _build_feature_store_async(
+        canon, carry_cols, id_col, comparison_ready=not emits_payload
+    )
+    if messy is canon:
+        store_r_ref = store_l_ref
+    else:
+        store_r_ref, _ = _build_feature_store_async(
+            messy, carry_cols, id_col, comparison_ready=not emits_payload
+        )
+    types_ref = ray.put(types)
+    model_ref = ray.put(model)
+    tf_ref = ray.put(tf_tables or {})
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # autoscaling pool: grows toward cpus-2 when upstream keeps it fed, but
+    # never reserves every slot (which would starve pair emission/dedup)
+    pool = (2, max(3, cpus - 2))
+    return pairs.map_batches(
+        _BroadcastScorer,
+        fn_constructor_args=(store_l_ref, store_r_ref, types_ref, model_ref, tf_ref),
+        fn_constructor_kwargs={
+            "payload_cols": payload_cols,
+            "id_col": id_col,
+            "threshold": threshold,
+            "emit_cols": emit_cols,
+        },
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused pair generation + scoring (the 10^12-scale hot path)
 # ---------------------------------------------------------------------------
 
@@ -457,12 +703,22 @@ def generate_and_score_pairs(
     hot_key_threshold: int | None = None,
     id_col: str = "ukam_address_id",
     ordered_self_pairs: bool = False,
+    payload_mode: str = "auto",  # "auto" | "broadcast" | "shuffle"
+    broadcast_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
-    """J6 + §2.5 fused: narrow pair generation/dedup, one hash join to attach
-    the canonical payload, then a single bucketed stage that attaches the
-    messy payload AND scores in the same task — the fully-wide pair table
-    exists only transiently inside each bucket task and only rows above the
-    threshold are ever written back to the object store.
+    """J6 + §2.5 fused: narrow pair generation/dedup, then payload + scoring.
+
+    Two payload strategies (guide: "broadcast small sides"):
+      * ``broadcast`` — the feature table is ``ray.put`` ONCE as an id->row
+        store; a scorer actor pool maps over the NARROW pair stream, gathers
+        both sides from the store and scores in-task.  Zero payload
+        shuffles — the single-node-bandwidth-friendly path, correct whenever
+        the feature table fits in plasma (millions of rows).
+      * ``shuffle`` — one hash join attaches the canonical payload, a
+        bucketed stage attaches the messy payload and scores in the same
+        task.  The 10^12-row path: nothing is ever broadcast, the wide pair
+        table exists only transiently inside bucket tasks.
+    ``auto`` picks broadcast when both sides fit ``broadcast_threshold``.
 
     ``emit_cols``: optional projection of the scored output (defaults to ids
     + rule + match weight/probability + all payload columns).
@@ -489,6 +745,24 @@ def generate_and_score_pairs(
         ordered_self_pairs=ordered_self_pairs,
     )
     payload_cols = [c for c in carry_cols if c != id_col]
+
+    if payload_mode == "auto":
+        same = canon is messy
+        n = canon.count() + (0 if same else messy.count())
+        payload_mode = "broadcast" if n < broadcast_threshold else "shuffle"
+
+    if payload_mode == "broadcast":
+        return _broadcast_score(
+            pairs,
+            canon,
+            messy,
+            model,
+            tf_tables=tf_tables,
+            carry_cols=carry_cols,
+            threshold=threshold_match_weight,
+            emit_cols=emit_cols,
+            id_col=id_col,
+        )
 
     def _l_payload(t: pa.Table) -> pa.Table:
         data = {f"{id_col}_l": t[id_col]}

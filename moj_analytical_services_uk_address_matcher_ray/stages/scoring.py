@@ -67,16 +67,31 @@ def split_part(s, part: int) -> str:
     return parts[part - 1] if 0 < part <= len(parts) else ""
 
 
+def hist_to_dict(hist) -> dict | None:
+    """list<struct<tok, rel_freq, count>> -> {(tok, rel_freq): count} — the
+    comparison-ready form (precomputed once per record in broadcast stores)."""
+    if hist is None:
+        return None
+    return {(e["tok"], e["rel_freq"]): e["count"] for e in hist}
+
+
 def hist_product(hist_l, hist_r) -> float:
     """P = prod over keys of hist_l also in hist_r of rel_freq^min(cnt_l,cnt_r).
 
-    Histograms are ``list<struct<tok, rel_freq, count>>``; key equality is
-    (tok, rel_freq) — full struct equality, matching DuckDB map semantics.
+    Histograms are ``list<struct<tok, rel_freq, count>>`` or the precomputed
+    dict form; key equality is (tok, rel_freq) — full struct equality,
+    matching DuckDB map semantics.
     """
     if hist_l is None or hist_r is None or len(hist_l) == 0 or len(hist_r) == 0:
         return 1.0
-    right = {(e["tok"], e["rel_freq"]): e["count"] for e in hist_r}
+    right = hist_r if isinstance(hist_r, dict) else hist_to_dict(hist_r)
     p = 1.0
+    if isinstance(hist_l, dict):
+        for (tok, rf), cl in hist_l.items():
+            cr = right.get((tok, rf))
+            if cr:
+                p *= rf ** min(cl, cr)
+        return p
     for e in hist_l:
         cr = right.get((e["tok"], e["rel_freq"]))
         if cr:
@@ -104,6 +119,21 @@ def _eq(a: pd.Series, b: pd.Series) -> np.ndarray:
     return (a.to_numpy(dtype=object) == b.to_numpy(dtype=object)) & _notna(a) & _notna(b)
 
 
+def _sparse_rowwise(fn, al, ar, remaining: "np.ndarray | None") -> np.ndarray:
+    """Evaluate a per-row Python predicate only on still-unresolved rows —
+    the expensive kinds (levenshtein, set overlap, split_part) skip rows an
+    earlier level already claimed."""
+    n = len(al)
+    if remaining is None:
+        return np.fromiter((fn(x, y) for x, y in zip(al, ar)), dtype=bool, count=n)
+    out = np.zeros(n, dtype=bool)
+    idx = np.flatnonzero(remaining)
+    for i in idx:
+        if fn(al[i], ar[i]):
+            out[i] = True
+    return out
+
+
 class _ComparisonEvaluator:
     """Evaluates one comparison's ordered levels over a batch, returning
     (level_index, log2_bf) arrays."""
@@ -112,7 +142,13 @@ class _ComparisonEvaluator:
         self.comp = comp
         self.tf_tables = tf_tables
 
-    def _level_mask(self, lv: Level, df: pd.DataFrame, hist_p: np.ndarray | None) -> np.ndarray:
+    def _level_mask(
+        self,
+        lv: Level,
+        df: pd.DataFrame,
+        hist_p: np.ndarray | None,
+        remaining: np.ndarray | None = None,
+    ) -> np.ndarray:
         k, p = lv.kind, lv.params
         n = len(df)
         if k == "else":
@@ -153,11 +189,11 @@ class _ComparisonEvaluator:
             def _ov(x, y):
                 if x is None or y is None or len(x) == 0 or len(y) == 0:
                     return False
-                return len(set(x) & set(y)) >= kk
+                sx = x if isinstance(x, frozenset) else set(x)
+                sy = y if isinstance(y, frozenset) else set(y)
+                return len(sx & sy) >= kk
 
-            return np.fromiter(
-                (_ov(x, y) for x, y in zip(al, ar)), dtype=bool, count=n
-            )
+            return _sparse_rowwise(_ov, al, ar, remaining)
         if k == "null_or_empty_list":
             m = np.zeros(n, dtype=bool)
             for c in p["cols"]:
@@ -174,22 +210,22 @@ class _ComparisonEvaluator:
             c, kk = p["col"], p["k"]
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
-            return np.fromiter(
-                (
-                    levenshtein_leq(x, y, kk) if x is not None and y is not None else False
-                    for x, y in zip(al, ar)
-                ),
-                dtype=bool,
-                count=n,
+            return _sparse_rowwise(
+                lambda x, y: x is not None and y is not None
+                and levenshtein_leq(x, y, kk),
+                al,
+                ar,
+                remaining,
             )
         if k == "split_part_equal":
             c, part = p["col"], p["part"]
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
-            return np.fromiter(
-                (split_part(x, part) == split_part(y, part) for x, y in zip(al, ar)),
-                dtype=bool,
-                count=n,
+            return _sparse_rowwise(
+                lambda x, y: split_part(x, part) == split_part(y, part),
+                al,
+                ar,
+                remaining,
             )
         raise ValueError(f"unknown level kind {k!r}")
 
@@ -212,7 +248,7 @@ class _ComparisonEvaluator:
         for i, lv in enumerate(self.comp.levels):
             if not remaining.any():
                 break
-            mask = self._level_mask(lv, df, hist_p) & remaining
+            mask = self._level_mask(lv, df, hist_p, remaining) & remaining
             if not mask.any():
                 continue
             level_idx[mask] = i
