@@ -705,8 +705,34 @@ def _q_address_best_match(sf_dir: str):
     )
 
 
+def _q_token_freq_table(sf_dir: str):
+    """A7/A8: token frequency table over numeric + non-numeric tokens of the
+    events.props strings (the one testdata column with digits)."""
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.clean import (
+        get_token_frequency_table,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages import cleaning as C
+
+    ds = _read(sf_dir, "events", columns=["props"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {"address_concat": pc.utf8_upper(t["props"].combine_chunks())}
+        ),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(C.parse_out_numbers, batch_format="pyarrow")
+    ds = ds.map_batches(C.clean_address_string_second_pass, batch_format="pyarrow")
+    ds = ds.map_batches(C.split_numeric_tokens_to_cols, batch_format="pyarrow")
+    ds = ds.map_batches(C.tokenise_address_without_numbers, batch_format="pyarrow")
+    tf = get_token_frequency_table(ds)
+    return pa.table(
+        {"token": tf["token"], "cnt": tf["count"], "rel_freq": tf["rel_freq"]}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "token_freq_table": _q_token_freq_table,
         "clean_first_pass": _q_clean_first_pass,
         "remove_dup_end_tokens": _q_remove_dup_end_tokens,
         "parse_numbers": _q_parse_numbers,
@@ -769,6 +795,35 @@ def oracle_sql() -> dict[str, str]:
                     ELSE a
                 END AS cleaned
             FROM t
+        """,
+        "token_freq_table": f"""
+            WITH cleaned AS (
+                SELECT
+                    regexp_extract_all(
+                        array_to_string(
+                            regexp_extract_all(upper(props), '{num_sql}'), ' '),
+                        '\\d+') AS d,
+                    regexp_split_to_array(
+                        trim(regexp_replace(
+                            regexp_replace(upper(props), '{num_sql}', '', 'g'),
+                            '\\s+', ' ', 'g')),
+                        '\\s+') AS awnt
+                FROM events
+            ),
+            all_toks AS (
+                SELECT list_concat(
+                    list_filter(
+                        [CASE WHEN len(d) >= 1 THEN d[1] END,
+                         CASE WHEN len(d) >= 2 THEN d[2] END,
+                         CASE WHEN len(d) >= 3 THEN d[3] END],
+                        x -> x IS NOT NULL),
+                    awnt) AS toks
+                FROM cleaned
+            ),
+            unnested AS (SELECT unnest(toks) AS token FROM all_toks)
+            SELECT token, COUNT(*) AS cnt,
+                   COUNT(*) / (SELECT COUNT(*) FROM unnested) AS rel_freq
+            FROM unnested GROUP BY token
         """,
         "parse_numbers": f"""
             WITH t AS (

@@ -160,6 +160,26 @@ def clean_data_with_minimal_steps(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return apply_pre_tf(ds)
 
 
+def get_token_frequency_table(
+    ds: "ray.data.Dataset",
+    *,
+    numeric_cols: tuple[str, ...] = (
+        "numeric_token_1",
+        "numeric_token_2",
+        "numeric_token_3",
+    ),
+    tokens_col: str = "address_without_numbers_tokenised",
+) -> pa.Table:
+    """A7/A8 (term_frequencies.py:371-418 + pipelines.py:175-214): corpus
+    token-frequency table over numeric AND non-numeric tokens, rel_freq =
+    count / total occurrences, ordered by count desc."""
+    tf = TF.compute_token_rel_freq(ds, cols=(*numeric_cols, tokens_col))
+    order = pa.compute.sort_indices(
+        tf, sort_keys=[("count", "descending"), ("token", "ascending")]
+    )
+    return tf.take(order)
+
+
 # ---------------------------------------------------------------------------
 # C14 — adjacent-record distinguishing tokens (opt-in, ordering-sensitive)
 # ---------------------------------------------------------------------------

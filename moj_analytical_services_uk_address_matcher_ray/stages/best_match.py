@@ -149,14 +149,17 @@ def best_matches_summary(best: "ray.data.Dataset") -> pd.DataFrame:
 def calculate_match_metrics(results: "ray.data.Dataset") -> pd.DataFrame:
     """A9 (analyse_results.py:7-45): counts by COALESCE(match_reason,
     'unmatched') plus percentage strings, ordered by count desc."""
-    filled = results.map_batches(
-        lambda t: t.set_column(
+    def _fill(t: pa.Table) -> pa.Table:
+        col = t["match_reason"].combine_chunks()
+        if pa.types.is_null(col.type):  # all-null block
+            col = col.cast(pa.string())
+        return t.set_column(
             t.column_names.index("match_reason"),
             "match_reason",
-            pc.coalesce(t["match_reason"], pa.scalar("unmatched")),
-        ),
-        batch_format="pyarrow",
-    )
+            pc.coalesce(col, pa.scalar("unmatched")),
+        )
+
+    filled = results.map_batches(_fill, batch_format="pyarrow")
     counts = filled.groupby("match_reason").count().to_pandas()
     counts = counts.rename(columns={"count()": "match_count"})
     total = counts["match_count"].sum()
