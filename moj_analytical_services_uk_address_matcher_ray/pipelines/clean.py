@@ -142,7 +142,11 @@ def clean_dataset(
     """
     ds = apply_pre_tf(ds)
     if rel_tok_freq is None or end_tokens is None:
-        ds = ds.materialize()  # both TF passes read the pre-TF output once
+        ds = ds.materialize()  # the TF pass reads the pre-TF output once
+    if rel_tok_freq is None and end_tokens is None:
+        # fused single pass: token counts AND end-token counts from one
+        # partial-aggregate shuffle (saves a full corpus scan)
+        rel_tok_freq, end_tokens = _tf_and_end_tokens_single_pass(ds)
     if rel_tok_freq is None:
         rel_tok_freq = TF.tf_table_to_dict(TF.compute_token_rel_freq(ds))
     if end_tokens is None:
@@ -153,6 +157,61 @@ def clean_dataset(
         )
     tf_ref = ray.put(rel_tok_freq)
     return apply_post_tf(ds, tf_ref, end_tokens, tf_concurrency=tf_concurrency)
+
+
+def _tf_and_end_tokens_single_pass(
+    ds: "ray.data.Dataset",
+) -> tuple[dict[str, float], frozenset[str]]:
+    """One map + one groupby for BOTH corpus statistics: per-token occurrence
+    counts (from address_without_numbers_tokenised) and final-token counts
+    (from address_tokens), plus the row count for the end-token threshold."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tok_counts: Counter = Counter()
+        end_counts: Counter = Counter()
+        for lst in t["address_without_numbers_tokenised"].to_pylist():
+            if lst:
+                tok_counts.update(x for x in lst if x is not None)
+        n_rows = 0
+        for lst in t["address_tokens"].to_pylist():
+            n_rows += 1
+            if lst:
+                end_counts[lst[-1]] += 1
+        tokens = list(set(tok_counts) | set(end_counts))
+        if not tokens and n_rows:
+            tokens = [""]  # keep the row count even if no tokens at all
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "count": pa.array([tok_counts.get(x, 0) for x in tokens], pa.int64()),
+                "end_count": pa.array(
+                    [end_counts.get(x, 0) for x in tokens], pa.int64()
+                ),
+                "rows": pa.array([n_rows] + [0] * (len(tokens) - 1), pa.int64())
+                if tokens
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum(["count", "end_count", "rows"])
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+    )
+    tokens = tbl["token"].to_pylist()
+    counts = tbl["sum(count)"].to_pylist()
+    ends = tbl["sum(end_count)"].to_pylist()
+    n_rows = sum(tbl["sum(rows)"].to_pylist())
+    total = sum(counts) or 1
+    tf = {t: c / total for t, c in zip(tokens, counts) if c}
+    min_count = max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))
+    end_tokens = frozenset(t for t, e in zip(tokens, ends) if e > min_count)
+    return tf, end_tokens
 
 
 def clean_data_with_minimal_steps(ds: "ray.data.Dataset") -> "ray.data.Dataset":
