@@ -462,10 +462,34 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, threshold=0.8)
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
     return out.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        lambda t: t.select(["id_a", "id_b", "n_inter", "n_union"]),
+        batch_format="pyarrow",
     )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """Banded-LSH candidate pairs with signature-estimated Jaccard — the
+    SQL-rederivable core of the MinHash dedup flow (md5 / Kirsch-Mitzenmacher
+    hashing; see stages/dedup.py docstring)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, jaccard_threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """16-bit-block SimHash candidate pairs with exact Hamming distance —
+    the SQL-rederivable core of the SimHash dedup flow."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_hamming=3)
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -754,6 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1010,6 +1036,120 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS doc_sha256 FROM documents",
+        # MinHash core re-derived in SQL: md5-halves base hash, Kirsch-
+        # Mitzenmacher (h1 + j*h2) mod 2^64 family, 8 bands x 4 rows,
+        # signature-estimated Jaccard (n_eq/32 >= 0.5  =>  n_eq >= 16).
+        "minhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\w+') AS tk
+              FROM documents
+            ),
+            shing AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                          ELSE list_transform(range(1, len(tk) - 1),
+                                              i -> array_to_string(tk[i:i+2], ' '))
+                     END AS shingles
+              FROM toks WHERE len(tk) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shing),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+                         ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+                  FROM dsh),
+            sig AS (
+              SELECT doc_id, j,
+                     min(((h1::HUGEINT + j * h2::HUGEINT)
+                          % 18446744073709551616)::UBIGINT) AS sigv
+              FROM h CROSS JOIN range(0, 32) t(j)
+              GROUP BY doc_id, j
+            ),
+            bandkey AS (
+              SELECT doc_id, j // 4 AS band,
+                     string_agg(sigv::VARCHAR, '-' ORDER BY j) AS bucket
+              FROM sig GROUP BY doc_id, j // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bandkey a JOIN bandkey b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            neq AS (
+              SELECT least(da::VARCHAR, db::VARCHAR) AS id_a,
+                     greatest(da::VARCHAR, db::VARCHAR) AS id_b,
+                     CAST(sum(CASE WHEN sa.sigv = sb.sigv THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_eq
+              FROM cand JOIN sig sa ON sa.doc_id = da
+                        JOIN sig sb ON sb.doc_id = db AND sb.j = sa.j
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_eq FROM neq WHERE n_eq >= 16
+        """,
+        # SimHash core re-derived in SQL: per-occurrence md5 token hashes,
+        # 64-bit majority-vote fingerprint, 4 x 16-bit block buckets,
+        # Hamming distance via bit_count(xor).
+        "simhash_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok
+              FROM documents
+            ),
+            th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                              ELSE 0::UBIGINT END) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+              SELECT doc_id, s, b AS blk, (s >> (b * 16)) & 65535 AS blockval
+              FROM sig CROSS JOIN range(0, 4) t(b)
+            ),
+            cand AS (
+              SELECT DISTINCT least(a.doc_id::VARCHAR, b.doc_id::VARCHAR) AS id_a,
+                              greatest(a.doc_id::VARCHAR, b.doc_id::VARCHAR) AS id_b,
+                              CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.blockval = b.blockval AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+        """,
+        # exact n-gram-set Jaccard: pairs sharing >= 1 distinct 3-gram with
+        # |A & B| / |A | B| >= 0.5 (integer form: 2*n_inter >= n_union).
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\w+') AS tk
+              FROM documents
+            ),
+            shing AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                          ELSE list_transform(range(1, len(tk) - 1),
+                                              i -> array_to_string(tk[i:i+2], ' '))
+                     END AS shingles
+              FROM toks WHERE len(tk) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shing),
+            card AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+              FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT least(da::VARCHAR, db::VARCHAR) AS id_a,
+                   greatest(da::VARCHAR, db::VARCHAR) AS id_b,
+                   CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(ca.n + cb.n - n_inter AS BIGINT) AS n_union
+            FROM inter JOIN card ca ON ca.doc_id = da
+                       JOIN card cb ON cb.doc_id = db
+            WHERE n_inter * 2 >= (ca.n + cb.n - n_inter)
+        """,
         "events_window": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n_events,
@@ -1025,7 +1165,9 @@ def oracle_sql() -> dict[str, str]:
                        || substr(md5(text), 1, 12) AS cluster_id
             FROM documents
         """,
-        # no oracle (rows-only): minhash_dedup, simhash_dedup, ngram_jaccard,
+        # no oracle (rows-only): minhash_dedup, simhash_dedup (their
+        # SQL-expressible cores ARE oracled via minhash_pairs/simhash_pairs;
+        # only the iterative connected-components labelling is rows-only),
         # ivf_topk, lang_id, linkage_f1, address_best_match — model scoring /
         # iterative / hash-sketch ops that ANSI SQL can't express faithfully.
     }

@@ -5,17 +5,37 @@ to the web-scale dedup toolbox):
 
   * exact          — hash-partition on a content hash, keep min id per group;
   * minhash_lsh    — shingle -> minhash signature -> banded LSH buckets ->
-                     candidate pairs -> Jaccard verify -> connected comps;
-  * simhash        — 64-bit simhash over token hashes; bucket on rotated
-                     prefixes; verify Hamming distance;
-  * ngram_jaccard  — exact n-gram-set Jaccard over candidate pairs from a
-                     shared-rare-ngram block;
+                     signature-estimated-Jaccard verify -> connected comps;
+  * simhash        — 64-bit simhash over token hashes; bucket on 16-bit
+                     blocks; vectorised Hamming verify (capped + counted);
+  * ngram_jaccard  — exact n-gram-set Jaccard: DF-capped shingle blocking
+                     emits NARROW id pairs, hash-sets join back per pair;
   * embedding near-dup — cosine similarity over an embedding column, bucketed
-                     by random-hyperplane LSH (scale path) with brute-force
-                     verify inside buckets.
+                     by random-hyperplane LSH with brute-force verify inside
+                     buckets.
 
-All hashing is deterministic (blake2b / fixed seeds) so retries are stable.
-Each flavour returns (id, dup_group_id): rows sharing a group id are
+Scale discipline (round-2 rework of the round-1 versions):
+
+  * Shuffle payloads are O(signature), never O(document).  MinHash band rows
+    carry the fixed 32x8-byte signature (not the shingle set); ngram
+    blocking rows carry only (id, bucket) and the per-doc hash set is
+    attached to the ~sparse candidate-pair stream by a hash join afterwards.
+  * Every cap is counted in the metrics actor (``dedup.*_dropped``) — never
+    silent.  Hot buckets (e.g. empty/boilerplate docs hashing alike) are
+    truncated deterministically, with the drop observable.
+  * All hashing is md5-derived and deterministic so (a) retries are stable
+    and (b) a DuckDB oracle can re-derive signatures bit-for-bit
+    (``__ray_entry__.oracle_sql``: minhash_pairs / simhash_pairs): a doc's
+    base hashes are the two 64-bit halves of ``md5(shingle)`` and the
+    minhash family is Kirsch-Mitzenmacher ``(h1 + j*h2) mod 2^64`` — plain
+    integer arithmetic both in numpy (uint64 wraparound) and in DuckDB
+    (HUGEINT + explicit mod).
+
+Reference parity: the reference's near-dup surface is the trigram/trie
+matchers (unique_tokens_in_block_matcher.py, trie_matcher.py); these
+operators generalise the same block->verify shape to web-corpus dedup.
+
+Each dedup flavour returns (id, dup_group_id): rows sharing a group id are
 duplicates; singletons map to themselves.
 """
 
@@ -23,21 +43,38 @@ from __future__ import annotations
 
 import hashlib
 import re
-from collections import defaultdict
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..state.metrics import inc_metric
 from .cluster import connected_components
 
 _WORD = re.compile(r"\w+")
 
+_U64 = np.uint64
+_MOD64 = 1 << 64
 
-def _h64(s: str, seed: int = 0) -> int:
-    h = hashlib.blake2b(s.encode(), digest_size=8, salt=seed.to_bytes(8, "big"))
-    return int.from_bytes(h.digest(), "big")
+
+def _md5_halves(s: str) -> tuple[int, int]:
+    """(h1, h2): the two big-endian 64-bit halves of md5(s).  DuckDB parity:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` / ``substr(..., 17, 16)``."""
+    d = hashlib.md5(s.encode()).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
+
+
+def _h64(s: str) -> int:
+    return _md5_halves(s)[0]
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised SWAR popcount over a uint64 array (no Python loop)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> _U64(1)) & _U64(0x5555555555555555))
+    x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+    x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    return (x * _U64(0x0101010101010101)) >> _U64(56)
 
 
 # ---------------------------------------------------------------------------
@@ -48,37 +85,38 @@ def _h64(s: str, seed: int = 0) -> int:
 def exact_dedup(
     ds: "ray.data.Dataset", *, id_col: str = "doc_id", text_col: str = "text"
 ) -> "ray.data.Dataset":
-    """(id, dup_group_id): min id per identical-text group.  One partial-map
-    (hash) + one groupby shuffle."""
+    """(id, dup_group_id): min id per identical-text group.
+
+    One narrow partial map (sha256) + ONE bucketed hash shuffle; the
+    per-group min is computed by a vectorised pandas groupby inside each
+    bucket task (never one Ray UDF call per hash group)."""
+    from .bucketing import bucketed_group_apply
 
     def add_hash(t: pa.Table) -> pa.Table:
         hashes = [
             hashlib.sha256(v.encode()).hexdigest() if v is not None else None
             for v in t[text_col].to_pylist()
         ]
-        return pa.table(
-            {"id": t[id_col], "__h": pa.array(hashes, pa.string())}
-        )
+        return pa.table({"id": t[id_col], "__h": pa.array(hashes, pa.string())})
 
-    def pick(g: pa.Table) -> pa.Table:
-        ids = g["id"]
-        m = pa.compute.min(ids).as_py()
+    def pick_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"id": g["id"], "dup_group_id": g["id"]})
+        df = g.to_pandas()
+        dup = df.groupby("__h", sort=False)["id"].transform("min")
         return pa.table(
             {
-                "id": ids,
-                "dup_group_id": pa.array([m] * g.num_rows, ids.type),
+                "id": pa.array(df["id"].to_numpy(), g["id"].type),
+                "dup_group_id": pa.array(dup.to_numpy(), g["id"].type),
             }
         )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(pick, batch_format="pyarrow")
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return bucketed_group_apply(hashed, "__h", pick_bucket)
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# shingling + MinHash signatures (md5 / Kirsch-Mitzenmacher — oracle-parity)
 # ---------------------------------------------------------------------------
 
 
@@ -89,16 +127,175 @@ def _shingles(text: str, k: int) -> set[str]:
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-def _minhash_sig(sh: set[str], n_hashes: int) -> list[int]:
+def _shingle_halves(sh: set[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-by-h1 (h1, h2) uint64 arrays over the distinct shingles."""
     if not sh:
-        return [0] * n_hashes
-    return [min(_h64(s, seed) for s in sh) for seed in range(n_hashes)]
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    pairs = [_md5_halves(s) for s in sh]
+    h1 = np.fromiter((p[0] for p in pairs), dtype=np.uint64, count=len(pairs))
+    h2 = np.fromiter((p[1] for p in pairs), dtype=np.uint64, count=len(pairs))
+    order = np.argsort(h1, kind="stable")
+    return h1[order], h2[order]
+
+
+def _minhash_sig(sh: set[str], n_hashes: int) -> list[int]:
+    """sig_j = min over shingles of ((h1 + j*h2) mod 2^64).  Empty shingle
+    sets return the all-max sentinel (never collides with real buckets)."""
+    h1, h2 = _shingle_halves(sh)
+    if len(h1) == 0:
+        return [_MOD64 - 1] * n_hashes
+    j = np.arange(n_hashes, dtype=np.uint64)
+    sig = (h1[:, None] + j[None, :] * h2[:, None]).min(axis=0)  # uint64 wrap
+    return [int(v) for v in sig]
 
 
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b) if (a or b) else 1.0
+
+
+def minhash_band_rows(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> "ray.data.Dataset":
+    """NARROW LSH rows: (id, bucket, sig list<uint64>) — one row per band.
+
+    The shuffle payload is O(n_hashes) per row regardless of document size;
+    the shingle set never leaves the hashing task.  Token-less documents emit
+    no rows (nothing to match on) — counted as ``dedup.minhash_empty_docs``."""
+    rows_per_band = n_hashes // bands
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        out_id: list[str] = []
+        out_bucket: list[str] = []
+        out_sig: list[list[int]] = []
+        empty = 0
+        for i, text in enumerate(t[text_col].to_pylist()):
+            doc = str(t[id_col][i].as_py())
+            sh = _shingles(text or "", shingle_k)
+            if not sh:
+                empty += 1
+                continue
+            sig = _minhash_sig(sh, n_hashes)
+            for b in range(bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bucket = f"{b}:" + "-".join(str(v) for v in band)
+                out_id.append(doc)
+                out_bucket.append(bucket)
+                out_sig.append(sig)
+        if empty:
+            inc_metric("dedup.minhash_empty_docs", empty)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64())),
+            }
+        )
+
+    return ds.map_batches(to_bands, batch_format="pyarrow")
+
+
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, n_rows: int, n_hashes: int):
+    flat = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    return np.asarray(flat.flatten(), dtype=np.uint64).reshape(n_rows, n_hashes)
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 5_000,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, n_eq): distinct pairs sharing >=1 band bucket whose
+    signature-estimated Jaccard (``n_eq / n_hashes``) clears the threshold.
+
+    Verification is vectorised per bucket group (signature columns compared
+    with numpy, no shingle material); buckets over ``max_bucket`` docs are
+    deterministically truncated (smallest ids kept) and the dropped-doc count
+    lands in ``dedup.minhash_bucket_dropped`` — never silent."""
+    from .bucketing import bucketed_group_apply
+
+    n_eq_min = int(np.ceil(jaccard_threshold * n_hashes))
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = g.num_rows
+        a_out: list[str] = []
+        b_out: list[str] = []
+        e_out: list[int] = []
+        if n >= 2:
+            buckets = g["bucket"].to_pylist()
+            ids = g["id"].to_pylist()
+            sigs = _sig_matrix(g["sig"], n, n_hashes)
+            df = pd.DataFrame({"bucket": buckets, "row": np.arange(n)})
+            dropped = 0
+            for _, sub in df.groupby("bucket", sort=False):
+                rows = sub["row"].to_numpy()
+                if len(rows) < 2:
+                    continue
+                if len(rows) > max_bucket:
+                    order = np.argsort(
+                        np.asarray([ids[r] for r in rows], dtype=object),
+                        kind="stable",
+                    )
+                    dropped += len(rows) - max_bucket
+                    rows = rows[order][:max_bucket]
+                sub_ids = [ids[r] for r in rows]
+                S = sigs[rows]  # (m, H)
+                m = len(rows)
+                eq = (S[:, None, :] == S[None, :, :]).sum(axis=2)
+                ii, jj = np.nonzero(np.triu(eq >= n_eq_min, k=1))
+                for i, j in zip(ii, jj):
+                    if sub_ids[i] == sub_ids[j]:
+                        continue
+                    a, b = sorted((sub_ids[i], sub_ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    e_out.append(int(eq[i, j]))
+            if dropped:
+                inc_metric("dedup.minhash_bucket_dropped", dropped)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+                "n_eq": pa.array(e_out, pa.int32()),
+            }
+        )
+
+    banded = minhash_band_rows(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    pairs = bucketed_group_apply(banded, "bucket", verify_bucket)
+
+    # cross-band dedup (a pair may collide in several bands): keep first
+    def first_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        df = g.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
+
+    return bucketed_group_apply(pairs, ["id_a", "id_b"], first_bucket)
 
 
 def minhash_lsh_dedup(
@@ -110,58 +307,24 @@ def minhash_lsh_dedup(
     n_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.7,
+    max_bucket: int = 5_000,
 ) -> "ray.data.Dataset":
-    """Shingle -> minhash -> band buckets (groupby) -> candidate pairs ->
-    exact-Jaccard verify -> connected components."""
-    rows_per_band = n_hashes // bands
-
-    def to_bands(t: pa.Table) -> pa.Table:
-        out_id, out_bucket, out_sh = [], [], []
-        for i, text in enumerate(t[text_col].to_pylist()):
-            doc = str(t[id_col][i].as_py())
-            sh = _shingles(text or "", shingle_k)
-            sig = _minhash_sig(sh, n_hashes)
-            sh_ser = "\x1f".join(sorted(sh))
-            for b in range(bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bucket = f"{b}:" + hashlib.blake2b(
-                    repr(band).encode(), digest_size=8
-                ).hexdigest()
-                out_id.append(doc)
-                out_bucket.append(bucket)
-                out_sh.append(sh_ser)
-        return pa.table(
-            {
-                "id": pa.array(out_id, pa.string()),
-                "bucket": pa.array(out_bucket, pa.string()),
-                "shingles": pa.array(out_sh, pa.string()),
-            }
-        )
-
-    def verify(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        if n < 2:
-            return pa.table(
-                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
-            )
-        ids = g["id"].to_pylist()
-        shs = [set(s.split("\x1f")) if s else set() for s in g["shingles"].to_pylist()]
-        src, dst = [], []
-        seen = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
-                    continue
-                seen.add((ids[i], ids[j]))
-                if jaccard(shs[i], shs[j]) >= jaccard_threshold:
-                    src.append(ids[i])
-                    dst.append(ids[j])
-        return pa.table(
-            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
-        )
-
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    edges = banded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    """Shingle -> minhash -> band buckets -> signature-estimated-Jaccard
+    verify -> connected components.  Returns (id, dup_group_id)."""
+    pairs = minhash_candidate_pairs(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        n_hashes=n_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
+        batch_format="pyarrow",
+    )
     nodes = ds.map_batches(
         lambda t: pa.table(
             {"node": pa.array([str(v) for v in t[id_col].to_pylist()], pa.string())}
@@ -181,16 +344,124 @@ def minhash_lsh_dedup(
 
 
 def simhash64(text: str) -> int:
-    v = np.zeros(64, dtype=np.int64)
-    for tok in _WORD.findall((text or "").lower()):
-        h = _h64(tok)
-        for bit in range(64):
-            v[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if v[bit] > 0:
-            out |= 1 << bit
-    return out
+    """Charikar 64-bit simhash over per-occurrence md5 token hashes,
+    vectorised (numpy bit unpack, no per-bit Python loop)."""
+    toks = _WORD.findall((text or "").lower())
+    if not toks:
+        return 0
+    hs = np.fromiter((_h64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    # bit b (LSB-first) of each hash -> (n_toks, 64) matrix of 0/1
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = (v > 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
+
+
+def simhash_candidate_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_bucket: int = 5_000,
+) -> "ray.data.Dataset":
+    """(id_a, id_b, hamming): distinct pairs sharing >=1 16-bit block with
+    Hamming distance <= ``max_hamming`` (pigeonhole: any pair within distance
+    < n_blocks shares at least one identical block).
+
+    Verify is vectorised (XOR + SWAR popcount over the bucket's signature
+    vector); hot buckets (e.g. boilerplate docs collapsing to one block
+    value) are truncated at ``max_bucket`` docs with the drop counted in
+    ``dedup.simhash_bucket_dropped``.  Token-less docs emit no rows."""
+    from .bucketing import bucketed_group_apply
+
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
+
+    def to_blocks(t: pa.Table) -> pa.Table:
+        out_id: list[str] = []
+        out_bucket: list[str] = []
+        out_sig: list[int] = []
+        empty = 0
+        for i, text in enumerate(t[text_col].to_pylist()):
+            doc = str(t[id_col][i].as_py())
+            toks = _WORD.findall((text or "").lower())
+            if not toks:
+                empty += 1
+                continue
+            sig = simhash64(text or "")
+            for b in range(n_blocks):
+                block = (sig >> (b * block_bits)) & mask
+                out_id.append(doc)
+                out_bucket.append(f"{b}:{block:x}")
+                out_sig.append(sig)
+        if empty:
+            inc_metric("dedup.simhash_empty_docs", empty)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "sig": pa.array(out_sig, pa.uint64()),
+            }
+        )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = g.num_rows
+        a_out: list[str] = []
+        b_out: list[str] = []
+        h_out: list[int] = []
+        if n >= 2:
+            ids = g["id"].to_pylist()
+            sigs = np.asarray(g["sig"].to_pylist(), dtype=np.uint64)
+            df = pd.DataFrame({"bucket": g["bucket"].to_pylist(), "row": np.arange(n)})
+            dropped = 0
+            for _, sub in df.groupby("bucket", sort=False):
+                rows = sub["row"].to_numpy()
+                if len(rows) < 2:
+                    continue
+                if len(rows) > max_bucket:
+                    order = np.argsort(
+                        np.asarray([ids[r] for r in rows], dtype=object),
+                        kind="stable",
+                    )
+                    dropped += len(rows) - max_bucket
+                    rows = rows[order][:max_bucket]
+                sub_ids = [ids[r] for r in rows]
+                S = sigs[rows]
+                ham = _popcount64(S[:, None] ^ S[None, :])
+                ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+                for i, j in zip(ii, jj):
+                    if sub_ids[i] == sub_ids[j]:
+                        continue
+                    a, b = sorted((sub_ids[i], sub_ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    h_out.append(int(ham[i, j]))
+            if dropped:
+                inc_metric("dedup.simhash_bucket_dropped", dropped)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+                "hamming": pa.array(h_out, pa.int32()),
+            }
+        )
+
+    blocks = ds.map_batches(to_blocks, batch_format="pyarrow")
+    pairs = bucketed_group_apply(blocks, "bucket", verify_bucket)
+
+    def first_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        df = g.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
+
+    return bucketed_group_apply(pairs, ["id_a", "id_b"], first_bucket)
 
 
 def simhash_dedup(
@@ -200,49 +471,22 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int = 5_000,
 ) -> "ray.data.Dataset":
-    """Charikar simhash near-dup: 64-bit fingerprints bucketed on each of
-    ``n_blocks`` 16-bit blocks (a pair within Hamming distance ``max_hamming``
-    < ``n_blocks`` shares at least one identical block — pigeonhole), verify
-    Hamming distance inside buckets, connect components."""
-
-    def to_blocks(t: pa.Table) -> pa.Table:
-        out_id, out_bucket, out_sig = [], [], []
-        for i, text in enumerate(t[text_col].to_pylist()):
-            doc = str(t[id_col][i].as_py())
-            sig = simhash64(text or "")
-            for b in range(n_blocks):
-                block = (sig >> (b * 64 // n_blocks)) & ((1 << (64 // n_blocks)) - 1)
-                out_id.append(doc)
-                out_bucket.append(f"{b}:{block:x}")
-                out_sig.append(sig)
-        return pa.table(
-            {
-                "id": pa.array(out_id, pa.string()),
-                "bucket": pa.array(out_bucket, pa.string()),
-                "sig": pa.array(out_sig, pa.uint64()),
-            }
-        )
-
-    def verify(g: pa.Table) -> pa.Table:
-        n = g.num_rows
-        src, dst = [], []
-        if n >= 2:
-            ids = g["id"].to_pylist()
-            sigs = g["sig"].to_pylist()
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] == ids[j]:
-                        continue
-                    if bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming:
-                        src.append(ids[i])
-                        dst.append(ids[j])
-        return pa.table(
-            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
-        )
-
-    blocks = ds.map_batches(to_blocks, batch_format="pyarrow")
-    edges = blocks.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    """SimHash near-dup groups (id, dup_group_id) via block buckets +
+    Hamming verify + connected components."""
+    pairs = simhash_candidate_pairs(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        max_bucket=max_bucket,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
+        batch_format="pyarrow",
+    )
     nodes = ds.map_batches(
         lambda t: pa.table(
             {"node": pa.array([str(v) for v in t[id_col].to_pylist()], pa.string())}
@@ -257,7 +501,7 @@ def simhash_dedup(
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (exact, block on rarest shared shingle)
+# n-gram Jaccard (exact, DF-capped shingle blocking + narrow pairs)
 # ---------------------------------------------------------------------------
 
 
@@ -268,62 +512,169 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram_k: int = 3,
     threshold: float = 0.5,
-    max_block: int = 2000,
+    df_cap: int = 100_000,
+    max_pairs_per_bucket: int = 10_000_000,
 ) -> "ray.data.Dataset":
-    """Emit (id_a, id_b, jaccard) for pairs over the exact n-gram-set Jaccard
-    threshold; candidates blocked on each shared shingle hash (capped)."""
+    """(id_a, id_b, n_inter, n_union, jaccard) for pairs over the exact
+    n-gram-set Jaccard threshold.
 
-    def explode(t: pa.Table) -> pa.Table:
-        out_id, out_b, out_sh = [], [], []
+    Scale shape (round-2 rework):
+      1. one pass hashes each doc's distinct shingles to a sorted uint64
+         array -> narrow ``sigs`` table (id, hashes), materialised once;
+      2. blocking rows are (id, bucket=shingle-hash) ONLY — no document
+         payload rides the candidate shuffle.  Shingles whose document
+         frequency exceeds ``df_cap`` are skipped entirely (boilerplate
+         n-grams are non-discriminative); skipped postings are counted in
+         ``dedup.ngram_df_capped``;
+      3. per-bucket pair emission (capped at ``max_pairs_per_bucket``,
+         dropped pairs counted in ``dedup.ngram_pairs_dropped``) + first-wins
+         pair dedup — both narrow;
+      4. the per-doc hash arrays are hash-joined back onto the pair stream
+         and exact Jaccard is computed from the sorted arrays (64-bit
+         collisions are negligible).
+
+    Shuffle volume: O(total postings) + O(candidate pairs x doc shingles) —
+    the round-1 version shipped the full shingle set on EVERY posting row
+    (O(postings x doc size)) and silently truncated verify blocks."""
+    from .bucketing import bucketed_group_apply
+    from .joins import inner_join
+
+    def to_hashes(t: pa.Table) -> pa.Table:
+        ids: list[str] = []
+        hs: list[list[int]] = []
         for i, text in enumerate(t[text_col].to_pylist()):
             doc = str(t[id_col][i].as_py())
             sh = _shingles(text or "", ngram_k)
-            ser = "\x1f".join(sorted(sh))
-            for s in sh:
-                out_id.append(doc)
-                out_b.append(f"{_h64(s):x}")
-                out_sh.append(ser)
+            h1, _ = _shingle_halves(sh)
+            ids.append(doc)
+            hs.append([int(v) for v in h1])
         return pa.table(
             {
-                "id": pa.array(out_id, pa.string()),
-                "bucket": pa.array(out_b, pa.string()),
-                "shingles": pa.array(out_sh, pa.string()),
+                "id": pa.array(ids, pa.string()),
+                "hashes": pa.array(hs, pa.list_(pa.uint64())),
             }
         )
 
-    def verify(g: pa.Table) -> pa.Table:
-        n = min(g.num_rows, max_block)
-        ids = g["id"].to_pylist()[:n]
-        shs = [set(s.split("\x1f")) if s else set() for s in g["shingles"].to_pylist()[:n]]
-        a_out, b_out, j_out = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
+    sigs = ds.map_batches(to_hashes, batch_format="pyarrow").materialize()
+
+    def postings(t: pa.Table) -> pa.Table:
+        out_id: list[str] = []
+        out_b: list[int] = []
+        ids = t["id"].to_pylist()
+        for i, hl in enumerate(t["hashes"].to_pylist()):
+            for h in hl:
+                out_id.append(ids[i])
+                out_b.append(h)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.string()),
+                "bucket": pa.array(out_b, pa.uint64()),
+            }
+        )
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        a_out: list[str] = []
+        b_out: list[str] = []
+        n = g.num_rows
+        if n >= 2:
+            ids = g["id"].to_pylist()
+            df = pd.DataFrame(
+                {"bucket": np.asarray(g["bucket"].to_pylist(), dtype=np.uint64),
+                 "row": np.arange(n)}
+            )
+            df_capped = 0
+            pairs_dropped = 0
+            for _, sub in df.groupby("bucket", sort=False):
+                rows = sub["row"].to_numpy()
+                m = len(rows)
+                if m < 2:
                     continue
-                a, b = sorted((ids[i], ids[j]))
-                jac = jaccard(shs[i], shs[j])
+                if m > df_cap:
+                    df_capped += m
+                    continue
+                if m * (m - 1) // 2 > max_pairs_per_bucket:
+                    pairs_dropped += m * (m - 1) // 2 - max_pairs_per_bucket
+                    keep = int((2 * max_pairs_per_bucket) ** 0.5) + 1
+                    order = np.argsort(
+                        np.asarray([ids[r] for r in rows], dtype=object),
+                        kind="stable",
+                    )
+                    rows = rows[order][:keep]
+                    m = len(rows)
+                sub_ids = sorted(ids[r] for r in rows)
+                for i in range(m):
+                    for j in range(i + 1, m):
+                        if sub_ids[i] != sub_ids[j]:
+                            a_out.append(sub_ids[i])
+                            b_out.append(sub_ids[j])
+            if df_capped:
+                inc_metric("dedup.ngram_df_capped", df_capped)
+            if pairs_dropped:
+                inc_metric("dedup.ngram_pairs_dropped", pairs_dropped)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.string()),
+                "id_b": pa.array(b_out, pa.string()),
+            }
+        )
+
+    def first_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        df = g.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
+
+    posting_rows = sigs.map_batches(postings, batch_format="pyarrow")
+    cand = bucketed_group_apply(posting_rows, "bucket", emit_pairs)
+    cand = bucketed_group_apply(cand, ["id_a", "id_b"], first_bucket)
+
+    # attach both hash arrays (narrow join payloads) and verify exactly
+    def side(s: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{s}": t["id"], f"hashes_{s}": t["hashes"]})
+
+        return fn
+
+    withl = inner_join(cand, sigs.map_batches(side("a"), batch_format="pyarrow"), on="id_a")
+    both = inner_join(withl, sigs.map_batches(side("b"), batch_format="pyarrow"), on="id_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        a_out: list[str] = []
+        b_out: list[str] = []
+        ni_out: list[int] = []
+        nu_out: list[int] = []
+        j_out: list[float] = []
+        if n:
+            ids_a = t["id_a"].to_pylist()
+            ids_b = t["id_b"].to_pylist()
+            ha = t["hashes_a"].to_pylist()
+            hb = t["hashes_b"].to_pylist()
+            for i in range(n):
+                A = np.asarray(ha[i], dtype=np.uint64)
+                B = np.asarray(hb[i], dtype=np.uint64)
+                n_inter = int(np.intersect1d(A, B, assume_unique=True).size)
+                n_union = int(A.size + B.size - n_inter)
+                jac = 1.0 if n_union == 0 else n_inter / n_union
                 if jac >= threshold:
-                    a_out.append(a)
-                    b_out.append(b)
+                    a_out.append(ids_a[i])
+                    b_out.append(ids_b[i])
+                    ni_out.append(n_inter)
+                    nu_out.append(n_union)
                     j_out.append(jac)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
                 "id_b": pa.array(b_out, pa.string()),
+                "n_inter": pa.array(ni_out, pa.int64()),
+                "n_union": pa.array(nu_out, pa.int64()),
                 "jaccard": pa.array(j_out, pa.float64()),
             }
         )
 
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
-    )
-
-    def dedupe(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedupe, batch_format="pyarrow")
+    return both.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -345,7 +696,7 @@ def embedding_neardup_pairs(
 
     Scale path: random-hyperplane LSH buckets (vectors within a tiny angle
     almost surely share the full sign pattern) then exact cosine verify per
-    bucket — numpy matmul inside ``map_groups``."""
+    bucket — numpy matmul inside the bucketed group apply."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[vec_col])
@@ -368,21 +719,31 @@ def embedding_neardup_pairs(
         )
 
     def verify(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        a_out: list[str] = []
+        b_out: list[str] = []
+        c_out: list[float] = []
         n = g.num_rows
-        a_out, b_out, c_out = [], [], []
         if n >= 2:
             ids = g["id"].to_pylist()
             V = np.asarray(g["vec"].to_pylist(), dtype=np.float32)
             norms = np.linalg.norm(V, axis=1)
             norms[norms == 0] = 1.0
             Vn = V / norms[:, None]
-            sims = Vn @ Vn.T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a, b = sorted((ids[i], ids[j]))
-                a_out.append(a)
-                b_out.append(b)
-                c_out.append(float(sims[i, j]))
+            df = pd.DataFrame({"bucket": g["bucket"].to_pylist(), "row": np.arange(n)})
+            for _, sub in df.groupby("bucket", sort=False):
+                rows = sub["row"].to_numpy()
+                if len(rows) < 2:
+                    continue
+                sub_ids = [ids[r] for r in rows]
+                sims = Vn[rows] @ Vn[rows].T
+                ii, jj = np.where(np.triu(sims >= threshold, k=1))
+                for i, j in zip(ii, jj):
+                    a, b = sorted((sub_ids[i], sub_ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    c_out.append(float(sims[i, j]))
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.string()),
@@ -391,8 +752,7 @@ def embedding_neardup_pairs(
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
-    )
+    from .bucketing import bucketed_group_apply
+
+    bucketized = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed_group_apply(bucketized, "bucket", verify)
