@@ -36,7 +36,12 @@ def pre_tf_stages() -> list:
         C.upper_case_address_and_postcode,
         C.canonicalise_postcode,
         C.clean_address_string_first_pass,
-        C.remove_duplicate_end_tokens,
+        # NOTE: remove_duplicate_end_tokens is deliberately NOT in the
+        # default queue — the reference defines _remove_duplicate_end_tokens
+        # but never wires it into QUEUE_PRE_TF (cleaning/pipelines.py:35-48),
+        # so running it here would diverge original_address_concat (the
+        # exact-match join key) from reference output.  It remains available
+        # as an opt-in operator (stages/cleaning.py, C6).
         C.derive_original_address_concat,
         C.parse_out_flat_position_and_letter,
         C.parse_out_numbers,

@@ -195,13 +195,32 @@ def detect_hot_keys(
     *,
     hot_key_threshold: int = 10_000,
     salt_rows: int = 5_000,
+    id_col: str = "ukam_address_id",
 ) -> dict[tuple[int, str], int]:
     """Count per-(rule, key) rows on the larger (canonical) side with a
-    partial-aggregate pass; return salt factors for keys above threshold."""
+    partial-aggregate pass; return salt factors for keys above threshold.
+
+    When the threshold is large enough (>= ~3200 rows) the count runs over a
+    deterministic 1/16 row sample (hash of the row id) and scales up — a key
+    at the threshold has an expected sample count of >= 200, so the relative
+    sampling error is a few percent, far inside the 2x headroom a salt
+    factor tolerates.  This cuts the pre-pass cost ~16x; small thresholds
+    fall back to the exact count."""
+    import zlib
+
+    sample_mod = 16 if hot_key_threshold >= 3200 else 1
 
     def _partial(t: pa.Table) -> pa.Table:
         from collections import Counter
 
+        if sample_mod > 1:
+            ids = t[id_col].to_pylist()
+            keep = [
+                i
+                for i, v in enumerate(ids)
+                if zlib.crc32(str(v).encode()) % sample_mod == 0
+            ]
+            t = t.take(pa.array(keep, pa.int64()))
         counts: Counter = Counter()
         for rule_idx, rule in enumerate(rules):
             cols = [e.evaluate(t) for e in rule.l_exprs]
@@ -227,8 +246,8 @@ def detect_hot_keys(
     for batch in agg.iter_batches(batch_format="pyarrow"):
         keys = zip(batch["rule_idx"].to_pylist(), batch["block_key"].to_pylist())
         for key, cnt in zip(keys, batch["sum(count)"].to_pylist()):
-            if cnt > hot_key_threshold:
-                hot[key] = max(2, (cnt + salt_rows - 1) // salt_rows)
+            if cnt * sample_mod > hot_key_threshold:
+                hot[key] = max(2, (cnt * sample_mod + salt_rows - 1) // salt_rows)
     if hot:
         inc_metric("blocking.hot_keys", len(hot))
     return hot
@@ -346,6 +365,7 @@ def generate_candidate_pairs(
     hot_key_threshold: int | None = None,
     id_col: str = "ukam_address_id",
     ordered_self_pairs: bool = False,
+    dedupe: bool = True,
 ) -> "ray.data.Dataset":
     """J6 end-to-end: key derivation -> one groupby shuffle -> pair emission
     -> cross-rule dedup.  ``canon`` rows become ``*_l``, ``messy`` ``*_r``.
@@ -353,6 +373,11 @@ def generate_candidate_pairs(
     ``ordered_self_pairs=True`` is the self-dedup mode (canon is messy): only
     pairs with ``id_l < id_r`` survive, so each unordered pair appears once
     and self-pairs never do — applied *before* the dedup shuffle to halve it.
+
+    ``dedupe=False`` skips the cross-rule dedup shuffle — callers that score
+    the pair stream with a fused threshold dedupe AFTER scoring instead (a
+    pair scores identically under every rule, so deduping the few surviving
+    rows is far cheaper than shuffling every raw candidate).
     """
     parsed = (
         parse_blocking_rules(rules) if rules and isinstance(rules[0], str) else rules
@@ -397,7 +422,8 @@ def generate_candidate_pairs(
             ),
             batch_format="pyarrow",
         )
-    pairs = dedupe_pairs_first_rule_wins(pairs, id_col=id_col)
+    if dedupe:
+        pairs = dedupe_pairs_first_rule_wins(pairs, id_col=id_col)
 
     # pairs are generated and deduped NARROW (ids + rule only) so the heavy
     # payload columns (token histograms) never ride the emission + dedup
@@ -428,97 +454,35 @@ def generate_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _store_from_table(
-    b: pa.Table, payload_cols: list[str], id_col: str, comparison_ready: bool
-) -> dict:
-    from .scoring import hist_to_dict
+def _build_arrow_store(
+    ds: "ray.data.Dataset", carry_cols: list[str]
+) -> "ray.ObjectRef":
+    """Broadcast feature store as ONE combined-chunk Arrow table.
 
-    ids = b[id_col].to_pylist()
-    cols = []
-    for c in payload_cols:
-        vals = b[c].to_pylist()
-        if comparison_ready and c.endswith("_hist"):
-            vals = [hist_to_dict(v) for v in vals]
-        elif comparison_ready and c == "fp_tokens":
-            vals = [frozenset(v) if v is not None else None for v in vals]
-        cols.append(vals)
-    return {rid: tuple(col[i] for col in cols) for i, rid in enumerate(ids)}
-
-
-@ray.remote
-def _store_task(payload_cols: list[str], id_col: str, ready: bool, *blocks) -> dict:
-    store: dict = {}
-    for b in blocks:
-        store.update(_store_from_table(b, payload_cols, id_col, ready))
-    return store
-
-
-def _build_feature_store(
-    ds: "ray.data.Dataset", carry_cols: list[str], id_col: str,
-    *, comparison_ready: bool = False,
-) -> tuple[dict, dict]:
-    """Driver-side id -> row-tuple store + arrow types of the payload cols.
-
-    ``comparison_ready=True`` (safe only when the scored output does not
-    re-emit payload columns) pre-transforms histogram columns to
-    {(tok, rel_freq): count} dicts and fp token lists to frozensets, so the
-    per-pair comparisons skip their per-call conversions."""
-    payload_cols = [c for c in carry_cols if c != id_col]
-    store: dict = {}
-    types: dict = {}
-    for b in ds.select_columns(carry_cols).iter_batches(batch_format="pyarrow"):
-        for c in payload_cols:
-            if c not in types:
-                types[c] = b[c].type
-        store.update(_store_from_table(b, payload_cols, id_col, comparison_ready))
-    return store, types
-
-
-def _build_feature_store_async(
-    ds: "ray.data.Dataset", carry_cols: list[str], id_col: str,
-    *, comparison_ready: bool = False,
-):
-    """Off-driver store build: conversion work runs in parallel remote tasks
-    (overlapping pair generation); returns (ObjectRef[dict], types)."""
-    payload_cols = [c for c in carry_cols if c != id_col]
+    An Arrow table in plasma is read ZERO-COPY by every consumer —
+    ``ray.get`` costs ~nothing per actor regardless of table size.  (The
+    round-1 store was a Python dict of row tuples: each scorer actor paid a
+    full 38 MB unpickle, ~7-8 s under 16-way contention on the 55k-row
+    scaling corpus — the dominant anti-scaling term of the whole pipeline.)
+    The id -> row-index map is rebuilt per actor from the id column (~50 ms
+    for 10^5 rows); per-pair payload conversion happens per batch on the
+    gathered Arrow rows instead of up front."""
     refs = ds.select_columns(carry_cols).to_arrow_refs()
-    # types from the first non-empty block (cheap driver fetch)
-    types: dict = {}
-    for r in refs:
-        b = ray.get(r)
-        if b.num_rows or not types:
-            for c in payload_cols:
-                types[c] = b[c].type
-        if b.num_rows:
-            break
-    n_tasks = max(1, min(8, len(refs)))
-    chunks = [refs[i::n_tasks] for i in range(n_tasks)]
-    partials = [
-        _store_task.remote(payload_cols, id_col, comparison_ready, *chunk)
-        for chunk in chunks
-        if chunk
-    ]
-
-    @ray.remote
-    def _merge(*parts):
-        out: dict = {}
-        for p in parts:
-            out.update(p)
-        return out
-
-    return _merge.remote(*partials), types
+    blocks = [b for b in ray.get(refs) if b.num_rows] or [ray.get(refs[0])]
+    combined = pa.concat_tables(blocks).combine_chunks()
+    return ray.put(combined)
 
 
 class _BroadcastScorer:
     """Actor-pool stage over NARROW pairs: gather both sides' features from
-    the broadcast store (zero-copy ray.get, once per actor), assemble the
-    pair batch in Arrow, score, filter, project."""
+    the broadcast Arrow store (zero-copy ray.get once per actor; one Arrow
+    ``take`` per side per batch), score in pandas-object view, filter,
+    project."""
 
     def __init__(
         self,
         store_l_ref,
         store_r_ref,
-        types_ref,
         model_ref,
         tf_ref,
         *,
@@ -527,13 +491,18 @@ class _BroadcastScorer:
         threshold: float | None,
         emit_cols: list[str] | None,
     ):
-        from .scoring import _ComparisonEvaluator
+        from .scoring import _ComparisonEvaluator, hist_to_dict
 
-        self.store_l = ray.get(store_l_ref)
-        self.store_r = (
-            self.store_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
+        self.tab_l: pa.Table = ray.get(store_l_ref)
+        self.tab_r: pa.Table = (
+            self.tab_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
         )
-        self.types = ray.get(types_ref)
+        self.idx_l = {v: i for i, v in enumerate(self.tab_l[id_col].to_pylist())}
+        self.idx_r = (
+            self.idx_l
+            if self.tab_r is self.tab_l
+            else {v: i for i, v in enumerate(self.tab_r[id_col].to_pylist())}
+        )
         model = ray.get(model_ref)
         tf = ray.get(tf_ref)
         self.evaluators = [
@@ -544,6 +513,37 @@ class _BroadcastScorer:
         self.id_col = id_col
         self.threshold = threshold
         self.emit_cols = emit_cols
+        # comparison-ready object columns, converted ONCE PER RECORD per
+        # actor (lazily, first batch).  Per-batch Arrow take + to_pandas on
+        # list<struct> histogram columns costs ~40us/pair in dict
+        # construction — per-record conversion amortises it across the ~60
+        # pairs each record participates in.
+        self._hist_to_dict = hist_to_dict
+        self._ready_l: dict[str, np.ndarray] = {}
+        self._ready_r: dict[str, np.ndarray] = {}
+
+    def _ready_col(self, side: str, c: str) -> np.ndarray:
+        cache = self._ready_l if side == "l" else self._ready_r
+        got = cache.get(c)
+        if got is not None:
+            return got
+        tab = self.tab_l if side == "l" else self.tab_r
+        if side == "r" and self.tab_r is self.tab_l:
+            cache = self._ready_l  # share conversions in self-dedup mode
+            got = cache.get(c)
+            if got is not None:
+                self._ready_r[c] = got
+                return got
+        vals = tab[c].to_pylist()
+        if c.endswith("_hist"):
+            vals = [self._hist_to_dict(v) for v in vals]
+        elif pa.types.is_list(tab[c].type) or pa.types.is_large_list(tab[c].type):
+            vals = [frozenset(v) if v is not None else None for v in vals]
+        arr = np.asarray(vals, dtype=object)
+        cache[c] = arr
+        if side == "r" and self.tab_r is self.tab_l:
+            self._ready_r[c] = arr
+        return arr
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -557,21 +557,19 @@ class _BroadcastScorer:
                 "match_probability", pa.array([], pa.float64())
             )
             return empty.select(self.emit_cols) if self.emit_cols else empty
-        ids_l = t[kl].to_pylist()
-        ids_r = t[kr].to_pylist()
-        rows_l = [self.store_l[i] for i in ids_l]
-        rows_r = [self.store_r[i] for i in ids_r]
-        # evaluate directly on pandas OBJECT columns — nested payloads (hist
-        # lists) are never re-encoded to Arrow on the hot path
+        take_l = np.fromiter(
+            (self.idx_l[i] for i in t[kl].to_pylist()), dtype=np.int64, count=n
+        )
+        take_r = np.fromiter(
+            (self.idx_r[i] for i in t[kr].to_pylist()), dtype=np.int64, count=n
+        )
+        # evaluation view: per-record comparison-ready object columns,
+        # gathered by numpy fancy-indexing (pointer copies, no Arrow take)
         df_data: dict = {}
-        for ci, c in enumerate(self.payload_cols):
-            df_data[f"{c}_l"] = np.fromiter(
-                (r[ci] for r in rows_l), dtype=object, count=n
-            )
-        for ci, c in enumerate(self.payload_cols):
-            df_data[f"{c}_r"] = np.fromiter(
-                (r[ci] for r in rows_r), dtype=object, count=n
-            )
+        for c in self.payload_cols:
+            df_data[f"{c}_l"] = self._ready_col("l", c)[take_l]
+        for c in self.payload_cols:
+            df_data[f"{c}_r"] = self._ready_col("r", c)[take_r]
         df = pd.DataFrame(df_data, copy=False)
 
         from ..state.metrics import inc_metric
@@ -601,18 +599,16 @@ class _BroadcastScorer:
             + [f"{c}_{s}" for c in self.payload_cols for s in ("l", "r")]
             + ["match_weight", "match_probability"]
         )
-        kept_rows = np.flatnonzero(keep)
-        for name in wanted:
-            if name in out:
-                continue
-            for s, rows in (("_l", rows_l), ("_r", rows_r)):
-                if name.endswith(s) and name[: -len(s)] in self.payload_cols:
-                    c = name[: -len(s)]
-                    ci = self.payload_cols.index(c)
-                    out[name] = pa.array(
-                        [rows[i][ci] for i in kept_rows], self.types[c]
-                    )
-                    break
+        if any(name not in out for name in wanted):
+            kept_l = pa.array(take_l[keep], pa.int64())
+            kept_r = pa.array(take_r[keep], pa.int64())
+            for name in wanted:
+                if name in out:
+                    continue
+                for s, tab, kept in (("_l", self.tab_l, kept_l), ("_r", self.tab_r, kept_r)):
+                    if name.endswith(s) and name[: -len(s)] in self.payload_cols:
+                        out[name] = tab[name[: -len(s)]].take(kept)
+                        break
         return pa.table({k: out[k] for k in wanted if k in out})
 
 
@@ -629,21 +625,10 @@ def _broadcast_score(
     id_col: str,
 ) -> "ray.data.Dataset":
     payload_cols = [c for c in carry_cols if c != id_col]
-    emits_payload = emit_cols is None or any(
-        c[:-2] in payload_cols for c in emit_cols if c.endswith(("_l", "_r"))
+    store_l_ref = _build_arrow_store(canon, carry_cols)
+    store_r_ref = (
+        store_l_ref if messy is canon else _build_arrow_store(messy, carry_cols)
     )
-    # store construction runs in remote tasks, OVERLAPPING the narrow pair
-    # generation upstream; scorer actors block on the refs in __init__
-    store_l_ref, types = _build_feature_store_async(
-        canon, carry_cols, id_col, comparison_ready=not emits_payload
-    )
-    if messy is canon:
-        store_r_ref = store_l_ref
-    else:
-        store_r_ref, _ = _build_feature_store_async(
-            messy, carry_cols, id_col, comparison_ready=not emits_payload
-        )
-    types_ref = ray.put(types)
     model_ref = ray.put(model)
     tf_ref = ray.put(tf_tables or {})
     try:
@@ -651,11 +636,12 @@ def _broadcast_score(
     except Exception:
         cpus = 8
     # autoscaling pool: grows toward cpus-2 when upstream keeps it fed, but
-    # never reserves every slot (which would starve pair emission/dedup)
+    # never reserves every slot (which would starve pair emission/dedup);
+    # actor init is ~zero-cost (zero-copy Arrow store), so ramping is cheap
     pool = (2, max(3, cpus - 2))
     return pairs.map_batches(
         _BroadcastScorer,
-        fn_constructor_args=(store_l_ref, store_r_ref, types_ref, model_ref, tf_ref),
+        fn_constructor_args=(store_l_ref, store_r_ref, model_ref, tf_ref),
         fn_constructor_kwargs={
             "payload_cols": payload_cols,
             "id_col": id_col,
@@ -734,6 +720,13 @@ def generate_and_score_pairs(
         if (rules_list := model.blocking_rules) and isinstance(rules_list[0], str)
         else model.blocking_rules
     )
+    payload_cols = [c for c in carry_cols if c != id_col]
+
+    if payload_mode == "auto":
+        same = canon is messy
+        n = canon.count() + (0 if same else messy.count())
+        payload_mode = "broadcast" if n < broadcast_threshold else "shuffle"
+
     pairs = generate_candidate_pairs(
         canon,
         messy,
@@ -743,16 +736,17 @@ def generate_and_score_pairs(
         hot_key_threshold=hot_key_threshold,
         id_col=id_col,
         ordered_self_pairs=ordered_self_pairs,
+        # broadcast path: a pair scores identically under every rule, so the
+        # cross-rule dedup shuffle runs AFTER score+threshold, on the few
+        # surviving rows instead of the full raw candidate stream
+        dedupe=(payload_mode != "broadcast"),
     )
-    payload_cols = [c for c in carry_cols if c != id_col]
-
-    if payload_mode == "auto":
-        same = canon is messy
-        n = canon.count() + (0 if same else messy.count())
-        payload_mode = "broadcast" if n < broadcast_threshold else "shuffle"
 
     if payload_mode == "broadcast":
-        return _broadcast_score(
+        internal_emit = emit_cols
+        if emit_cols is not None and "rule_idx" not in emit_cols:
+            internal_emit = list(emit_cols) + ["rule_idx"]
+        scored = _broadcast_score(
             pairs,
             canon,
             messy,
@@ -760,9 +754,15 @@ def generate_and_score_pairs(
             tf_tables=tf_tables,
             carry_cols=carry_cols,
             threshold=threshold_match_weight,
-            emit_cols=emit_cols,
+            emit_cols=internal_emit,
             id_col=id_col,
         )
+        deduped = dedupe_pairs_first_rule_wins(scored, id_col=id_col)
+        if internal_emit is not emit_cols:
+            deduped = deduped.map_batches(
+                lambda t: t.select(emit_cols), batch_format="pyarrow"
+            )
+        return deduped
 
     def _l_payload(t: pa.Table) -> pa.Table:
         data = {f"{id_col}_l": t[id_col]}

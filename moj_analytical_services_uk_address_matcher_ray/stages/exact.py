@@ -308,23 +308,38 @@ def run_deterministic_match_pass(
     """matching_stages.py:214-307: EXACT always first, then enabled stages;
     each stage only sees records no earlier stage matched; output = every
     fuzzy row + nullable (resolved_canonical_id, canonical_ukam_address_id,
-    match_reason)."""
+    match_reason).
+
+    Each stage restricts the canonical side with ITS OWN strategy: exact and
+    unique_trigram use ``restrict_strategy`` (default 'exact'), but the trie
+    stage always restricts and blocks via drop_last_char — the reference
+    builds tries per postcode-minus-last-char group (input_filters.py:70-75,
+    resolve_with_trie.py:28-35), so trie matches across a differing final
+    postcode character are reachable."""
     from .trie import resolve_with_trie
 
-    if restrict_key is not None:
-        canon_r = restrict_canonical_to_fuzzy_keys(
-            canon, fuzzy, key_col=restrict_key, strategy=restrict_strategy,
-            num_partitions=num_partitions,
-        ).materialize()
-    else:
-        canon_r = canon
+    restricted: dict[str, "ray.data.Dataset"] = {}
+
+    def canon_for(strategy: str) -> "ray.data.Dataset":
+        if restrict_key is None:
+            return canon
+        if strategy not in restricted:
+            restricted[strategy] = restrict_canonical_to_fuzzy_keys(
+                canon, fuzzy, key_col=restrict_key, strategy=strategy,
+                num_partitions=num_partitions,
+            ).materialize()
+        return restricted[strategy]
 
     stage_fns = {
-        "exact": lambda fz: annotate_exact_matches(fz, canon_r, match_cols=match_cols),
-        "unique_trigram": lambda fz: resolve_with_trigrams(
-            fz, canon_r, num_partitions=num_partitions
+        "exact": lambda fz: annotate_exact_matches(
+            fz, canon_for(restrict_strategy), match_cols=match_cols
         ),
-        "trie": lambda fz: resolve_with_trie(fz, canon_r),
+        "unique_trigram": lambda fz: resolve_with_trigrams(
+            fz, canon_for(restrict_strategy), num_partitions=num_partitions
+        ),
+        "trie": lambda fz: resolve_with_trie(
+            fz, canon_for("drop_last_char"), block_strategy="drop_last_char"
+        ),
     }
     ordered = ["exact"] + [s for s in stages if s != "exact"]
 

@@ -59,10 +59,12 @@ def levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
-def split_part(s, part: int) -> str:
-    """DuckDB split_part: 1-based, '' when out of range or null."""
+def split_part(s, part: int) -> str | None:
+    """DuckDB split_part: 1-based, '' when out of range, NULL propagates
+    (split_part(NULL, ...) IS NULL — a NULL-side comparison can never fire
+    an equality level, mirroring DuckDB's three-valued logic)."""
     if s is None or (isinstance(s, float) and np.isnan(s)):
-        return ""
+        return None
     parts = s.split(" ")
     return parts[part - 1] if 0 < part <= len(parts) else ""
 
@@ -221,12 +223,12 @@ class _ComparisonEvaluator:
             c, part = p["col"], p["part"]
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
-            return _sparse_rowwise(
-                lambda x, y: split_part(x, part) == split_part(y, part),
-                al,
-                ar,
-                remaining,
-            )
+            def _sp_eq(x, y):
+                px, py = split_part(x, part), split_part(y, part)
+                # NULL = NULL is NULL in SQL -> the level does NOT fire
+                return px is not None and py is not None and px == py
+
+            return _sparse_rowwise(_sp_eq, al, ar, remaining)
         raise ValueError(f"unknown level kind {k!r}")
 
     def evaluate(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:

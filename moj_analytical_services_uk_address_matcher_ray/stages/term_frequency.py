@@ -95,6 +95,41 @@ def tf_table_to_dict(tf: pa.Table) -> dict[str, float]:
     return dict(zip(tf["token"].to_pylist(), tf["rel_freq"].to_pylist()))
 
 
+def get_numeric_term_frequencies(
+    ds: "ray.data.Dataset", *, cleaned: bool = False
+) -> dict[str, dict[str, float]]:
+    """Numeric-token TF lookups for numeric_token_1..3 — the reference ALWAYS
+    registers these on its linker (splink_model.py:117-131, builder
+    cleaning/pipelines.py:175-214: unnest numeric_tokens, tf = count/total).
+
+    ``cleaned=False`` (default): ``ds`` is a raw address table
+    (address_concat [+ postcode]); the numeric tokens are derived with the
+    same partial clean queue the reference uses.  ``cleaned=True``: ``ds``
+    already has numeric_token_1..3 columns (tokens beyond the third were
+    dropped at split time, a negligible tail).
+
+    One partial-aggregate pass either way; the same lookup dict is shared by
+    all three column keys, ready to pass as ``tf_tables=`` to the scoring
+    stages."""
+    if cleaned:
+        cols = ("numeric_token_1", "numeric_token_2", "numeric_token_3")
+        tf = compute_token_rel_freq(ds, cols=cols)
+    else:
+        from . import cleaning as C
+
+        for fn in (
+            C.trim_whitespace_address_and_postcode,
+            C.upper_case_address_and_postcode,
+            C.clean_address_string_first_pass,
+            C.parse_out_flat_position_and_letter,
+            C.parse_out_numbers,
+        ):
+            ds = ds.map_batches(fn, batch_format="pyarrow")
+        tf = compute_token_rel_freq(ds, cols=("numeric_tokens",))
+    lookup = tf_table_to_dict(tf)
+    return {f"numeric_token_{i}": lookup for i in (1, 2, 3)}
+
+
 # ---------------------------------------------------------------------------
 # pass 2 — annotate rows with token_rel_freq_arr (A1 second half / A2)
 # ---------------------------------------------------------------------------

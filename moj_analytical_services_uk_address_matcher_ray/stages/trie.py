@@ -64,9 +64,17 @@ def resolve_with_trie(
     *,
     tokens_col: str = "address_tokens",
     block_col: str = "postcode",
+    block_strategy: str = "drop_last_char",  # "exact" | "drop_last_char"
     min_depth: int = 2,
 ) -> "ray.data.Dataset":
-    """Per-group trie build + probe; emits the standard match projection."""
+    """Per-group trie build + probe; emits the standard match projection.
+
+    ``block_strategy="drop_last_char"`` is the reference behaviour: tries are
+    grouped by the postcode with its final character dropped and fuzzy rows
+    join on the same prefix (resolve_with_trie.py:28-35 ``LEFT(postcode,
+    LENGTH(postcode)-1) = postcode_group``) — matching across a differing
+    last postcode character is the stage's core purpose.  NULL or length<=1
+    postcodes get a NULL group (input_filters.py:51-55) and never match."""
 
     def _project(t, side: str):
         import pyarrow as pa
@@ -76,15 +84,26 @@ def resolve_with_trie(
             if side == "c" and "unique_id" in t.column_names
             else [None] * t.num_rows
         )
-        return pa.table(
+        if block_strategy == "drop_last_char":
+            block_vals = pa.array(
+                [
+                    (v[:-1] if v is not None and len(v) > 1 else None)
+                    for v in t[block_col].to_pylist()
+                ],
+                pa.string(),
+            )
+        else:
+            block_vals = t[block_col]
+        out = pa.table(
             {
                 "ukam_address_id": t["ukam_address_id"],
                 "canonical_unique_id": pa.array(uid, pa.string()),
                 "__tokens": t[tokens_col],
-                "__block": t[block_col],
+                "__block": block_vals,
                 "__side": pa.array([side] * t.num_rows, pa.string()),
             }
         )
+        return out.filter(pa.compute.is_valid(out["__block"]))
 
     fz = fuzzy.map_batches(_project, batch_format="pyarrow", fn_kwargs={"side": "f"})
     cz = canon.map_batches(_project, batch_format="pyarrow", fn_kwargs={"side": "c"})

@@ -178,6 +178,32 @@ def test_resolve_with_trie(ray_session):
     assert got[0]["canonical_ukam_address_id"] == "c1"
 
 
+def test_resolve_with_trie_across_last_postcode_char(ray_session):
+    """The trie stage's core purpose (reference resolve_with_trie.py:28-35):
+    tries group on postcode-minus-last-char, so a fuzzy row whose postcode
+    differs ONLY in the final character still reaches the canonical trie."""
+    fuzzy = rd.from_items(
+        [
+            {
+                "unique_id": 9,
+                "ukam_address_id": "f9",
+                "postcode": "AB1 2CE",  # canonical c1 has AB1 2CD
+                "address_tokens": ["1", "HIGH", "STREET"],
+            },
+            {
+                "unique_id": 10,
+                "ukam_address_id": "f10",
+                "postcode": None,  # NULL group never matches
+                "address_tokens": ["1", "HIGH", "STREET"],
+            },
+        ]
+    )
+    out = resolve_with_trie(fuzzy, _canon()).materialize()
+    got = {r["ukam_address_id"]: r["canonical_ukam_address_id"] for r in out.take_all()}
+    assert got.get("f9") == "c1"
+    assert "f10" not in got
+
+
 def test_self_dedup_exclude_self(ray_session):
     ds = rd.from_items(
         [

@@ -33,7 +33,7 @@ def test_split_part_duckdb_semantics():
     assert split_part("W1G 9SU", 1) == "W1G"
     assert split_part("W1G 9SU", 2) == "9SU"
     assert split_part("W1G", 2) == ""  # out of range -> ''
-    assert split_part(None, 1) == ""
+    assert split_part(None, 1) is None  # NULL propagates (DuckDB)
 
 
 def test_hist_product():
