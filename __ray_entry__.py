@@ -50,22 +50,39 @@ def _docs_as_address(t: pa.Table) -> pa.Table:
 
 
 def _derive_repo_files(t: pa.Table) -> pa.Table:
-    """Deterministic documents -> (repo, path, commit, lang, content)."""
+    """Deterministic documents -> (repo, path, commit, lang, content).
+
+    Every doc_id % 20 == 0 document is ALSO emitted as an exact copy under a
+    different repo/path, so the clustering oracle is non-vacuous: the
+    pipeline must cluster each copy with its original via the content-sha
+    edge (cluster_id = MIN(unique_id) OVER (PARTITION BY text) in SQL)."""
     import hashlib
 
     texts = t["text"].to_pylist()
     ids = t["doc_id"].to_pylist()
     srcs = t["source"].to_pylist()
     langs = t["lang"].to_pylist()
+    repo, path, commit, lang, content = [], [], [], [], []
+    for i, s, lg, x in zip(ids, srcs, langs, texts):
+        h = hashlib.md5(x.encode()).hexdigest()[:12]
+        repo.append(f"org/{s}")
+        path.append(f"src/doc_{i}.txt")
+        commit.append(h)
+        lang.append(lg)
+        content.append(x)
+        if i % 20 == 0:
+            repo.append("org/dup")
+            path.append(f"copies/doc_{i}.txt")
+            commit.append(h)
+            lang.append(lg)
+            content.append(x)
     return pa.table(
         {
-            "repo": pa.array([f"org/{s}" for s in srcs], pa.string()),
-            "path": pa.array([f"src/doc_{i}.txt" for i in ids], pa.string()),
-            "commit": pa.array(
-                [hashlib.md5(x.encode()).hexdigest()[:12] for x in texts], pa.string()
-            ),
-            "lang": pa.array(langs, pa.string()),
-            "content": pa.array(texts, pa.string()),
+            "repo": pa.array(repo, pa.string()),
+            "path": pa.array(path, pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "content": pa.array(content, pa.string()),
         }
     )
 
@@ -677,12 +694,12 @@ def _q_address_best_match(sf_dir: str):
         best_matches_with_distinguishability,
     )
     from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
-        generate_candidate_pairs,
+        generate_and_score_pairs,
     )
     from moj_analytical_services_uk_address_matcher_ray.stages.rescore import (
+        RESCORE_EMIT_COLS,
         improve_predictions_using_distinguishing_tokens,
     )
-    from moj_analytical_services_uk_address_matcher_ray.stages.scoring import score_pairs
     from moj_analytical_services_uk_address_matcher_ray.state.model import (
         default_address_model,
     )
@@ -715,10 +732,18 @@ def _q_address_best_match(sf_dir: str):
     messy_c = clean_dataset(messy).materialize()
     canon_c = clean_dataset(canon).materialize()
     model = default_address_model()
-    pairs = generate_candidate_pairs(
-        canon_c, messy_c, model.blocking_rules, carry_cols=PAIR_CARRY_COLS
+    # fused narrow-pairs + broadcast-store scoring: the wide payload never
+    # rides the pair emission/dedup shuffles; only RESCORE_EMIT_COLS
+    # materialise, post-threshold (round-1 audit item: this query previously
+    # shipped the full histogram payload through every pair shuffle)
+    scored = generate_and_score_pairs(
+        canon_c,
+        messy_c,
+        model,
+        carry_cols=PAIR_CARRY_COLS,
+        threshold_match_weight=-50,
+        emit_cols=RESCORE_EMIT_COLS,
     )
-    scored = score_pairs(pairs, model, threshold_match_weight=-50, concurrency=2)
     improved = improve_predictions_using_distinguishing_tokens(scored)
     best = best_matches_with_distinguishability(improved, messy_c)
     return best.map_batches(
@@ -1157,13 +1182,26 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_cents
             FROM events GROUP BY user_id, date_trunc('hour', ts)
         """,
+        # non-vacuous clustering oracle: every doc_id % 20 == 0 document is
+        # planted twice (org/dup copy); the pipeline must join each copy to
+        # its original via the exact content-sha edge, so cluster_id is the
+        # min unique_id over identical-text groups — fails if clustering is
+        # disabled or the deterministic exact pass breaks.
         "code_clusters": """
-            SELECT 'org/' || source || '::src/doc_' || doc_id || '.txt@'
-                       || substr(md5(text), 1, 12) AS unique_id,
-                   sha256(text) AS content_sha256,
-                   'org/' || source || '::src/doc_' || doc_id || '.txt@'
-                       || substr(md5(text), 1, 12) AS cluster_id
-            FROM documents
+            WITH all_rows AS (
+                SELECT 'org/' || source || '::src/doc_' || doc_id || '.txt@'
+                           || substr(md5(text), 1, 12) AS unique_id,
+                       text
+                FROM documents
+                UNION ALL
+                SELECT 'org/dup::copies/doc_' || doc_id || '.txt@'
+                           || substr(md5(text), 1, 12),
+                       text
+                FROM documents WHERE doc_id % 20 = 0
+            )
+            SELECT unique_id, sha256(text) AS content_sha256,
+                   MIN(unique_id) OVER (PARTITION BY text) AS cluster_id
+            FROM all_rows
         """,
         # no oracle (rows-only): minhash_dedup, simhash_dedup (their
         # SQL-expressible cores ARE oracled via minhash_pairs/simhash_pairs;

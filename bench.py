@@ -44,7 +44,11 @@ def ensure_corpus(sf: float) -> str:
     the job is compute-bound, not fixed-overhead-bound, at both levels)."""
     scale = float(os.environ.get("UAM_BENCH_SCALE", "1"))
     n_clusters = max(200, int(60000 * sf * scale))
-    path = os.path.join(CACHE, f"corpus_seed42_n{n_clusters}")
+    # repo count scales with the corpus (a fixed repo count makes the
+    # repo-token blocking groups grow linearly with corpus size and the
+    # candidate pairs quadratically — unrealistic and superlinear)
+    n_repos = max(200, n_clusters // 60)
+    path = os.path.join(CACHE, f"corpus_seed42_n{n_clusters}_r{n_repos}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from moj_analytical_services_uk_address_matcher_ray.datagen import (
@@ -53,7 +57,7 @@ def ensure_corpus(sf: float) -> str:
         )
 
         os.makedirs(path, exist_ok=True)
-        write_corpus(path, GenConfig(seed=42, n_clusters=n_clusters, n_repos=200))
+        write_corpus(path, GenConfig(seed=42, n_clusters=n_clusters, n_repos=n_repos))
         with open(marker, "w") as f:
             f.write("ok")
     return os.path.join(path, "repo_files.parquet")

@@ -109,11 +109,14 @@ def apply_post_tf(
     end_tokens: frozenset[str],
     *,
     tf_concurrency: int | tuple[int, int] | None = None,
+    tf_default: float | None = None,
 ) -> "ray.data.Dataset":
     tf_concurrency = tf_concurrency or _auto_concurrency()
+    annot_kwargs = {} if tf_default is None else {"default": tf_default}
     ds = ds.map_batches(
         TF.TermFrequencyAnnotator,
         fn_constructor_args=(tf,),
+        fn_constructor_kwargs=annot_kwargs,
         batch_format="pyarrow",
         concurrency=tf_concurrency,
     )
@@ -146,12 +149,13 @@ def clean_dataset(
     derives the common-end-token set from the corpus itself.
     """
     ds = apply_pre_tf(ds)
+    tf_default = None
     if rel_tok_freq is None or end_tokens is None:
         ds = ds.materialize()  # the TF pass reads the pre-TF output once
     if rel_tok_freq is None and end_tokens is None:
         # fused single pass: token counts AND end-token counts from one
         # partial-aggregate shuffle (saves a full corpus scan)
-        rel_tok_freq, end_tokens = _tf_and_end_tokens_single_pass(ds)
+        rel_tok_freq, end_tokens, tf_default = _tf_and_end_tokens_single_pass(ds)
     if rel_tok_freq is None:
         rel_tok_freq = TF.tf_table_to_dict(TF.compute_token_rel_freq(ds))
     if end_tokens is None:
@@ -161,15 +165,22 @@ def clean_dataset(
             counts, min_count=max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))
         )
     tf_ref = ray.put(rel_tok_freq)
-    return apply_post_tf(ds, tf_ref, end_tokens, tf_concurrency=tf_concurrency)
+    return apply_post_tf(
+        ds, tf_ref, end_tokens, tf_concurrency=tf_concurrency, tf_default=tf_default
+    )
 
 
 def _tf_and_end_tokens_single_pass(
     ds: "ray.data.Dataset",
-) -> tuple[dict[str, float], frozenset[str]]:
+) -> tuple[dict[str, float], frozenset[str], float]:
     """One map + one groupby for BOTH corpus statistics: per-token occurrence
     counts (from address_without_numbers_tokenised) and final-token counts
-    (from address_tokens), plus the row count for the end-token threshold."""
+    (from address_tokens), plus the row count for the end-token threshold.
+
+    Singleton tokens (count == 1 — the bulk of the vocabulary when content
+    fingerprints ride the address text) are NOT stored: their rel_freq is
+    exactly ``1/total``, which is returned as the annotator default, so the
+    broadcast dict shrinks ~6x with bit-identical annotation output."""
 
     def partial(t: pa.Table) -> pa.Table:
         from collections import Counter
@@ -213,10 +224,10 @@ def _tf_and_end_tokens_single_pass(
     ends = tbl["sum(end_count)"].to_pylist()
     n_rows = sum(tbl["sum(rows)"].to_pylist())
     total = sum(counts) or 1
-    tf = {t: c / total for t, c in zip(tokens, counts) if c}
+    tf = {t: c / total for t, c in zip(tokens, counts) if c > 1}
     min_count = max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))
     end_tokens = frozenset(t for t, e in zip(tokens, ends) if e > min_count)
-    return tf, end_tokens
+    return tf, end_tokens, 1.0 / total
 
 
 def clean_data_with_minimal_steps(ds: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -253,16 +264,25 @@ _REMOVE_IN_ADJ = {"FLAT", "APARTMENT", "UNIT"}
 
 def derive_adjacent_distinguishing_tokens(
     ds: "ray.data.Dataset",
+    *,
+    presorted: bool = False,
 ) -> "ray.data.Dataset":
     """token_parsing.py:11-115: sort by reverse(address_concat); compare each
     row's token suffix with its sorted neighbours; split tokens into
     ``distinguishing_adj_start_tokens`` (head) and ``common_adj_start_tokens``
     (shared suffix).
 
-    Ray note: ``ds.sort`` gives the global order; lag/lead are evaluated
-    within each batch after a coalescing repartition, so up to one row per
-    block boundary sees a missing neighbour (treated as no-overlap) — an
-    explicitly documented approximation of the reference's global window.
+    EXACT global-window semantics: after the global sort, each ordered block
+    is processed with a one-row sidecar from its neighbouring blocks (the
+    previous block's last row and the next block's first row), so boundary
+    rows see their true lag/lead neighbours — bit-identical to the
+    reference's single-table window.  This is one of the rare spots where
+    raw Ray tasks are used (the Dataset API has no ordered cross-block
+    window): a tiny edge-row fetch per block, then one task per block, and
+    the results re-enter ``ray.data`` via ``from_arrow_refs``.
+
+    ``presorted=True`` skips the sort (caller guarantees global order by
+    reverse(address_concat)) — used by tests to control block layout.
     """
 
     def add_sort_key(t: pa.Table) -> pa.Table:
@@ -274,7 +294,9 @@ def derive_adjacent_distinguishing_tokens(
             ),
         )
 
-    ds = ds.map_batches(add_sort_key, batch_format="pyarrow").sort("__rev")
+    if not presorted:
+        ds = ds.map_batches(add_sort_key, batch_format="pyarrow").sort("__rev")
+    ds = ds.materialize()  # pin the ordered block layout
 
     def windows(t: pa.Table) -> pa.Table:
         toks_all = [
@@ -304,7 +326,8 @@ def derive_adjacent_distinguishing_tokens(
             split = len(toks) - k
             dis.append(toks[:split])
             com.append(toks[split:])
-        t = t.drop_columns(["__rev"])
+        if "__rev" in t.column_names:
+            t = t.drop_columns(["__rev"])
         t = t.append_column(
             "distinguishing_adj_start_tokens", pa.array(dis, pa.list_(pa.string()))
         )
@@ -313,4 +336,30 @@ def derive_adjacent_distinguishing_tokens(
         )
         return t
 
-    return ds.map_batches(windows, batch_format="pyarrow", batch_size=8192)
+    refs = [r for r in ds.to_arrow_refs()]
+
+    @ray.remote
+    def _edges(t: pa.Table):
+        if t.num_rows == 0:
+            return None, None
+        return t.slice(0, 1), t.slice(t.num_rows - 1, 1)
+
+    edges = ray.get([_edges.remote(r) for r in refs])
+    live = [i for i, (f, _) in enumerate(edges) if f is not None]
+
+    @ray.remote
+    def _process(t: pa.Table, prev_last, next_first) -> pa.Table:
+        parts = [p for p in (prev_last, t, next_first) if p is not None]
+        ext = pa.concat_tables(parts, promote_options="default")
+        out = windows(ext)
+        start = prev_last.num_rows if prev_last is not None else 0
+        return out.slice(start, t.num_rows)
+
+    out_refs = []
+    for pos, i in enumerate(live):
+        prev_last = edges[live[pos - 1]][1] if pos > 0 else None
+        next_first = edges[live[pos + 1]][0] if pos + 1 < len(live) else None
+        out_refs.append(_process.remote(refs[i], prev_last, next_first))
+    if not out_refs:
+        return ds.map_batches(windows, batch_format="pyarrow")
+    return ray.data.from_arrow_refs(out_refs)

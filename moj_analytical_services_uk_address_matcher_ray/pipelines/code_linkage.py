@@ -195,6 +195,7 @@ def dedup_code_corpus(
     scorer_concurrency: int | tuple[int, int] = 4,
     use_rescore: bool = False,
     num_partitions: int = 32,
+    broadcast_clusters_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Self-dedup the corpus into entity clusters.
 
@@ -203,13 +204,16 @@ def dedup_code_corpus(
     model = model or code_model(blocking_rules=list(CODE_BLOCKING_RULES))
     cleaned = prepare_code_dataset(files).materialize()
 
-    # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256)
+    # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256).
+    #    Deliberately NOT materialised — the streaming executor runs this
+    #    groupby concurrently with the blocking+scoring branch below; both
+    #    feed the connected-components union.
     exact = annotate_exact_matches(
         cleaned,
         cleaned,
         match_cols=("content_sha256",),
         exclude_self=True,
-    ).materialize()
+    )
     exact_edges = exact.map_batches(
         lambda t: pa.table(
             {"src": t["ukam_address_id"], "dst": t["canonical_ukam_address_id"]}
@@ -224,9 +228,11 @@ def dedup_code_corpus(
     #    inside the scoring task.
     from ..stages.blocking import generate_and_score_pairs
 
+    from ..stages.rescore import RESCORE_EMIT_COLS
+
     fused_threshold = score_threshold if use_rescore else edge_threshold - 1e-9
     emit = (
-        None
+        RESCORE_EMIT_COLS  # rescore reads exactly these; wide payload stays put
         if use_rescore
         else ["ukam_address_id_l", "ukam_address_id_r", "match_weight"]
     )
@@ -245,19 +251,13 @@ def dedup_code_corpus(
         scored = improve_predictions_using_distinguishing_tokens(
             scored, match_weight_threshold=score_threshold
         )
-    edges = scored.map_batches(
-        lambda t: pa.table(
-            {
-                "src": t.filter(pc.greater_equal(t["match_weight"], edge_threshold))[
-                    "ukam_address_id_l"
-                ],
-                "dst": t.filter(pc.greater_equal(t["match_weight"], edge_threshold))[
-                    "ukam_address_id_r"
-                ],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def _edges(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.greater_equal(t["match_weight"], edge_threshold))
+        return pa.table(
+            {"src": kept["ukam_address_id_l"], "dst": kept["ukam_address_id_r"]}
+        )
+
+    edges = scored.map_batches(_edges, batch_format="pyarrow")
 
     # 3. transitive closure over exact + probabilistic edges
     nodes = cleaned.map_batches(
@@ -268,8 +268,6 @@ def dedup_code_corpus(
     )
 
     # 4. map surrogate ids back to (unique_id, sha256)
-    from ..stages.joins import inner_join
-
     id_map = cleaned.map_batches(
         lambda t: pa.table(
             {
@@ -280,6 +278,77 @@ def dedup_code_corpus(
         ),
         batch_format="pyarrow",
     )
+    comps = comps.materialize()
+    if comps.count() <= broadcast_clusters_threshold:
+        # broadcast fast path: the cluster map rides plasma once; attaching
+        # it and relabelling are shuffle-free map stages plus ONE tiny
+        # groupby over per-batch partial minima (clusters x blocks rows).
+        cmap_ref = ray.put(
+            {
+                n: c
+                for b in comps.iter_batches(batch_format="pyarrow")
+                for n, c in zip(b["node"].to_pylist(), b["cluster_id"].to_pylist())
+            }
+        )
+
+        def attach(t: pa.Table) -> pa.Table:
+            cmap = ray.get(cmap_ref)
+            clusters = [cmap[n] for n in t["node"].to_pylist()]
+            return pa.table(
+                {
+                    "unique_id": t["unique_id"],
+                    "content_sha256": t["content_sha256"],
+                    "cluster_id": pa.array(clusters, pa.string()),
+                }
+            )
+
+        out = id_map.map_batches(attach, batch_format="pyarrow").materialize()
+
+        def partial_min(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "cluster_id": t["cluster_id"].to_pylist(),
+                    "min_uid": t["unique_id"].to_pylist(),
+                }
+            )
+            g = df.groupby("cluster_id", sort=False)["min_uid"].min().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        mins = (
+            out.map_batches(partial_min, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .min("min_uid")
+        )
+        relabel_ref = ray.put(
+            {
+                c: m
+                for b in mins.iter_batches(batch_format="pyarrow")
+                for c, m in zip(
+                    b["cluster_id"].to_pylist(), b["min(min_uid)"].to_pylist()
+                )
+            }
+        )
+
+        def relabel(t: pa.Table) -> pa.Table:
+            rl = ray.get(relabel_ref)
+            return pa.table(
+                {
+                    "unique_id": t["unique_id"],
+                    "content_sha256": t["content_sha256"],
+                    "cluster_id": pa.array(
+                        [rl[c] for c in t["cluster_id"].to_pylist()], pa.string()
+                    ),
+                }
+            )
+
+        return out.map_batches(relabel, batch_format="pyarrow")
+
+    # shuffle path (cluster map too large to broadcast): hash join + bucketed
+    # relabel — the 10^12-row route
+    from ..stages.joins import inner_join
+
     out = inner_join(id_map, comps, on="node", num_partitions=num_partitions)
     out = out.map_batches(
         lambda t: pa.table(

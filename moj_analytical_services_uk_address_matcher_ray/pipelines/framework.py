@@ -77,6 +77,29 @@ def batch_stage(fn: Callable, name: str | None = None, **batch_kwargs) -> Stage:
     )
 
 
+@dataclass
+class DebugOptions:
+    """Analogue of the reference's ``DebugOptions`` (sql_pipeline/
+    runner.py:196-238): per-stage incremental materialisation with wall
+    timing, row counts, and optional Ray Data ``stats()`` capture.
+
+    Debugging aid only — materialising every stage defeats operator fusion,
+    so never enable in production runs."""
+
+    materialize_each_stage: bool = True
+    row_counts: bool = True
+    capture_stats: bool = False  # keep ds.stats() text per stage
+    print_timings: bool = False  # print the report as stages complete
+
+
+@dataclass
+class StageReport:
+    name: str
+    seconds: float
+    rows: int | None = None
+    stats: str | None = None
+
+
 class Pipeline:
     """Ordered stage list; stages fuse lazily, checkpoints cut the graph.
 
@@ -98,6 +121,7 @@ class Pipeline:
         self.description = description
         self.checkpoint_dir = checkpoint_dir
         self.timings: list[tuple[str, float]] = []
+        self.reports: list[StageReport] = []
 
     def describe(self) -> str:
         lines = [f"Pipeline: {self.name}"]
@@ -108,9 +132,16 @@ class Pipeline:
             lines.append(f"  {i:02d} {s.name}{mark}  {s.description}")
         return "\n".join(lines)
 
-    def run(self, ds: "ray.data.Dataset", **ctx: Any) -> "ray.data.Dataset":
+    def run(
+        self,
+        ds: "ray.data.Dataset",
+        *,
+        debug: DebugOptions | None = None,
+        **ctx: Any,
+    ) -> "ray.data.Dataset":
         from ..state.checkpoint import checkpoint_stage
 
+        self.reports = []
         for i, s in enumerate(self.stages):
             t0 = time.perf_counter()
             if s.checkpoint and self.checkpoint_dir:
@@ -121,5 +152,31 @@ class Pipeline:
                 )
             else:
                 ds = s.apply(ds, **ctx)
-            self.timings.append((s.name, time.perf_counter() - t0))
+            rows = stats = None
+            if debug is not None and debug.materialize_each_stage:
+                ds = ds.materialize()
+                if debug.row_counts:
+                    rows = ds.count()
+                if debug.capture_stats:
+                    stats = ds.stats()
+            dt = time.perf_counter() - t0
+            self.timings.append((s.name, dt))
+            rep = StageReport(name=s.name, seconds=dt, rows=rows, stats=stats)
+            self.reports.append(rep)
+            if debug is not None and debug.print_timings:
+                row_s = "" if rows is None else f"  rows={rows}"
+                print(f"[{self.name}] {i:02d} {s.name}: {dt:.3f}s{row_s}")
         return ds
+
+    def report(self) -> str:
+        """Per-stage timing table from the last debug run (the reference's
+        runner timing report, runner.py:493-610)."""
+        if not self.reports:
+            return f"Pipeline: {self.name} (no debug run recorded)"
+        width = max(len(r.name) for r in self.reports)
+        total = sum(r.seconds for r in self.reports)
+        lines = [f"Pipeline: {self.name}  total={total:.3f}s"]
+        for i, r in enumerate(self.reports):
+            row_s = "" if r.rows is None else f"  rows={r.rows:>9}"
+            lines.append(f"  {i:02d} {r.name:<{width}}  {r.seconds:8.3f}s{row_s}")
+        return "\n".join(lines)

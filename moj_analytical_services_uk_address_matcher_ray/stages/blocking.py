@@ -473,6 +473,30 @@ def _build_arrow_store(
     return ray.put(combined)
 
 
+def _hist_dicts_from_arrow(col) -> list:
+    """list<struct<tok, rel_freq, count>> column -> list of
+    {(tok, rel_freq): count} dicts.
+
+    ``to_pylist`` on list<struct> builds a Python dict PER STRUCT ENTRY
+    (~4s for a 54k-row store); reading the flattened child fields instead
+    and slicing by offsets is ~4x faster for the same output."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = col.values  # struct child region, offsets index into it
+    toks = flat.field("tok").to_pylist()
+    rfs = flat.field("rel_freq").to_pylist()
+    cnts = flat.field("count").to_pylist()
+    off = col.offsets.to_numpy()
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    out = []
+    for i in range(len(col)):
+        if not valid[i]:
+            out.append(None)
+            continue
+        s, e = off[i], off[i + 1]
+        out.append({(toks[j], rfs[j]): cnts[j] for j in range(s, e)})
+    return out
+
+
 class _BroadcastScorer:
     """Actor-pool stage over NARROW pairs: gather both sides' features from
     the broadcast Arrow store (zero-copy ray.get once per actor; one Arrow
@@ -534,12 +558,14 @@ class _BroadcastScorer:
             if got is not None:
                 self._ready_r[c] = got
                 return got
-        vals = tab[c].to_pylist()
         if c.endswith("_hist"):
-            vals = [self._hist_to_dict(v) for v in vals]
+            vals = _hist_dicts_from_arrow(tab[c])
         elif pa.types.is_list(tab[c].type) or pa.types.is_large_list(tab[c].type):
-            vals = [frozenset(v) if v is not None else None for v in vals]
-        arr = np.asarray(vals, dtype=object)
+            vals = [frozenset(v) if v is not None else None for v in tab[c].to_pylist()]
+        else:
+            vals = tab[c].to_pylist()
+        arr = np.empty(len(vals), dtype=object)
+        arr[:] = vals
         cache[c] = arr
         if side == "r" and self.tab_r is self.tab_l:
             self._ready_r[c] = arr

@@ -153,8 +153,20 @@ def connected_components(
 
     from .bucketing import bucketed_group_apply
 
+    def _precombine(t: pa.Table) -> pa.Table:
+        """Per-batch combiner before each round's shuffle: dedupe (node, nbr)
+        rows batch-locally.  Hash-to-Min re-emits both directions every
+        round, so duplicates accumulate fast; dropping them in the map side
+        shrinks the shuffle (the mega-cluster star is the worst case: the
+        min node's row set is OTHERWISE re-shipped in full every round)."""
+        import pandas as pd
+
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     prev = None
     for _ in range(max_rounds):
+        adj = adj.map_batches(_precombine, batch_format="pyarrow")
         adj = bucketed_group_apply(
             adj, "node", _hash_to_min_round_bucket
         ).materialize()

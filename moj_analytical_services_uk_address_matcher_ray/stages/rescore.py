@@ -41,6 +41,25 @@ MISSING_TOKEN_PENALTY = 0.1
 
 _WS = re.compile(r"\s+")
 
+#: the exact pair columns the rescore group function reads — callers scoring
+#: with the fused narrow-pairs path (blocking.generate_and_score_pairs)
+#: should pass this as ``emit_cols`` so only these columns ever materialise
+#: on the scored pair stream (the full wide payload stays in the broadcast
+#: feature store).
+RESCORE_EMIT_COLS = [
+    "ukam_address_id_l",
+    "ukam_address_id_r",
+    "unique_id_l",
+    "unique_id_r",
+    "original_address_concat_l",
+    "original_address_concat_r",
+    "postcode_l",
+    "postcode_r",
+    "common_end_tokens_hist_r",
+    "match_weight",
+    "match_probability",
+]
+
 
 def _tokens(addr: str | None, postcode: str | None) -> list[str]:
     """concat_ws(' ', addr, postcode).trim().upper().split(r'\\s+')."""

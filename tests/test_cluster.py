@@ -27,6 +27,35 @@ def test_chain_and_triangle_distributed(ray_session):
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "d"}
 
 
+def test_planted_mega_cluster_distributed(ray_session):
+    """One 100k-node planted cluster through the DISTRIBUTED Hash-to-Min
+    path (driver_threshold=0): the min node's star is the worst-case group;
+    must converge without OOM and label every node with the min id."""
+    import pyarrow as pa
+    import ray
+
+    n = 100_000
+    # a 100k-node star (the min node's group IS the whole cluster) plus a
+    # 64-node chain tail so convergence still needs multiple rounds
+    tail = 64
+    src = [f"n{1:06d}"] * (n - tail - 1) + [
+        f"n{i:06d}" for i in range(n - tail, n - 1)
+    ]
+    dst = [f"n{i:06d}" for i in range(2, n - tail + 1)] + [
+        f"n{i + 1:06d}" for i in range(n - tail, n - 1)
+    ]
+    src.append(f"n{0:06d}")  # attach the true min via one edge
+    dst.append(f"n{n - tail:06d}")
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    edges = rd.from_arrow_refs([ray.put(t)])
+    out = connected_components(
+        edges, driver_threshold=0, max_rounds=60
+    ).materialize()
+    assert out.count() == n
+    labels = {r["cluster_id"] for r in out.take_all()}
+    assert labels == {"n000000"}
+
+
 def test_matches_local_union_find(ray_session):
     import random
 

@@ -1,0 +1,52 @@
+"""Smoke tests for the runnable examples (the reference's
+tests/test_full_examples.py:7-94 pattern: run each example small, assert it
+completes and its headline numbers are sane)."""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_example_matching(ray_session):
+    from examples.example_matching import main
+
+    got, total = main(n_canonical=80, n_messy=30, verbose=False)
+    assert total == 30
+    assert got >= 24  # >=80% of planted matches recovered on the small corpus
+
+
+def test_match_one(ray_session):
+    from examples._example_data import make_canonical
+    from examples.match_one import main
+
+    # query = a messy variant of a real canonical row (abbreviated street)
+    canon = make_canonical()
+    addr = canon["address_concat"][0].as_py().replace("STREET", "ST").replace(
+        "ROAD", "RD"
+    )
+    pc = canon["postcode"][0].as_py()
+    rows = main(addr, pc, verbose=False)
+    assert len(rows) >= 1
+    assert rows[0]["unique_id_l"] == "c0"
+    assert rows[0]["match_weight"] > -20
+
+
+def test_preclean_corpus(ray_session, tmp_path):
+    from examples.preclean_corpus import main
+
+    out = str(tmp_path / "precleaned")
+    manifest = main(out, n=60, verbose=False)
+    assert manifest["rows"] == 60
+    # resumable: a second call returns the manifest without rewriting
+    again = main(out, n=60, verbose=False)
+    assert again["rows"] == 60
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_corpus_example(ray_session):
+    from examples.dedup_corpus import main
+
+    m = main(n_clusters=60, verbose=False)
+    assert m["f1"] >= 0.98
