@@ -188,8 +188,98 @@ def run_scaling() -> dict:
     }
 
 
+def run_actor_curve() -> dict:
+    """pairs/s per scorer actor at fixed pool sizes over CONSTANT work —
+    the single-box memory-bandwidth probe (a flat per-actor curve means the
+    scoring stage itself scales; a falling one is the shared-memory ceiling
+    a real multi-node cluster would not have)."""
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        CODE_BLOCKING_RULES,
+        DEDUP_CARRY_COLS,
+        prepare_code_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages import blocking as B
+    from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
+
+    sf = _sf_value(SF_DIR)
+    corpus_path = ensure_corpus(sf)
+    cleaned = prepare_code_dataset(rd.read_parquet(corpus_path)).materialize()
+    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    parsed = B.parse_blocking_rules(model.blocking_rules)
+    pairs = B.generate_candidate_pairs(
+        cleaned,
+        cleaned,
+        parsed,
+        carry_cols=["ukam_address_id"],
+        max_pairs_per_block=50_000,
+        ordered_self_pairs=True,
+        dedupe=False,
+    ).materialize()
+    n_pairs = pairs.count()
+    store_ref = B._build_arrow_store(cleaned, DEDUP_CARRY_COLS)
+    model_ref = ray.put(model)
+    tf_ref = ray.put({})
+    payload_cols = [c for c in DEDUP_CARRY_COLS if c != "ukam_address_id"]
+
+    curve = {}
+    for n_actors in (4, 8, 16, 32):
+        if n_actors > NUM_CPUS:
+            continue
+        t0 = time.perf_counter()
+        pairs.map_batches(
+            B._BroadcastScorer,
+            fn_constructor_args=(store_ref, store_ref, model_ref, tf_ref),
+            fn_constructor_kwargs={
+                "payload_cols": payload_cols,
+                "id_col": "ukam_address_id",
+                "threshold": 10.0,
+                "emit_cols": [
+                    "ukam_address_id_l",
+                    "ukam_address_id_r",
+                    "match_weight",
+                ],
+            },
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(n_actors, n_actors),
+            num_cpus=1,
+        ).materialize().count()
+        dt = time.perf_counter() - t0
+        curve[n_actors] = {
+            "sec": round(dt, 2),
+            "pairs_per_sec": round(n_pairs / dt, 1),
+            "pairs_per_sec_per_actor": round(n_pairs / dt / n_actors, 1),
+        }
+    ray.shutdown()
+    return {
+        "metric": "scorer throughput vs fixed actor-pool size (constant work)",
+        "pairs": n_pairs,
+        "num_cpus": NUM_CPUS,
+        "curve": curve,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--actor-curve" in sys.argv:
+        print(json.dumps(run_actor_curve()))
     else:
         print(json.dumps(run_bench()))

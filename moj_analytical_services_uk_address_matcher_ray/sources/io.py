@@ -92,15 +92,103 @@ def union_sources(configs: list[SourceConfig]) -> "ray.data.Dataset":
 
 
 #: S6 — dataset registry: name -> () -> Dataset factory
-DATASET_REGISTRY: dict[str, Callable[[], "ray.data.Dataset"]] = {}
+@dataclass(frozen=True)
+class DatasetInfo:
+    """Metadata for a registered benchmark dataset (the reference's
+    DatasetInfo, benchmarking/datasets/registry.py:41-47)."""
+
+    name: str
+    description: str = ""
+    kind: str = "table"  # "table" | "linkage_corpus"
 
 
-def register_dataset(name: str, factory: Callable[[], "ray.data.Dataset"]) -> None:
-    DATASET_REGISTRY[name] = factory
+@dataclass(frozen=True)
+class RegisteredDataset:
+    name: str
+    info: DatasetInfo
+    loader: Callable[[], "ray.data.Dataset"]
+
+
+DATASET_REGISTRY: dict[str, RegisteredDataset] = {}
+
+
+def register_dataset(
+    name: str,
+    factory: Callable[[], "ray.data.Dataset"],
+    *,
+    description: str = "",
+    kind: str = "table",
+) -> None:
+    if name in DATASET_REGISTRY:
+        raise ValueError(f"dataset {name!r} is already registered")
+    DATASET_REGISTRY[name] = RegisteredDataset(
+        name=name,
+        info=DatasetInfo(name=name, description=description, kind=kind),
+        loader=factory,
+    )
 
 
 def load_registered(name: str) -> "ray.data.Dataset":
-    return DATASET_REGISTRY[name]()
+    if name not in DATASET_REGISTRY:
+        register_default_datasets()
+    if name not in DATASET_REGISTRY:
+        available = ", ".join(sorted(DATASET_REGISTRY)) or "none"
+        raise ValueError(f"unknown dataset {name!r}; available: {available}")
+    return DATASET_REGISTRY[name].loader()
+
+
+def list_datasets() -> list[str]:
+    if not DATASET_REGISTRY:
+        register_default_datasets()
+    return sorted(DATASET_REGISTRY)
+
+
+def get_dataset_info(name: str) -> DatasetInfo:
+    if name not in DATASET_REGISTRY:
+        register_default_datasets()
+    return DATASET_REGISTRY[name].info
+
+
+def register_default_datasets(
+    testdata_root: str = "/root/testdata",
+) -> None:
+    """Wire the registry to the corpora this environment actually has: the
+    driver-generated sf parquet tables, the deterministic datagen linkage
+    corpus, and the examples' synthetic address tables (reference pattern:
+    benchmarking/datasets/registry.py wiring named loaders)."""
+    import ray.data as rd
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = os.path.join(testdata_root, f"sf{sf}")
+        if not os.path.isdir(d):
+            continue
+        for table in ("documents", "embeddings", "events"):
+            p = os.path.join(d, f"{table}.parquet")
+            if not os.path.exists(p):
+                continue
+            name = f"{table}_sf{sf}"
+            if name in DATASET_REGISTRY:
+                continue
+            register_dataset(
+                name,
+                lambda p=p: rd.read_parquet(p),
+                description=f"driver testdata {table} at sf{sf}",
+            )
+
+    if "code_corpus_small" not in DATASET_REGISTRY:
+
+        def _code_corpus() -> "ray.data.Dataset":
+            from ..datagen import GenConfig, generate_corpus
+
+            files, _ = generate_corpus(GenConfig(seed=42, n_clusters=300))
+            return rd.from_arrow(files)
+
+        register_dataset(
+            "code_corpus_small",
+            _code_corpus,
+            description="deterministic datagen linkage corpus (300 clusters)",
+            kind="linkage_corpus",
+        )
 
 
 def write_parquet_with_manifest(

@@ -17,7 +17,130 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from .joins import inner_join
+from .joins import inner_join, left_join
+
+
+def jaro_similarity(a: str, b: str) -> float:
+    """Classic Jaro similarity (public algorithm; DuckDB exposes the same as
+    jaro_similarity)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    match_dist = max(la, lb) // 2 - 1
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - match_dist)
+        hi = min(lb, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_similarity(a: str | None, b: str | None, p: float = 0.1) -> float:
+    """Jaro-Winkler (prefix-boosted Jaro, standard scaling p=0.1, max prefix
+    4) — the similarity the reference's mismatch analysis ranks by
+    (benchmarking/analysis/mismatches.py:69-74, DuckDB builtin)."""
+    if a is None or b is None:
+        return 0.0
+    jaro = jaro_similarity(a, b)
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca == cb:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * p * (1.0 - jaro)
+
+
+def analyse_mismatches(
+    matches: "ray.data.Dataset",
+    canonical: "ray.data.Dataset",
+    *,
+    samples_per_reason: int = 10,
+    top_worst: int = 10,
+) -> dict[str, pd.DataFrame]:
+    """Mismatch triage (benchmarking/analysis/mismatches.py:9-120): for
+    matched rows whose prediction disagrees with the ground truth
+    (unique_id != resolved_canonical_id), attach the predicted canonical
+    address, score ground-truth vs prediction with Jaro-Winkler, and return
+    (a) deterministic per-match-reason samples and (b) the worst mismatches.
+
+    Distributed shape: filter + hash join + map_batches similarity, then two
+    SMALL driver-side frames (samples_per_reason x reasons and top_worst
+    rows) — the mismatch set itself never materialises on the driver."""
+    bad = matches.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t["match_reason"]),
+                pc.not_equal(t["unique_id"], t["resolved_canonical_id"]),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    canon_side = canonical.map_batches(
+        lambda t: pa.table(
+            {
+                "canonical_ukam_address_id": t["ukam_address_id"],
+                "predicted_address": t["original_address_concat"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left_join(bad, canon_side, on="canonical_ukam_address_id")
+
+    def score(t: pa.Table) -> pa.Table:
+        gt = t["original_address_concat"].to_pylist()
+        pred = t["predicted_address"].to_pylist()
+        sims = [jaro_winkler_similarity(a, b) for a, b in zip(gt, pred)]
+        out = pa.table(
+            {
+                "unique_id": t["unique_id"],
+                "resolved_canonical_id": t["resolved_canonical_id"],
+                "match_reason": t["match_reason"],
+                "ground_truth_address": t["original_address_concat"],
+                "predicted_address": t["predicted_address"],
+                "similarity_score": pa.array(sims, pa.float64()),
+            }
+        )
+        return out
+
+    scored = score_ds = joined.map_batches(score, batch_format="pyarrow")
+    worst = scored.sort("similarity_score").limit(top_worst).to_pandas()
+
+    # deterministic per-reason sampling: first-k by hash of unique_id
+    def sample_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        g = g.assign(
+            __h=[zlib.crc32(str(u).encode()) for u in g["unique_id"]]
+        ).sort_values("__h", kind="mergesort")
+        return g.head(samples_per_reason).drop(columns="__h")
+
+    from .bucketing import bucketed_pandas_groupby
+
+    samples = bucketed_pandas_groupby(
+        score_ds, "match_reason", sample_bucket
+    ).to_pandas()
+    return {"random_samples": samples, "worst_mismatches": worst}
 
 
 def evaluate_predictions_against_labels(

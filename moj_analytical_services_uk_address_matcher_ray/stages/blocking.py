@@ -473,6 +473,27 @@ def _build_arrow_store(
     return ray.put(combined)
 
 
+def _max_log2_contribution(comp, tf_tables: dict) -> float:
+    """Upper bound on one comparison's log2 Bayes-factor contribution over
+    ANY pair: the max across levels of log2(bf x largest-possible TF boost).
+    Null levels contribute exactly 0."""
+    import math
+
+    best = None
+    for lv in comp.levels:
+        if lv.is_null:
+            c = 0.0
+        else:
+            bf = float(lv.bf)
+            if lv.tf_col and lv.tf_col in tf_tables and tf_tables[lv.tf_col]:
+                min_tf = min(tf_tables[lv.tf_col].values())
+                if min_tf > 0:
+                    bf *= (lv.u / min_tf) ** lv.tf_weight
+            c = math.log2(bf) if bf > 0 else float("-inf")
+        best = c if best is None else max(best, c)
+    return best if best is not None else 0.0
+
+
 def _hist_dicts_from_arrow(col) -> list:
     """list<struct<tok, rel_freq, count>> column -> list of
     {(tok, rel_freq): count} dicts.
@@ -537,6 +558,22 @@ class _BroadcastScorer:
         self.id_col = id_col
         self.threshold = threshold
         self.emit_cols = emit_cols
+        # branch-and-bound pruning state: per-comparison upper bound on the
+        # log2 Bayes-factor contribution (incl. the largest possible TF
+        # boost), evaluation ordered by descending bound so pairs that
+        # provably cannot reach the threshold stop being evaluated early.
+        self._ev_max_log2 = [
+            _max_log2_contribution(ev.comp, tf or {}) for ev in self.evaluators
+        ]
+        self._eval_order = sorted(
+            range(len(self.evaluators)),
+            key=lambda i: -self._ev_max_log2[i],
+        )
+        rest = 0.0
+        self._suffix_max = [0.0] * len(self._eval_order)
+        for pos in range(len(self._eval_order) - 1, -1, -1):
+            self._suffix_max[pos] = rest
+            rest += self._ev_max_log2[self._eval_order[pos]]
         # comparison-ready object columns, converted ONCE PER RECORD per
         # actor (lazily, first batch).  Per-batch Arrow take + to_pandas on
         # list<struct> histogram columns costs ~40us/pair in dict
@@ -602,12 +639,32 @@ class _BroadcastScorer:
 
         inc_metric("scoring.pairs_scored", n)
         mw = np.full(n, self.prior, dtype=np.float64)
-        for ev in self.evaluators:
-            _, log2_bf = ev.evaluate(df)
-            mw += log2_bf
-        keep = (
-            np.ones(n, dtype=bool) if self.threshold is None else mw > self.threshold
-        )
+        if self.threshold is None:
+            for ev in self.evaluators:
+                _, log2_bf = ev.evaluate(df)
+                mw += log2_bf
+            keep = np.ones(n, dtype=bool)
+        else:
+            # branch-and-bound: evaluate comparisons in descending
+            # max-contribution order; a pair whose weight plus the sum of
+            # the remaining comparisons' maxima cannot clear the threshold
+            # is dropped before the expensive per-row comparisons run.
+            # Output-identical to full evaluation (pruned rows are exactly
+            # the rows the final threshold filter would discard).
+            active = np.arange(n, dtype=np.int64)
+            for pos, ei in enumerate(self._eval_order):
+                if active.size == 0:
+                    break
+                sub = df if active.size == n else df.take(active)
+                _, log2_bf = self.evaluators[ei].evaluate(sub)
+                mw[active] += log2_bf
+                bound_ok = (
+                    mw[active] + self._suffix_max[pos] > self.threshold
+                )
+                if not bound_ok.all():
+                    active = active[bound_ok]
+            keep = np.zeros(n, dtype=bool)
+            keep[active] = True
         idx = pa.array(np.flatnonzero(keep), pa.int64())
         out: dict = {
             kl: t[kl].take(idx),

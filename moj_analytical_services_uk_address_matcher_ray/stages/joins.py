@@ -135,9 +135,13 @@ def hash_join(
         )
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        """Vectorised within-bucket hash join: a dict of right-row indexes per
-        key, one ``take`` per side.  A bucket holds MANY keys (bucketed
-        shuffle — per-group Ray overhead amortised away)."""
+        """Vectorised within-bucket hash join: pandas' C hash-merge produces
+        the (left index, right index) pairs, then one Arrow ``take`` per
+        side.  A bucket holds MANY keys (bucketed shuffle — per-group Ray
+        overhead amortised away).  Ordering matches SQL-stable semantics:
+        left order preserved, right matches in right-row order."""
+        import pandas as pd
+
         sides = g[_SIDE]
         lrows = g.filter(pc.equal(sides, "l"))
         rrows = g.filter(pc.equal(sides, "r"))
@@ -148,26 +152,19 @@ def hash_join(
             if how == "left":
                 return lrows.select(out_cols)
             return g.select(out_cols).slice(0, 0)
-        rmap: dict[str, list[int]] = {}
-        for j, k in enumerate(rrows[_JK].to_pylist()):
-            rmap.setdefault(k, []).append(j)
-        li: list[int] = []
-        ri: list[int | None] = []
-        for i, k in enumerate(lrows[_JK].to_pylist()):
-            idxs = rmap.get(k)
-            if idxs:
-                for j in idxs:
-                    li.append(i)
-                    ri.append(j)
-            elif how == "left":
-                li.append(i)
-                ri.append(None)  # pa take(None) -> null row
-        if not li:
-            return g.select(out_cols).slice(0, 0)
-        lpart = lrows.select(lcols).take(pa.array(li, pa.int64()))
-        rpart = rrows.select([rout[c] for c in rcols_payload]).take(
-            pa.array(ri, pa.int64())
+        ldf = pd.DataFrame(
+            {"k": lrows[_JK].to_pylist(), "i": np.arange(nl, dtype=np.int64)}
         )
+        rdf = pd.DataFrame(
+            {"k": rrows[_JK].to_pylist(), "j": np.arange(nr, dtype=np.int64)}
+        )
+        m = ldf.merge(rdf, on="k", how=("left" if how == "left" else "inner"))
+        if len(m) == 0:
+            return g.select(out_cols).slice(0, 0)
+        li = pa.array(m["i"].to_numpy(), pa.int64())
+        ri = pa.Array.from_pandas(m["j"].astype("Int64"))  # NaN -> null row
+        lpart = lrows.select(lcols).take(li)
+        rpart = rrows.select([rout[c] for c in rcols_payload]).take(ri)
         data = {c: lpart[c] for c in lcols}
         for c in rcols_payload:
             data[rout[c]] = rpart[rout[c]]

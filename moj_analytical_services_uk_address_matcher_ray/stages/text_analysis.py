@@ -125,26 +125,38 @@ def fingerprint(
     """Rolling-hash document fingerprint: min rolling hash over byte windows
     (winnowing-style) + full sha256.  Deterministic; near-identical docs with
     small edits keep the min-window fingerprint with high probability."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
     texts = t[text_col].to_pylist()
     full, mins = [], []
-    B, MOD = 257, (1 << 61) - 1
+    B = np.uint64(0x100000001B3)  # FNV prime; hash arithmetic wraps mod 2^64
+    powers = np.empty(window, dtype=np.uint64)
+    acc = np.uint64(1)
+    for k in range(window - 1, -1, -1):
+        powers[k] = acc
+        acc = acc * B
+    CHUNK = 1 << 16
     for s in texts:
         s = s or ""
-        data = s.encode()
-        full.append(hashlib.sha256(data).hexdigest())
-        if len(data) < window:
-            mins.append(hashlib.blake2b(data, digest_size=8).hexdigest())
+        data_b = s.encode()
+        full.append(hashlib.sha256(data_b).hexdigest())
+        if len(data_b) < window:
+            mins.append(hashlib.blake2b(data_b, digest_size=8).hexdigest())
             continue
-        h = 0
-        pw = pow(B, window - 1, MOD)
-        best = None
-        for i, byte in enumerate(data):
-            h = (h * B + byte) % MOD
-            if i >= window:
-                h = (h - data[i - window] * pw * B) % MOD
-            if i >= window - 1:
-                best = h if best is None or h < best else best
-        mins.append(f"{best:016x}")
+        # fully vectorised windowed polynomial hash mod 2^64 (uint64 wrap):
+        # the earlier per-byte Python loop cost O(len) interpreter ops per
+        # document — a cluster-killer at corpus scale
+        data = np.frombuffer(data_b, dtype=np.uint8)
+        windows_m = sliding_window_view(data, window)
+        best = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for off in range(0, windows_m.shape[0], CHUNK):
+            chunk = windows_m[off : off + CHUNK].astype(np.uint64)
+            h = (chunk * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            m = h.min()
+            if m < best:
+                best = m
+        mins.append(f"{int(best):016x}")
     t = t.append_column("doc_sha256", pa.array(full, pa.string()))
     t = t.append_column("doc_min_fingerprint", pa.array(mins, pa.string()))
     return t
