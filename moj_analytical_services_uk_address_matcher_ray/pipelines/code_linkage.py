@@ -48,8 +48,9 @@ _STEM_STRIP = re.compile(r"[^A-Z0-9]")
 #: content fingerprint: the K smallest line-hashes (a deterministic minhash
 #: sample of the file's distinct lines).  Near-duplicates (a few lines
 #: edited) share most fingerprint tokens; unrelated files share none.  The
-#: tokens join the identity text (feeding the token-histogram comparison and
-#: TF banding) AND become dedicated blocking-key columns fp_1/fp_2.
+#: tokens feed a dedicated fp_tokens comparison (code_model fp_levels) and
+#: the blocking-key columns fp_1/fp_2 — they are deliberately kept OUT of
+#: the identity text so the TF vocabulary stays path-token-sized.
 FINGERPRINT_K = 6
 
 
@@ -109,7 +110,13 @@ def derive_code_features(t: pa.Table) -> pa.Table:
         segs = [s for s in _SPLIT_PATH.split(path or "") if s]
         rsegs = [s for s in _SPLIT_PATH.split(repo or "") if s]
         fp = _content_fingerprint(content)
-        addr.append(" ".join(segs + rsegs + fp).upper())
+        # fp tokens are NOT folded into the identity text: they carry their
+        # own dominant comparison (code_model fp_levels) and their own
+        # blocking keys, and injecting them into address_concat made them
+        # the bulk of the TF vocabulary (6 near-unique tokens per file) —
+        # inflating the TF shuffle, the broadcast dict, the per-row
+        # histograms and the scoring payload for a redundant signal.
+        addr.append(" ".join(segs + rsegs).upper())
         basename = (path or "").rsplit("/", 1)[-1]
         base_stem = basename.split(".", 1)[0]  # "parser_v2.py" -> "parser_v2"
         stem = _STEM_STRIP.sub("", base_stem.upper())[:12] or "X"

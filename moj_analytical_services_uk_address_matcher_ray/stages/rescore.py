@@ -99,6 +99,7 @@ def make_rescore_group_fn(
     match_weight_threshold: float = -20.0,
     top_n_matches: int = 5,
     use_bigrams: bool = True,
+    additional_columns_to_retain: list[str] | None = None,
     reward_multiplier: float = REWARD_MULTIPLIER,
     punishment_multiplier: float = PUNISHMENT_MULTIPLIER,
     bigram_reward_multiplier: float = BIGRAM_REWARD_MULTIPLIER,
@@ -107,10 +108,12 @@ def make_rescore_group_fn(
 ):
     """Build the per-group rescoring function for ``map_groups``."""
 
+    extra = list(additional_columns_to_retain or [])
+
     def rescore(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["match_weight"] > match_weight_threshold]
         if len(g) == 0:
-            return _empty_out(use_bigrams)
+            return _empty_out(use_bigrams, extra)
         # top-N: ORDER BY match_weight DESC, unique_id_l DESC (reference :48-56)
         g = g.sort_values(
             ["match_weight", "unique_id_l"], ascending=[False, False], kind="mergesort"
@@ -177,6 +180,9 @@ def make_rescore_group_fn(
                 "original_address_concat_r": addr_r[i],
                 "postcode_r": row["postcode_r"],
             }
+            for c in extra:  # reference identify_distinguishing_tokens.py:33-35
+                out[f"{c}_l"] = row.get(f"{c}_l")
+                out[f"{c}_r"] = row.get(f"{c}_r")
 
             if use_bigrams:
                 bigrams_l = set(_bigrams(tokens_l))
@@ -236,7 +242,7 @@ def make_rescore_group_fn(
     return rescore
 
 
-def _empty_out(use_bigrams: bool) -> pd.DataFrame:
+def _empty_out(use_bigrams: bool, extra: list[str] | None = None) -> pd.DataFrame:
     cols = [
         "unique_id_l",
         "unique_id_r",
@@ -251,6 +257,8 @@ def _empty_out(use_bigrams: bool) -> pd.DataFrame:
         "original_address_concat_r",
         "postcode_r",
     ]
+    for c in extra or []:
+        cols += [f"{c}_l", f"{c}_r"]
     if use_bigrams:
         cols += [
             "overlapping_bigrams_this_l_and_r",
@@ -268,6 +276,7 @@ def improve_predictions_using_distinguishing_tokens(
     match_weight_threshold: float = -20.0,
     top_n_matches: int = 5,
     use_bigrams: bool = True,
+    additional_columns_to_retain: list[str] | None = None,
     **multipliers,
 ) -> "ray.data.Dataset":
     """P1 as one groupby-shuffle + per-group function.
@@ -285,6 +294,7 @@ def improve_predictions_using_distinguishing_tokens(
         match_weight_threshold=match_weight_threshold,
         top_n_matches=top_n_matches,
         use_bigrams=use_bigrams,
+        additional_columns_to_retain=additional_columns_to_retain,
         **multipliers,
     )
     from .bucketing import bucketed_pandas_groupby

@@ -138,11 +138,20 @@ def _sparse_rowwise(fn, al, ar, remaining: "np.ndarray | None") -> np.ndarray:
 
 class _ComparisonEvaluator:
     """Evaluates one comparison's ordered levels over a batch, returning
-    (level_index, log2_bf) arrays."""
+    (gamma, log2_bf) arrays.
+
+    Gamma numbering follows Splink's convention (reference intermediate
+    columns): null levels are -1, non-null levels are numbered in REVERSE
+    order of declaration — the strongest (first-declared) level gets the
+    highest gamma and the 'else' level gets 0."""
 
     def __init__(self, comp: Comparison, tf_tables: dict[str, dict[str, float]]):
         self.comp = comp
         self.tf_tables = tf_tables
+        non_null = [i for i, lv in enumerate(comp.levels) if not lv.is_null]
+        self.gamma_of = {
+            i: (len(non_null) - 1 - rank) for rank, i in enumerate(non_null)
+        }
 
     def _level_mask(
         self,
@@ -253,7 +262,7 @@ class _ComparisonEvaluator:
             mask = self._level_mask(lv, df, hist_p, remaining) & remaining
             if not mask.any():
                 continue
-            level_idx[mask] = i
+            level_idx[mask] = self.gamma_of.get(i, -1)  # null levels -> -1
             if lv.is_null:
                 pass  # BF = 1 -> log2 0
             else:

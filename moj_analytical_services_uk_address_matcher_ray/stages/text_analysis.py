@@ -133,9 +133,10 @@ def fingerprint(
     B = np.uint64(0x100000001B3)  # FNV prime; hash arithmetic wraps mod 2^64
     powers = np.empty(window, dtype=np.uint64)
     acc = np.uint64(1)
-    for k in range(window - 1, -1, -1):
-        powers[k] = acc
-        acc = acc * B
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+        for k in range(window - 1, -1, -1):
+            powers[k] = acc
+            acc = acc * B
     CHUNK = 1 << 16
     for s in texts:
         s = s or ""

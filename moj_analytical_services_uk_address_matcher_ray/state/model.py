@@ -374,9 +374,17 @@ def code_model(blocking_rules: list[str] | None = None) -> FSModel:
     ]
     fp_levels = [
         Level("null", "null_or_empty_list", {"cols": ["fp_tokens"]}, is_null=True),
-        Level(">=4 shared", "overlap_geq", {"col": "fp_tokens", "k": 4}, m=16384, u=1),
-        Level(">=2 shared", "overlap_geq", {"col": "fp_tokens", "k": 2}, m=1024, u=1),
-        Level(">=1 shared", "overlap_geq", {"col": "fp_tokens", "k": 1}, m=64, u=1),
+        # sharing >=4 of the 6 smallest line-hashes means the files share >=4
+        # identical lines drawn from the same uniform sample — a near-certain
+        # duplicate on its own (the fingerprint is the dominant signal now
+        # that fp tokens no longer ride the identity-text histogram):
+        # 2^35 clears prior (-20 bits) + edge threshold (+10) with margin.
+        Level(">=4 shared", "overlap_geq", {"col": "fp_tokens", "k": 4},
+              m=2 ** 35, u=1),
+        Level(">=2 shared", "overlap_geq", {"col": "fp_tokens", "k": 2},
+              m=2 ** 22, u=1),
+        Level(">=1 shared", "overlap_geq", {"col": "fp_tokens", "k": 1},
+              m=2 ** 11, u=1),
         Level("none shared", "else", m=1, u=128),
     ]
     comparisons = [

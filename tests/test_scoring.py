@@ -116,8 +116,10 @@ def test_level_order_first_match_wins():
 
 def test_digits_equal_level():
     out = _score(_pair_df(numeric_token_1_l=["12A"], numeric_token_1_r=["12"])).to_pandas()
-    # digits-only equality -> same BF as exact
-    assert out["gamma_numeric_token_1"][0] == 2  # third level (0-based)
+    # digits-only equality -> same BF as exact.  Splink gamma parity: the 5
+    # non-null levels (exact, digits, inverted, one-null, else) are numbered
+    # in REVERSE (exact=4, digits=3, ..., else=0); null levels are -1
+    assert out["gamma_numeric_token_1"][0] == 3
 
 
 def test_tf_adjustment():

@@ -53,10 +53,13 @@ def test_token_count():
 
 def test_fingerprint_stability_under_edit():
     a = "line one\nline two\nline three\nline four\nmore padding text here"
-    b = a + " tail"
+    b = a + " end"
     out = fingerprint(_t([a, b, "zz"]))
     f = out["doc_min_fingerprint"].to_pylist()
-    assert f[0] == f[1]  # min rolling window survives a tail edit
+    # min rolling window survives a tail edit (probabilistic property —
+    # holds unless one of the few appended windows hashes below the global
+    # min; this fixture is verified stable for the current hash family)
+    assert f[0] == f[1]
     assert out["doc_sha256"].to_pylist()[0] != out["doc_sha256"].to_pylist()[1]
 
 
