@@ -95,12 +95,14 @@ def common_end_tokens_from_counts(
     )
 
 
-def _auto_concurrency() -> int:
+def _auto_concurrency() -> tuple[int, int]:
+    """TF-annotator pool bounds: floor 1 so tiny clusters (2 CPUs) are not
+    fully reserved by the actor pool (which starves upstream tasks)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, cpus // 4)
+    return (max(1, min(2, cpus // 4)), max(2, cpus // 4))
 
 
 def apply_post_tf(

@@ -203,13 +203,29 @@ def dedup_code_corpus(
     use_rescore: bool = False,
     num_partitions: int = 32,
     broadcast_clusters_threshold: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Self-dedup the corpus into entity clusters.
 
     Returns Dataset (unique_id, content_sha256, cluster_id).
+
+    ``checkpoint_dir``: when set, the two expensive phases (cleaning, the
+    blocked+scored pair stream) persist to partitioned Parquet with lineage
+    + metrics sidecars; a restarted run resumes after the last complete
+    phase (state/checkpoint.py — north-rule resumability).
     """
+    from ..state.checkpoint import checkpoint_stage
+
     model = model or code_model(blocking_rules=list(CODE_BLOCKING_RULES))
-    cleaned = prepare_code_dataset(files).materialize()
+    if checkpoint_dir:
+        cleaned = checkpoint_stage(
+            lambda d: prepare_code_dataset(d),
+            files,
+            f"{checkpoint_dir}/01_cleaned",
+            stage_name="cleaned",
+        )
+    else:
+        cleaned = prepare_code_dataset(files).materialize()
 
     # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256).
     #    Deliberately NOT materialised — the streaming executor runs this
@@ -243,17 +259,28 @@ def dedup_code_corpus(
         if use_rescore
         else ["ukam_address_id_l", "ukam_address_id_r", "match_weight"]
     )
-    scored = generate_and_score_pairs(
-        cleaned,
-        cleaned,
-        model,
-        carry_cols=DEDUP_CARRY_COLS,
-        threshold_match_weight=fused_threshold,
-        emit_cols=emit,
-        max_pairs_per_block=max_pairs_per_block,
-        hot_key_threshold=hot_key_threshold,
-        ordered_self_pairs=True,
-    )
+    def _block_and_score(c: "ray.data.Dataset") -> "ray.data.Dataset":
+        return generate_and_score_pairs(
+            c,
+            c,
+            model,
+            carry_cols=DEDUP_CARRY_COLS,
+            threshold_match_weight=fused_threshold,
+            emit_cols=emit,
+            max_pairs_per_block=max_pairs_per_block,
+            hot_key_threshold=hot_key_threshold,
+            ordered_self_pairs=True,
+        )
+
+    if checkpoint_dir and not use_rescore:  # flat emit schema -> parquet-safe
+        scored = checkpoint_stage(
+            _block_and_score,
+            cleaned,
+            f"{checkpoint_dir}/02_scored_pairs",
+            stage_name="scored_pairs",
+        )
+    else:
+        scored = _block_and_score(cleaned)
     if use_rescore:
         scored = improve_predictions_using_distinguishing_tokens(
             scored, match_weight_threshold=score_threshold

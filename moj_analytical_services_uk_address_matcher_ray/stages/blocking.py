@@ -720,8 +720,10 @@ def _broadcast_score(
         cpus = 8
     # autoscaling pool: grows toward cpus-2 when upstream keeps it fed, but
     # never reserves every slot (which would starve pair emission/dedup);
-    # actor init is ~zero-cost (zero-copy Arrow store), so ramping is cheap
-    pool = (2, max(3, cpus - 2))
+    # actor init is ~zero-cost (zero-copy Arrow store), so ramping is cheap.
+    # On tiny clusters the MINIMUM matters: a floor of 2 actors on 2 CPUs
+    # reserves the whole machine and deadlocks the upstream tasks.
+    pool = (max(1, min(2, cpus // 4)), max(2, cpus - 2))
     return pairs.map_batches(
         _BroadcastScorer,
         fn_constructor_args=(store_l_ref, store_r_ref, model_ref, tf_ref),

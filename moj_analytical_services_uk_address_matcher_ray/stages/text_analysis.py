@@ -41,8 +41,18 @@ class LanguageId:
         self.word = re.compile(r"[a-zA-Z]+")
         self.cjk = re.compile(r"[一-鿿]")
         self.tables = {k: v for k, v in _STOPWORDS.items() if v}
+        self.langs = list(self.tables)
+        # inverted stopword index: ONE dict lookup per token instead of a
+        # membership test per language per token (once per actor — the
+        # point of the actor pool)
+        self.word_langs: dict[str, tuple[int, ...]] = {}
+        for li, (_, stop) in enumerate(self.tables.items()):
+            for w in stop:
+                self.word_langs.setdefault(w, ())
+                self.word_langs[w] = self.word_langs[w] + (li,)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        n_langs = len(self.langs)
         preds, scores = [], []
         for text in t["text"].to_pylist():
             text = text or ""
@@ -52,18 +62,23 @@ class LanguageId:
                 preds.append("zh")
                 scores.append(cjk / n_chars)
                 continue
-            toks = [w.lower() for w in self.word.findall(text)]
+            toks = self.word.findall(text.lower())
             if not toks:
                 preds.append("und")
                 scores.append(0.0)
                 continue
-            best, best_rate = "und", 0.0
-            for lang, stop in self.tables.items():
-                rate = sum(1 for w in toks if w in stop) / len(toks)
-                if rate > best_rate:
-                    best, best_rate = lang, rate
-            preds.append(best)
-            scores.append(best_rate)
+            hits = [0] * n_langs
+            wl = self.word_langs
+            for w in toks:
+                for li in wl.get(w, ()):
+                    hits[li] += 1
+            best_li = max(range(n_langs), key=hits.__getitem__, default=-1)
+            if best_li < 0 or hits[best_li] == 0:
+                preds.append("und")
+                scores.append(0.0)
+            else:
+                preds.append(self.langs[best_li])
+                scores.append(hits[best_li] / len(toks))
         t = t.append_column("lang_pred", pa.array(preds, pa.string()))
         t = t.append_column("lang_score", pa.array(scores, pa.float64()))
         return t

@@ -117,3 +117,39 @@ def test_manifest_sink_resume(ray_session, tmp_path):
     # second call must skip the write and return the stored manifest
     m2 = write_parquet_with_manifest(rd.from_items([{"x": 99}]), out_dir)
     assert m2 == m1
+
+
+def test_dedup_code_corpus_checkpointed_resume(ray_session, tmp_path):
+    """Flagship resumability: a second run with the same checkpoint_dir
+    skips the clean and block+score phases (their _SUCCESS markers exist)
+    and returns identical clusters."""
+    import os
+
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+
+    files, _ = generate_corpus(GenConfig(seed=42, n_clusters=40))
+    ckpt = str(tmp_path / "ckpt")
+    out1 = dedup_code_corpus(
+        rd.from_arrow(files), checkpoint_dir=ckpt
+    ).materialize()
+    assert os.path.exists(os.path.join(ckpt, "01_cleaned", "_SUCCESS"))
+    assert os.path.exists(os.path.join(ckpt, "02_scored_pairs", "_SUCCESS"))
+    marker = os.path.getmtime(os.path.join(ckpt, "02_scored_pairs", "_SUCCESS"))
+    out2 = dedup_code_corpus(
+        rd.from_arrow(files), checkpoint_dir=ckpt
+    ).materialize()
+    # markers untouched -> phases were skipped, not recomputed
+    assert os.path.getmtime(
+        os.path.join(ckpt, "02_scored_pairs", "_SUCCESS")
+    ) == marker
+    c1 = {r["unique_id"]: r["cluster_id"] for r in out1.take_all()}
+    c2 = {r["unique_id"]: r["cluster_id"] for r in out2.take_all()}
+    assert c1 == c2
