@@ -384,7 +384,13 @@ def generate_candidate_pairs(
     )
     hot = None
     if hot_key_threshold:
-        hot = detect_hot_keys(canon, messy, parsed, hot_key_threshold=hot_key_threshold)
+        # a corpus smaller than the threshold cannot contain a hot key —
+        # skip the pre-pass entirely (count() is free on the materialized
+        # cleaned table every caller passes in)
+        if canon.count() > hot_key_threshold:
+            hot = detect_hot_keys(
+                canon, messy, parsed, hot_key_threshold=hot_key_threshold
+            )
     keyed_l = canon.map_batches(
         derive_block_keys,
         batch_format="pyarrow",

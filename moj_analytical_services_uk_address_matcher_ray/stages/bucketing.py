@@ -23,11 +23,14 @@ BUCKET_COL = "__bucket"
 
 
 def default_buckets() -> int:
+    """One bucket per CPU: each bucket is exactly one reduce task, so cpus
+    buckets saturate the machine; 2x cpus only doubled the sort-shuffle
+    fragment count (map_blocks x buckets) for no extra parallelism."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus * 2)
+    return max(8, cpus)
 
 
 def _combine_keys(t: pa.Table, keys: list[str]) -> list[str]:
