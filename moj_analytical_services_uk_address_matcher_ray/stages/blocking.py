@@ -524,11 +524,75 @@ def _hist_dicts_from_arrow(col) -> list:
     return out
 
 
+#: level kinds whose predicates the packed-store kernels replace entirely —
+#: a column referenced ONLY by these kinds never enters the pandas view
+_PACKED_KINDS = {
+    "hist_product_lt",
+    "overlap_geq",
+    "null_or_empty_list",
+    "split_part_equal",
+    "null_any",
+    "null_all",
+    "null_any_level",
+    "else",
+}
+
+
+def _model_col_plan(model) -> tuple[set[str], set[str], set[tuple[str, int]], set[str]]:
+    """Scan a model's levels: which cols need packing as hists, as sets,
+    which (col, part) split projections are needed, and which cols must
+    still be materialised in the pandas view (referenced by a per-row
+    kind or used as a TF-adjustment key)."""
+    hist_cols: set[str] = set()
+    set_cols: set[str] = set()
+    split_cols: set[tuple[str, int]] = set()
+    df_cols: set[str] = set()
+    null_cols: set[str] = set()
+    for comp in model.comparisons:
+        for lv in comp.levels:
+            k, p = lv.kind, lv.params
+            if k == "hist_product_lt":
+                hist_cols.add(p["col"])
+            elif k == "overlap_geq":
+                set_cols.add(p["col"])
+            elif k == "null_or_empty_list":
+                set_cols.update(p["cols"])
+            elif k == "split_part_equal":
+                split_cols.add((p["col"], p["part"]))
+            elif k in ("null_any", "null_all", "null_any_level"):
+                null_cols.update(p["cols"])
+            elif k == "else":
+                pass
+            elif k in ("exact", "digits_equal", "lev_leq"):
+                df_cols.add(p["col"])
+            elif k == "pair_equal":
+                df_cols.update((p["col_l"], p["col_r"]))
+            elif k == "cross_equal":
+                df_cols.update((p["col_a"], p["col_b"]))
+            elif k == "flat_presence_mismatch":
+                df_cols.update(("flat_positional", "flat_letter"))
+            else:
+                raise ValueError(f"unknown level kind {k!r}")
+            if lv.tf_col:
+                df_cols.add(lv.tf_col)
+    # a col referenced ONLY by null checks has no packed form — it must come
+    # from the pandas view (isnull for packed cols rides the packed store)
+    df_cols |= null_cols - hist_cols - set_cols
+    return hist_cols, set_cols, split_cols, df_cols
+
+
 class _BroadcastScorer:
     """Actor-pool stage over NARROW pairs: gather both sides' features from
-    the broadcast Arrow store (zero-copy ray.get once per actor; one Arrow
-    ``take`` per side per batch), score in pandas-object view, filter,
-    project."""
+    the broadcast Arrow store (zero-copy ray.get once per actor), score,
+    filter, project.
+
+    Heavy list-typed comparison columns (token histograms, fingerprint
+    sets) are packed ONCE PER ACTOR into flat numpy arrays
+    (stages/packed.py) and whole batches are evaluated with vectorised
+    kernels — no per-record Python dicts/frozensets exist at all, which
+    both removes the per-pair Python loops (~65% of round-2 scorer CPU)
+    and cuts the pointer-chasing memory traffic that capped actor scaling
+    on one box."""
 
     def __init__(
         self,
@@ -548,11 +612,11 @@ class _BroadcastScorer:
         self.tab_r: pa.Table = (
             self.tab_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
         )
-        self.idx_l = {v: i for i, v in enumerate(self.tab_l[id_col].to_pylist())}
+        self.idx_l = pd.Index(self.tab_l[id_col].to_pandas())
         self.idx_r = (
             self.idx_l
             if self.tab_r is self.tab_l
-            else {v: i for i, v in enumerate(self.tab_r[id_col].to_pylist())}
+            else pd.Index(self.tab_r[id_col].to_pandas())
         )
         model = ray.get(model_ref)
         tf = ray.get(tf_ref)
@@ -564,6 +628,15 @@ class _BroadcastScorer:
         self.id_col = id_col
         self.threshold = threshold
         self.emit_cols = emit_cols
+        # packed-store plan: which cols are vectorised vs pandas-view
+        hist_cols, set_cols, split_cols, df_need = _model_col_plan(model)
+        avail = set(payload_cols)
+        self._hist_cols = hist_cols & avail
+        self._set_cols = set_cols & avail
+        self._split_cols = {(c, p) for c, p in split_cols if c in avail}
+        self._df_cols = [c for c in payload_cols if c in df_need]
+        self._packed_cache: dict = {}  # (side, col) -> PackedSets/PackedHists
+        self._split_cache: dict = {}  # (side, col, part) -> object ndarray
         # branch-and-bound pruning state: per-comparison upper bound on the
         # log2 Bayes-factor contribution (incl. the largest possible TF
         # boost), evaluation ordered by descending bound so pairs that
@@ -580,11 +653,9 @@ class _BroadcastScorer:
         for pos in range(len(self._eval_order) - 1, -1, -1):
             self._suffix_max[pos] = rest
             rest += self._ev_max_log2[self._eval_order[pos]]
-        # comparison-ready object columns, converted ONCE PER RECORD per
-        # actor (lazily, first batch).  Per-batch Arrow take + to_pandas on
-        # list<struct> histogram columns costs ~40us/pair in dict
-        # construction — per-record conversion amortises it across the ~60
-        # pairs each record participates in.
+        # per-record comparison-ready columns for the pandas view (strings /
+        # scalars only — list columns live in the packed store), converted
+        # ONCE PER ACTOR lazily on first use.
         self._hist_to_dict = hist_to_dict
         self._ready_l: dict[str, np.ndarray] = {}
         self._ready_r: dict[str, np.ndarray] = {}
@@ -614,6 +685,78 @@ class _BroadcastScorer:
             self._ready_r[c] = arr
         return arr
 
+    def _packed(self, side: str, c: str):
+        """Packed flat-array form of a list column, built once per actor and
+        shared between sides in self-dedup mode."""
+        from .packed import pack_hists, pack_sets
+
+        tab = self.tab_l if side == "l" else self.tab_r
+        if side == "r" and self.tab_r is self.tab_l:
+            side = "l"
+        key = (side, c)
+        got = self._packed_cache.get(key)
+        if got is None:
+            got = pack_hists(tab[c]) if c in self._hist_cols else pack_sets(tab[c])
+            self._packed_cache[key] = got
+        return got
+
+    def _split_arr(self, side: str, c: str, part: int) -> np.ndarray:
+        from .packed import split_parts
+
+        tab = self.tab_l if side == "l" else self.tab_r
+        if side == "r" and self.tab_r is self.tab_l:
+            side = "l"
+        key = (side, c, part)
+        got = self._split_cache.get(key)
+        if got is None:
+            got = split_parts(tab[c], part)
+            self._split_cache[key] = got
+        return got
+
+    def _pre_for(self, ev, take_l: np.ndarray, take_r: np.ndarray) -> dict:
+        """Batch-aligned vectorised arrays for one comparison's levels,
+        computed from the packed store over exactly the given pair rows."""
+        from .packed import hist_products, overlap_counts
+
+        pre: dict = {}
+        for lv in ev.comp.levels:
+            k, p = lv.kind, lv.params
+            if k == "hist_product_lt":
+                c = p["col"]
+                if ("hist", c) not in pre and c in self._hist_cols:
+                    pre[("hist", c)] = hist_products(
+                        self._packed("l", c), self._packed("r", c), take_l, take_r
+                    )
+            elif k == "overlap_geq":
+                c = p["col"]
+                if ("ov", c) not in pre and c in self._set_cols:
+                    pre[("ov", c)] = overlap_counts(
+                        self._packed("l", c), self._packed("r", c), take_l, take_r
+                    )
+            elif k == "null_or_empty_list":
+                for c in p["cols"]:
+                    if c not in (self._set_cols | self._hist_cols):
+                        continue
+                    pl, pr = self._packed("l", c), self._packed("r", c)
+                    if ("nullempty", c, "l") not in pre:
+                        pre[("nullempty", c, "l")] = (pl.isnull | (pl.lens == 0))[take_l]
+                        pre[("nullempty", c, "r")] = (pr.isnull | (pr.lens == 0))[take_r]
+            elif k in ("null_any", "null_all", "null_any_level"):
+                for c in p["cols"]:
+                    # needed when the col is packed-only (not in the df view)
+                    if c in self._df_cols or c not in (self._set_cols | self._hist_cols):
+                        continue
+                    pl, pr = self._packed("l", c), self._packed("r", c)
+                    if ("isnull", c, "l") not in pre:
+                        pre[("isnull", c, "l")] = pl.isnull[take_l]
+                        pre[("isnull", c, "r")] = pr.isnull[take_r]
+            elif k == "split_part_equal":
+                c, part = p["col"], p["part"]
+                if (c, part) in self._split_cols:
+                    pre[("split", c, part, "l")] = self._split_arr("l", c, part)[take_l]
+                    pre[("split", c, part, "r")] = self._split_arr("r", c, part)[take_r]
+        return pre
+
     def __call__(self, t: pa.Table) -> pa.Table:
         import pandas as pd
 
@@ -626,20 +769,23 @@ class _BroadcastScorer:
                 "match_probability", pa.array([], pa.float64())
             )
             return empty.select(self.emit_cols) if self.emit_cols else empty
-        take_l = np.fromiter(
-            (self.idx_l[i] for i in t[kl].to_pylist()), dtype=np.int64, count=n
-        )
-        take_r = np.fromiter(
-            (self.idx_r[i] for i in t[kr].to_pylist()), dtype=np.int64, count=n
-        )
-        # evaluation view: per-record comparison-ready object columns,
-        # gathered by numpy fancy-indexing (pointer copies, no Arrow take)
+        take_l = self.idx_l.get_indexer(t[kl].to_pandas())
+        take_r = self.idx_r.get_indexer(t[kr].to_pandas())
+        if (take_l < 0).any() or (take_r < 0).any():
+            raise KeyError(
+                f"pair ids missing from the broadcast feature store "
+                f"({int((take_l < 0).sum()) + int((take_r < 0).sum())} rows)"
+            )
+        # evaluation view: only the columns per-row kinds actually read —
+        # list columns are evaluated from the packed store instead
         df_data: dict = {}
-        for c in self.payload_cols:
+        for c in self._df_cols:
             df_data[f"{c}_l"] = self._ready_col("l", c)[take_l]
-        for c in self.payload_cols:
+        for c in self._df_cols:
             df_data[f"{c}_r"] = self._ready_col("r", c)[take_r]
         df = pd.DataFrame(df_data, copy=False)
+        if not df_data:
+            df = pd.DataFrame(index=np.arange(n))
 
         from ..state.metrics import inc_metric
 
@@ -647,7 +793,7 @@ class _BroadcastScorer:
         mw = np.full(n, self.prior, dtype=np.float64)
         if self.threshold is None:
             for ev in self.evaluators:
-                _, log2_bf = ev.evaluate(df)
+                _, log2_bf = ev.evaluate(df, self._pre_for(ev, take_l, take_r))
                 mw += log2_bf
             keep = np.ones(n, dtype=bool)
         else:
@@ -662,7 +808,10 @@ class _BroadcastScorer:
                 if active.size == 0:
                     break
                 sub = df if active.size == n else df.take(active)
-                _, log2_bf = self.evaluators[ei].evaluate(sub)
+                pre = self._pre_for(
+                    self.evaluators[ei], take_l[active], take_r[active]
+                )
+                _, log2_bf = self.evaluators[ei].evaluate(sub, pre)
                 mw[active] += log2_bf
                 bound_ok = (
                     mw[active] + self._suffix_max[pos] > self.threshold

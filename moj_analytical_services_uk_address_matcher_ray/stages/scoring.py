@@ -92,13 +92,34 @@ def hist_product(hist_l, hist_r) -> float:
         for (tok, rf), cl in hist_l.items():
             cr = right.get((tok, rf))
             if cr:
-                p *= rf ** min(cl, cr)
+                p *= _pow_small_int(rf, min(cl, cr))
         return p
     for e in hist_l:
         cr = right.get((e["tok"], e["rel_freq"]))
         if cr:
-            p *= e["rel_freq"] ** min(e["count"], cr)
+            p *= _pow_small_int(e["rel_freq"], min(e["count"], cr))
     return p
+
+
+def _pow_small_int(rf: float, c) -> float:
+    """rf**c by LEFT-TO-RIGHT repeated multiplication for small integer c.
+
+    Plain float64 multiplies are exactly rounded, so this sequence is
+    bit-identical wherever it is evaluated — unlike ``pow``, where numpy's
+    SIMD kernel and libm differ by 1 ulp.  The packed batch kernel
+    (stages/packed.py hist_products) uses the same rule, keeping broadcast
+    and shuffle scorer paths float-identical.  Falls back to ``pow`` above
+    _POW_UNROLL_MAX (counts that large don't occur in token histograms)."""
+    ci = int(c)
+    if ci != c or not (0 <= ci <= _POW_UNROLL_MAX):
+        return rf**c
+    f = 1.0
+    for _ in range(ci):
+        f *= rf
+    return f
+
+
+_POW_UNROLL_MAX = 64
 
 
 _DIGITS = r"(\d+)"
@@ -159,20 +180,33 @@ class _ComparisonEvaluator:
         df: pd.DataFrame,
         hist_p: np.ndarray | None,
         remaining: np.ndarray | None = None,
+        pre: dict | None = None,
     ) -> np.ndarray:
+        """``pre`` carries batch-aligned arrays precomputed from a PACKED
+        feature store (stages/packed.py) by the broadcast scorer; when a key
+        is present the vectorised array replaces the per-row Python kernel
+        (and the referenced column need not exist in ``df`` at all)."""
         k, p = lv.kind, lv.params
         n = len(df)
+        pre = pre or {}
+
+        def _side_isna(c: str, side: str) -> np.ndarray:
+            got = pre.get(("isnull", c, side))
+            if got is not None:
+                return got
+            return _isna(df[f"{c}_{side}"])
+
         if k == "else":
             return np.ones(n, dtype=bool)
         if k in ("null_any", "null_any_level"):
             m = np.zeros(n, dtype=bool)
             for c in p["cols"]:
-                m |= _isna(df[f"{c}_l"]) | _isna(df[f"{c}_r"])
+                m |= _side_isna(c, "l") | _side_isna(c, "r")
             return m
         if k == "null_all":
             m = np.ones(n, dtype=bool)
             for c in p["cols"]:
-                m &= _isna(df[f"{c}_l"]) & _isna(df[f"{c}_r"])
+                m &= _side_isna(c, "l") & _side_isna(c, "r")
             return m
         if k == "exact":
             return _eq(df[f"{p['col']}_l"], df[f"{p['col']}_r"])
@@ -194,6 +228,9 @@ class _ComparisonEvaluator:
             )
         if k == "overlap_geq":
             c, kk = p["col"], p["k"]
+            ov = pre.get(("ov", c))
+            if ov is not None:
+                return ov >= kk
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
 
@@ -208,8 +245,12 @@ class _ComparisonEvaluator:
         if k == "null_or_empty_list":
             m = np.zeros(n, dtype=bool)
             for c in p["cols"]:
-                for suffix in ("_l", "_r"):
-                    vals = df[f"{c}{suffix}"].to_numpy(dtype=object)
+                for side in ("l", "r"):
+                    ne = pre.get(("nullempty", c, side))
+                    if ne is not None:
+                        m |= ne
+                        continue
+                    vals = df[f"{c}_{side}"].to_numpy(dtype=object)
                     m |= np.fromiter(
                         (v is None or len(v) == 0 for v in vals), dtype=bool, count=n
                     )
@@ -230,6 +271,11 @@ class _ComparisonEvaluator:
             )
         if k == "split_part_equal":
             c, part = p["col"], p["part"]
+            sl = pre.get(("split", c, part, "l"))
+            sr = pre.get(("split", c, part, "r"))
+            if sl is not None and sr is not None:
+                notnull = ~pd.isna(sl) & ~pd.isna(sr)
+                return notnull & (sl == sr)
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
             def _sp_eq(x, y):
@@ -240,7 +286,9 @@ class _ComparisonEvaluator:
             return _sparse_rowwise(_sp_eq, al, ar, remaining)
         raise ValueError(f"unknown level kind {k!r}")
 
-    def evaluate(self, df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    def evaluate(
+        self, df: pd.DataFrame, pre: dict | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         n = len(df)
         hist_p: np.ndarray | None = None
         needs_hist = any(lv.kind == "hist_product_lt" for lv in self.comp.levels)
@@ -248,18 +296,22 @@ class _ComparisonEvaluator:
             col = next(
                 lv.params["col"] for lv in self.comp.levels if lv.kind == "hist_product_lt"
             )
-            hl = df[f"{col}_l"].to_numpy(dtype=object)
-            hr = df[f"{col}_r"].to_numpy(dtype=object)
-            hist_p = np.fromiter(
-                (hist_product(a, b) for a, b in zip(hl, hr)), dtype=np.float64, count=n
-            )
+            hist_p = (pre or {}).get(("hist", col))
+            if hist_p is None:
+                hl = df[f"{col}_l"].to_numpy(dtype=object)
+                hr = df[f"{col}_r"].to_numpy(dtype=object)
+                hist_p = np.fromiter(
+                    (hist_product(a, b) for a, b in zip(hl, hr)),
+                    dtype=np.float64,
+                    count=n,
+                )
         level_idx = np.full(n, -1, dtype=np.int32)
         log2_bf = np.zeros(n, dtype=np.float64)
         remaining = np.ones(n, dtype=bool)
         for i, lv in enumerate(self.comp.levels):
             if not remaining.any():
                 break
-            mask = self._level_mask(lv, df, hist_p, remaining) & remaining
+            mask = self._level_mask(lv, df, hist_p, remaining, pre) & remaining
             if not mask.any():
                 continue
             level_idx[mask] = self.gamma_of.get(i, -1)  # null levels -> -1
