@@ -1061,6 +1061,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS doc_sha256 FROM documents",
+        # language-ID heuristic re-derived in SQL: CJK-codepoint share
+        # decides 'zh'; otherwise the language with the most stopword hits
+        # wins, first-language-wins tie-break in (en, es, de, fr) order —
+        # byte-for-byte the LanguageId actor's decision rule
+        # (stages/text_analysis.py).
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       greatest(length(coalesce(text, '')), 1) AS n_chars,
+                       length(regexp_replace(coalesce(text, ''),
+                                             '[^一-鿿]', '', 'g'))
+                           AS cjk,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-zA-Z]+') AS toks
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, cjk, n_chars, toks,
+                    len(list_filter(toks, x -> list_contains(
+                        ['the','and','of','to','a','in','is','it','that','for'],
+                        x))) AS h_en,
+                    len(list_filter(toks, x -> list_contains(
+                        ['el','la','de','que','y','en','un','una','los','por'],
+                        x))) AS h_es,
+                    len(list_filter(toks, x -> list_contains(
+                        ['der','die','das','und','ist','ein','nicht','mit','den','zu'],
+                        x))) AS h_de,
+                    len(list_filter(toks, x -> list_contains(
+                        ['le','la','les','de','et','un','une','est','pour','que'],
+                        x))) AS h_fr
+                FROM t
+            )
+            SELECT doc_id,
+                CASE
+                    WHEN cjk * 1.0 / n_chars > 0.05 THEN 'zh'
+                    WHEN len(toks) = 0 THEN 'und'
+                    WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+                        THEN 'en'
+                    WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+                    WHEN h_de >= h_fr THEN 'de'
+                    ELSE 'fr'
+                END AS lang_pred
+            FROM h
+        """,
         # MinHash core re-derived in SQL: md5-halves base hash, Kirsch-
         # Mitzenmacher (h1 + j*h2) mod 2^64 family, 8 bands x 4 rows,
         # signature-estimated Jaccard (n_eq/32 >= 0.5  =>  n_eq >= 16).
@@ -1206,6 +1252,6 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (rows-only): minhash_dedup, simhash_dedup (their
         # SQL-expressible cores ARE oracled via minhash_pairs/simhash_pairs;
         # only the iterative connected-components labelling is rows-only),
-        # ivf_topk, lang_id, linkage_f1, address_best_match — model scoring /
+        # ivf_topk, linkage_f1, address_best_match — model scoring /
         # iterative / hash-sketch ops that ANSI SQL can't express faithfully.
     }
