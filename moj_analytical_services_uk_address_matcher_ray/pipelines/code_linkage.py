@@ -71,8 +71,19 @@ def _content_fingerprint(content: str | None, k: int = FINGERPRINT_K) -> list[st
 #: full postcode-analogue, expressed in the same rule dialect the reference
 #: model uses (so the same parser drives both domains).
 CODE_BLOCKING_RULES = [
-    # lang+stem (postcode analogue) exact — the main key
-    "l.postcode = r.postcode",
+    # lang+stem (postcode analogue) refined by content-size bucket: the raw
+    # lang+stem key grows linearly with corpus size ("index.js" exists in
+    # every repo), so at web scale its blocks go quadratic and the per-block
+    # cap starts dropping real candidates.  Bucketing by log2(content size)
+    # keeps blocks O(corpus / stem / size-range); same-bucket plus BOTH
+    # adjacent-bucket directions covers length ratios up to 4x — far beyond
+    # what a near-duplicate edit changes.  Both asymmetric directions are
+    # required because ordered self-pairs keep only id_l < id_r: a one-
+    # direction rule emits each cross-bucket pair in one fixed l/r role and
+    # the ordered filter would drop roughly half of them.
+    "l.pc_sb = r.pc_sb",
+    "l.pc_sb_up = r.pc_sb",
+    "l.pc_sb = r.pc_sb_up",
     # same stem, numeric version agreement
     "split_part(l.postcode, ' ', 2) = split_part(r.postcode, ' ', 2) and l.numeric_token_1 = r.numeric_token_1",
     # lang + first unusual path token
@@ -103,6 +114,7 @@ def derive_code_features(t: pa.Table) -> pa.Table:
     shas = t["content_sha256"].to_pylist()
     contents = t["content"].to_pylist()
     uid, addr, pcode, shap, fp1, fp2, fps = [], [], [], [], [], [], []
+    pc_sb, pc_sb_up = [], []
     for repo, path, commit, lang, sha, content in zip(
         repos, paths, commits, langs, shas, contents
     ):
@@ -120,7 +132,12 @@ def derive_code_features(t: pa.Table) -> pa.Table:
         basename = (path or "").rsplit("/", 1)[-1]
         base_stem = basename.split(".", 1)[0]  # "parser_v2.py" -> "parser_v2"
         stem = _STEM_STRIP.sub("", base_stem.upper())[:12] or "X"
-        pcode.append(f"{(lang or 'UNK').upper()} {stem}")
+        pc = f"{(lang or 'UNK').upper()} {stem}"
+        pcode.append(pc)
+        # size-bucketed blocking keys: log2 bucket of the content length
+        sb = max(1, len(content or "")).bit_length()
+        pc_sb.append(f"{pc}|{sb}")
+        pc_sb_up.append(f"{pc}|{sb + 1}")
         shap.append(sha[:8] if sha else None)
         fp1.append(fp[0] if len(fp) > 0 else None)
         fp2.append(fp[1] if len(fp) > 1 else None)
@@ -130,6 +147,8 @@ def derive_code_features(t: pa.Table) -> pa.Table:
             "unique_id": pa.array(uid, pa.string()),
             "address_concat": pa.array(addr, pa.string()),
             "postcode": pa.array(pcode, pa.string()),
+            "pc_sb": pa.array(pc_sb, pa.string()),
+            "pc_sb_up": pa.array(pc_sb_up, pa.string()),
             "sha_prefix": pa.array(shap, pa.string()),
             "fp_1": pa.array(fp1, pa.string()),
             "fp_2": pa.array(fp2, pa.string()),

@@ -50,3 +50,13 @@ def test_dedup_corpus_example(ray_session):
 
     m = main(n_clusters=60, verbose=False)
     assert m["f1"] >= 0.98
+
+
+def test_match_forks_to_canonical_example(ray_session):
+    from examples.match_forks_to_canonical import main
+
+    m = main(n_clusters=150, verbose=False)
+    assert m["n_canonical"] == 150
+    assert m["n_messy"] > m["n_canonical"]
+    # >=95% of messy rows resolve to their true canonical on the small corpus
+    assert m["correct"] / m["n_messy"] >= 0.95

@@ -84,3 +84,76 @@ def test_media_decode_strict_raises():
     dec = MediaDecoder(decode="strict")
     with pytest.raises(NotImplementedError):
         dec(make_fake_media_table(1))
+
+
+def test_media_header_sniff_kernel():
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        make_jpeg_bytes,
+        make_png_bytes,
+        make_wav_bytes,
+        sniff_media_header,
+    )
+
+    assert sniff_media_header(make_png_bytes(640, 480)) == {
+        "format": "png",
+        "shape": [480, 640, 3],
+    }
+    assert sniff_media_header(make_jpeg_bytes(32, 20)) == {
+        "format": "jpeg",
+        "shape": [20, 32, 3],
+    }
+    wav = sniff_media_header(make_wav_bytes(8000, rate=16000, channels=2))
+    assert wav["format"] == "wav"
+    assert wav["shape"] == [8000, 2]
+    assert wav["sample_rate"] == 16000
+    assert sniff_media_header(b"\x00\x01garbage") is None
+    assert sniff_media_header(b"") is None
+
+
+def test_media_decode_headers_mode(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        make_header_media_table,
+    )
+
+    media = make_header_media_table(9)
+    out = (
+        decode_media(rd.from_arrow(media), decode="headers", concurrency=1)
+        .materialize()
+        .take_all()
+    )
+    assert len(out) == 9
+    by_id = {r["media_id"]: r for r in out}
+    # PNG rows (i % 3 == 0) got REAL dims from the header, channel dim 3
+    png = by_id["media_00000"]
+    assert png["shape"][2] == 3 and png["shape"][0] >= 16
+    # WAV rows (i % 3 == 1) got (n_samples, channels)
+    wav = by_id["media_00001"]
+    assert wav["shape"][1] == 1 and wav["shape"][0] >= 1000
+    # unknown-magic payloads fall back to the deterministic fake
+    fake_in = make_fake_media_table(3)
+    fb = (
+        decode_media(rd.from_arrow(fake_in), decode="headers", concurrency=1)
+        .materialize()
+        .take_all()
+    )
+    assert len(fb) == 3
+
+
+def test_media_decode_auto_mode_falls_back():
+    # Pillow is absent in this container: auto == headers behaviour
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        make_png_bytes,
+    )
+    import pyarrow as pa
+
+    dec = MediaDecoder(decode="auto")
+    t = pa.table(
+        {
+            "media_id": ["m1"],
+            "modality": ["image"],
+            "payload": pa.array([make_png_bytes(100, 50)], pa.binary()),
+            "meta": ['{"k":1}'],
+        }
+    )
+    out = dec(t)
+    assert out["shape"].to_pylist()[0] == [50, 100, 3]
