@@ -1249,9 +1249,110 @@ def oracle_sql() -> dict[str, str]:
                    MIN(unique_id) OVER (PARTITION BY text) AS cluster_id
             FROM all_rows
         """,
-        # no oracle (rows-only): minhash_dedup, simhash_dedup (their
-        # SQL-expressible cores ARE oracled via minhash_pairs/simhash_pairs;
-        # only the iterative connected-components labelling is rows-only),
-        # ivf_topk, linkage_f1, address_best_match — model scoring /
-        # iterative / hash-sketch ops that ANSI SQL can't express faithfully.
+        # Full MinHash-LSH dedup INCLUDING the connected-components labelling:
+        # edges re-derived exactly as minhash_pairs (md5 / Kirsch-Mitzenmacher,
+        # 8 bands x 4 rows) at jaccard 0.8 (n_eq >= ceil(0.8*32) = 26), then a
+        # recursive-CTE transitive closure; dup_group_id = lexicographic-min
+        # reachable node, matching the Ray hash-to-min labelling.
+        "minhash_dedup": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\w+') AS tk
+              FROM documents
+            ),
+            shing AS (
+              SELECT doc_id,
+                     CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                          ELSE list_transform(range(1, len(tk) - 1),
+                                              i -> array_to_string(tk[i:i+2], ' '))
+                     END AS shingles
+              FROM toks WHERE len(tk) > 0
+            ),
+            dsh AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM shing),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h1,
+                         ('0x' || substr(md5(s), 17, 16))::UBIGINT AS h2
+                  FROM dsh),
+            sig AS (
+              SELECT doc_id, j,
+                     min(((h1::HUGEINT + j * h2::HUGEINT)
+                          % 18446744073709551616)::UBIGINT) AS sigv
+              FROM h CROSS JOIN range(0, 32) t(j)
+              GROUP BY doc_id, j
+            ),
+            bandkey AS (
+              SELECT doc_id, j // 4 AS band,
+                     string_agg(sigv::VARCHAR, '-' ORDER BY j) AS bucket
+              FROM sig GROUP BY doc_id, j // 4
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bandkey a JOIN bandkey b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            neq AS (
+              SELECT da::VARCHAR AS id_a, db::VARCHAR AS id_b,
+                     CAST(sum(CASE WHEN sa.sigv = sb.sigv THEN 1 ELSE 0 END)
+                          AS INTEGER) AS n_eq
+              FROM cand JOIN sig sa ON sa.doc_id = da
+                        JOIN sig sb ON sb.doc_id = db AND sb.j = sa.j
+              GROUP BY 1, 2
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM neq WHERE n_eq >= 26
+              UNION
+              SELECT id_b, id_a FROM neq WHERE n_eq >= 26
+            ),
+            reach(id, r) AS (
+              SELECT doc_id::VARCHAR, doc_id::VARCHAR FROM documents
+              UNION
+              SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, MIN(r) AS dup_group_id FROM reach GROUP BY id
+        """,
+        # Full SimHash dedup including CC labelling: edges as simhash_pairs
+        # at max_hamming 2, recursive transitive closure, min-node label.
+        "simhash_dedup": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text,'')), '\w+')) AS tok
+              FROM documents
+            ),
+            th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                   FROM toks),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN range(0, 64) t(b) GROUP BY doc_id, b
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)
+                              ELSE 0::UBIGINT END) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id
+            ),
+            blocks AS (
+              SELECT doc_id, s, b AS blk, (s >> (b * 16)) & 65535 AS blockval
+              FROM sig CROSS JOIN range(0, 4) t(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id::VARCHAR AS id_a, b.doc_id::VARCHAR AS id_b
+              FROM blocks a JOIN blocks b
+                ON a.blk = b.blk AND a.blockval = b.blockval AND a.doc_id < b.doc_id
+                AND bit_count(xor(a.s, b.s)) <= 2
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM cand
+              UNION
+              SELECT id_b, id_a FROM cand
+            ),
+            reach(id, r) AS (
+              SELECT doc_id::VARCHAR, doc_id::VARCHAR FROM documents
+              UNION
+              SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, MIN(r) AS dup_group_id FROM reach GROUP BY id
+        """,
+        # no oracle (rows-only): ivf_topk, linkage_f1, address_best_match —
+        # model scoring / iterative kmeans / Fellegi-Sunter weights that
+        # ANSI SQL can't express faithfully.
     }
