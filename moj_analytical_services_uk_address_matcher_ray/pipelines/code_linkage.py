@@ -289,6 +289,10 @@ def dedup_code_corpus(
             max_pairs_per_block=max_pairs_per_block,
             hot_key_threshold=hot_key_threshold,
             ordered_self_pairs=True,
+            # CC dedups edges itself (driver union-find / per-round
+            # precombine), so the cross-rule dedup barrier is pure overhead
+            # on the edges-only path; rescore needs unique pairs.
+            dedupe_output=use_rescore,
         )
 
     if checkpoint_dir and not use_rescore:  # flat emit schema -> parquet-safe

@@ -217,7 +217,7 @@ def select_top_match_candidates(
     def top1(g: pd.DataFrame) -> pd.DataFrame:
         # ORDER BY mw DESC, distinguishability DESC NULLS LAST, unique_id_l
         g = g.assign(
-            _dsort=g["distinguishability"].fillna(-np.inf)
+            _dsort=g["distinguishability"].astype("float64").fillna(-np.inf)
         ).sort_values(
             ["match_weight", "_dsort", "unique_id_l"],
             ascending=[False, False, True],

@@ -931,6 +931,7 @@ def generate_and_score_pairs(
     ordered_self_pairs: bool = False,
     payload_mode: str = "auto",  # "auto" | "broadcast" | "shuffle"
     broadcast_threshold: int = 2_000_000,
+    dedupe_output: bool = True,
 ) -> "ray.data.Dataset":
     """J6 + §2.5 fused: narrow pair generation/dedup, then payload + scoring.
 
@@ -948,6 +949,12 @@ def generate_and_score_pairs(
 
     ``emit_cols``: optional projection of the scored output (defaults to ids
     + rule + match weight/probability + all payload columns).
+
+    ``dedupe_output=False`` skips the cross-rule first-rule-wins dedup
+    barrier on the broadcast path.  Safe ONLY when the consumer tolerates
+    the same (l, r) pair appearing once per matching blocking rule — e.g.
+    the connected-components edge pass, which dedups edges itself; a pair
+    scores identically under every rule, so values never conflict.
     """
     import pyarrow.compute as pc
 
@@ -984,7 +991,7 @@ def generate_and_score_pairs(
 
     if payload_mode == "broadcast":
         internal_emit = emit_cols
-        if emit_cols is not None and "rule_idx" not in emit_cols:
+        if dedupe_output and emit_cols is not None and "rule_idx" not in emit_cols:
             internal_emit = list(emit_cols) + ["rule_idx"]
         scored = _broadcast_score(
             pairs,
@@ -997,6 +1004,8 @@ def generate_and_score_pairs(
             emit_cols=internal_emit,
             id_col=id_col,
         )
+        if not dedupe_output:
+            return scored
         deduped = dedupe_pairs_first_rule_wins(scored, id_col=id_col)
         if internal_emit is not emit_cols:
             deduped = deduped.map_batches(
