@@ -143,7 +143,8 @@ def hash_join(
         import pandas as pd
 
         sides = g[_SIDE]
-        lrows = g.filter(pc.equal(sides, "l"))
+        lmask = pc.equal(sides, "l")
+        lrows = g.filter(lmask)
         rrows = g.filter(pc.equal(sides, "r"))
         nl, nr = lrows.num_rows, rrows.num_rows
         if nl == 0:
@@ -152,12 +153,18 @@ def hash_join(
             if how == "left":
                 return lrows.select(out_cols)
             return g.select(out_cols).slice(0, 0)
-        ldf = pd.DataFrame(
-            {"k": lrows[_JK].to_pylist(), "i": np.arange(nl, dtype=np.int64)}
+        # integer-encode the key ONCE over the whole bucket so both sides
+        # share dictionary codes; pandas then hash-merges int32 codes
+        # instead of Python string objects (no to_pylist materialisation)
+        codes = pc.dictionary_encode(g[_JK].combine_chunks()).indices
+        lk = pc.filter(codes, lmask.combine_chunks()).to_numpy(
+            zero_copy_only=False
         )
-        rdf = pd.DataFrame(
-            {"k": rrows[_JK].to_pylist(), "j": np.arange(nr, dtype=np.int64)}
+        rk = pc.filter(codes, pc.invert(lmask).combine_chunks()).to_numpy(
+            zero_copy_only=False
         )
+        ldf = pd.DataFrame({"k": lk, "i": np.arange(nl, dtype=np.int64)})
+        rdf = pd.DataFrame({"k": rk, "j": np.arange(nr, dtype=np.int64)})
         m = ldf.merge(rdf, on="k", how=("left" if how == "left" else "inner"))
         if len(m) == 0:
             return g.select(out_cols).slice(0, 0)

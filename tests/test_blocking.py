@@ -113,3 +113,52 @@ def test_salting_replicates_small_side(ray_session):
     # every canonical row still pairs with m0 exactly once after salting+dedup
     got = {(r["ukam_address_id_l"], r["ukam_address_id_r"]) for r in pairs.take_all()}
     assert got == {(f"c{i}", "m0") for i in range(30)}
+
+
+def test_dedupe_output_false_same_pairs_up_to_multiplicity(ray_session):
+    """dedupe_output=False must yield the same (l, r, weight) pair SET as the
+    deduped path — only cross-rule multiplicity may differ (CC consumers
+    dedup edges themselves)."""
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        CODE_BLOCKING_RULES,
+        DEDUP_CARRY_COLS,
+        prepare_code_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        generate_and_score_pairs,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
+
+    files, _labels = generate_corpus(GenConfig(seed=11, n_clusters=30))
+    cleaned = prepare_code_dataset(rd.from_arrow(files)).materialize()
+    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+
+    def pair_set(dedupe_output: bool) -> tuple[set, int]:
+        out = generate_and_score_pairs(
+            cleaned,
+            cleaned,
+            model,
+            carry_cols=DEDUP_CARRY_COLS,
+            threshold_match_weight=10.0,
+            emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+            ordered_self_pairs=True,
+            dedupe_output=dedupe_output,
+        ).take_all()
+        trips = [
+            (r["ukam_address_id_l"], r["ukam_address_id_r"],
+             round(r["match_weight"], 9))
+            for r in out
+        ]
+        return set(trips), len(trips)
+
+    deduped, n_dedup = pair_set(True)
+    raw, n_raw = pair_set(False)
+    assert raw == deduped  # same pairs, same weights
+    assert n_dedup == len(deduped)  # deduped path has no multiplicity
+    assert n_raw >= n_dedup
