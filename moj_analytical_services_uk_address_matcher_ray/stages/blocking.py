@@ -54,26 +54,48 @@ class KeyExpr:
     op: str  # "col" | "list_extract" | "split_part"
     idx: int = 0
 
-    def evaluate(self, t: pa.Table) -> list:
-        vals = t[self.col].to_pylist()
+    def evaluate(self, t: pa.Table) -> pa.Array:
+        """Vectorised evaluation -> string Array (nulls where undefined)."""
+        import pyarrow.compute as pc
+
+        arr = t[self.col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         if self.op == "col":
-            return vals
+            if not pa.types.is_string(arr.type):
+                arr = arr.cast(pa.string())
+            return arr
         if self.op == "list_extract":
             # DuckDB list_extract: 1-based, NULL when out of range
-            i = self.idx - 1
-            return [v[i] if v is not None and len(v) > i else None for v in vals]
+            return _list_element(arr, self.idx - 1)
         if self.op == "split_part":
-            # DuckDB split_part: 1-based, '' when out of range
-            i = self.idx - 1
-            out = []
-            for v in vals:
-                if v is None:
-                    out.append(None)
-                else:
-                    parts = v.split(" ")
-                    out.append(parts[i] if 0 <= i < len(parts) else "")
-            return out
+            # DuckDB split_part: 1-based, '' when out of range, NULL in ->
+            # NULL out (three-valued logic, mirrored in scoring.split_part)
+            parts = pc.split_pattern(arr, " ")
+            got = _list_element(parts, self.idx - 1)
+            # out-of-range on a non-null input folds to '' (not NULL)
+            return pc.if_else(pc.is_valid(arr), pc.coalesce(got, ""), None)
         raise ValueError(self.op)
+
+
+def _list_element(arr: pa.Array, i: int, /) -> pa.Array:
+    """``arr[row][i]`` for a ListArray, NULL when the row is null or too
+    short — a vectorised take through the list offsets (pyarrow's own
+    ``pc.list_element`` raises on out-of-range instead of yielding NULL)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = np.asarray(arr.offsets)
+    starts, ends = offsets[:-1], offsets[1:]
+    valid = (ends - starts) > i
+    if arr.null_count:
+        valid &= ~np.asarray(arr.is_null())
+    take = pa.array(starts + i, mask=~valid)
+    vals = arr.values
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    out = vals.take(take)
+    if not pa.types.is_string(out.type):
+        out = out.cast(pa.string())
+    return out
 
 
 def _parse_expr(expr: str) -> tuple[str, KeyExpr]:
@@ -137,48 +159,85 @@ def derive_block_keys(
     hot_keys: dict[tuple[int, str], int] | None = None,
     salt_side: str = "l",
 ) -> pa.Table:
-    """Flat-map one side's batch into (rule_idx, block_key, side, payload)."""
-    n = t.num_rows
-    out_rule: list[int] = []
-    out_key: list[str] = []
-    out_take: list[int] = []
+    """Flat-map one side's batch into (rule_idx, block_key, side, payload).
+
+    Fully vectorised: per rule, key parts come from ``KeyExpr.evaluate``
+    (Arrow kernels), the composite key from ``binary_join_element_wise``
+    (null if any part is null — exactly the reference's equi-join
+    semantics), and non-null rows are selected with one ``take``.  Only
+    rows whose key is hot (salted — rare by construction) drop to Python.
+    """
+    import pyarrow.compute as pc
+
     hot = hot_keys or {}
+    out_rule: list[int] = []
+    out_key_arrays: list[pa.Array] = []
+    out_take: list[int] = []
+    chunks: list[tuple[np.ndarray, pa.Array, int]] = []  # (take, keys, rule)
     for rule_idx, rule in enumerate(rules):
         exprs = rule.l_exprs if side == "l" else rule.r_exprs
         cols = [e.evaluate(t) for e in exprs]
-        for i in range(n):
-            parts = [c[i] for c in cols]
-            if any(p is None for p in parts):
-                continue
-            key = KEY_SEP.join(parts)
-            n_salts = hot.get((rule_idx, key), 0)
-            if n_salts > 1:
-                if side == salt_side:
-                    # larger side: deterministic salt bucket per row
-                    h = int(
-                        hashlib.blake2b(
-                            f"{rule_idx}|{i}|{key}".encode(), digest_size=4
-                        ).hexdigest(),
-                        16,
-                    )
-                    out_rule.append(rule_idx)
-                    out_key.append(f"{key}{SALT_SEP}{h % n_salts}")
-                    out_take.append(i)
-                else:
-                    # smaller side: replicate into every salt bucket
-                    for s in range(n_salts):
-                        out_rule.append(rule_idx)
-                        out_key.append(f"{key}{SALT_SEP}{s}")
-                        out_take.append(i)
-            else:
+        keys = (
+            cols[0]
+            if len(cols) == 1
+            else pc.binary_join_element_wise(*cols, KEY_SEP)
+        )
+        valid = np.asarray(pc.is_valid(keys))
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            continue
+        keys_nn = keys.take(pa.array(idx))
+        hot_for_rule = {k: v for (ri, k), v in hot.items() if ri == rule_idx}
+        if not hot_for_rule:
+            chunks.append((idx, keys_nn, rule_idx))
+            continue
+        is_hot = np.asarray(
+            pc.is_in(keys_nn, value_set=pa.array(list(hot_for_rule)))
+        )
+        cold = np.nonzero(~is_hot)[0]
+        if len(cold):
+            chunks.append((idx[cold], keys_nn.take(pa.array(cold)), rule_idx))
+        # hot rows: salt (larger side) or replicate (smaller side), row-wise
+        hot_pos = np.nonzero(is_hot)[0]
+        hot_keys_py = keys_nn.take(pa.array(hot_pos)).to_pylist()
+        for p, key in zip(idx[hot_pos].tolist(), hot_keys_py):
+            n_salts = hot_for_rule[key]
+            if side == salt_side:
+                h = int(
+                    hashlib.blake2b(
+                        f"{rule_idx}|{p}|{key}".encode(), digest_size=4
+                    ).hexdigest(),
+                    16,
+                )
                 out_rule.append(rule_idx)
-                out_key.append(key)
-                out_take.append(i)
-    payload = t.select(carry_cols).take(pa.array(out_take, pa.int64()))
-    payload = payload.append_column("rule_idx", pa.array(out_rule, pa.int32()))
-    payload = payload.append_column("block_key", pa.array(out_key, pa.string()))
+                out_key_arrays.append(f"{key}{SALT_SEP}{h % n_salts}")
+                out_take.append(p)
+            else:
+                for s in range(n_salts):
+                    out_rule.append(rule_idx)
+                    out_key_arrays.append(f"{key}{SALT_SEP}{s}")
+                    out_take.append(p)
+
+    take_parts = [c[0] for c in chunks]
+    key_parts = [c[1] for c in chunks]
+    rule_parts = [np.full(len(c[0]), c[2], dtype=np.int32) for c in chunks]
+    if out_take:  # salted residue
+        take_parts.append(np.asarray(out_take, dtype=np.int64))
+        key_parts.append(pa.array(out_key_arrays, pa.string()))
+        rule_parts.append(np.asarray(out_rule, dtype=np.int32))
+    if take_parts:
+        take_all = np.concatenate(take_parts)
+        key_all = pa.concat_arrays([pa.array(k) if not isinstance(k, pa.Array) else k for k in key_parts])
+        rule_all = np.concatenate(rule_parts)
+    else:
+        take_all = np.empty(0, dtype=np.int64)
+        key_all = pa.array([], pa.string())
+        rule_all = np.empty(0, dtype=np.int32)
+    payload = t.select(carry_cols).take(pa.array(take_all, pa.int64()))
+    payload = payload.append_column("rule_idx", pa.array(rule_all))
+    payload = payload.append_column("block_key", key_all)
     payload = payload.append_column(
-        "side", pa.array([side] * len(out_rule), pa.string())
+        "side", pa.array([side] * len(take_all), pa.string())
     )
     return payload
 
@@ -211,7 +270,7 @@ def detect_hot_keys(
     sample_mod = 16 if hot_key_threshold >= 3200 else 1
 
     def _partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
+        import pyarrow.compute as pc
 
         if sample_mod > 1:
             ids = t[id_col].to_pylist()
@@ -221,19 +280,35 @@ def detect_hot_keys(
                 if zlib.crc32(str(v).encode()) % sample_mod == 0
             ]
             t = t.take(pa.array(keep, pa.int64()))
-        counts: Counter = Counter()
+        rule_parts, key_parts, cnt_parts = [], [], []
         for rule_idx, rule in enumerate(rules):
             cols = [e.evaluate(t) for e in rule.l_exprs]
-            for i in range(t.num_rows):
-                parts = [c[i] for c in cols]
-                if any(p is None for p in parts):
-                    continue
-                counts[(rule_idx, KEY_SEP.join(parts))] += 1
+            keys = (
+                cols[0]
+                if len(cols) == 1
+                else pc.binary_join_element_wise(*cols, KEY_SEP)
+            )
+            vc = pc.value_counts(pc.drop_null(keys))
+            if len(vc) == 0:
+                continue
+            rule_parts.append(
+                np.full(len(vc), rule_idx, dtype=np.int32)
+            )
+            key_parts.append(vc.field("values"))
+            cnt_parts.append(vc.field("counts").cast(pa.int64()))
+        if not rule_parts:
+            return pa.table(
+                {
+                    "rule_idx": pa.array([], pa.int32()),
+                    "block_key": pa.array([], pa.string()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "rule_idx": pa.array([k[0] for k in counts], pa.int32()),
-                "block_key": pa.array([k[1] for k in counts], pa.string()),
-                "count": pa.array(list(counts.values()), pa.int64()),
+                "rule_idx": pa.array(np.concatenate(rule_parts)),
+                "block_key": pa.concat_arrays(key_parts),
+                "count": pa.concat_arrays(cnt_parts),
             }
         )
 
@@ -538,16 +613,32 @@ _PACKED_KINDS = {
 }
 
 
-def _model_col_plan(model) -> tuple[set[str], set[str], set[tuple[str, int]], set[str]]:
-    """Scan a model's levels: which cols need packing as hists, as sets,
-    which (col, part) split projections are needed, and which cols must
-    still be materialised in the pandas view (referenced by a per-row
-    kind or used as a TF-adjustment key)."""
+@dataclass
+class _ModelPlan:
+    """Column plan for the packed/interned broadcast store: which columns
+    are packed (hists/sets), dictionary-encoded to integer codes (scalar
+    equality + TF keys — the pointer-chasing remover), and which still
+    need object values in the pandas view (per-row string kinds)."""
+
+    hist_cols: set
+    set_cols: set
+    split_cols: set  # {(col, part)}
+    df_cols: set  # cols needing real values in the pandas view
+    eq_groups: set  # {frozenset(cols)} sharing one code dictionary
+    dig_cols: set  # digits_equal cols (codes over extracted digit runs)
+    tf_cols: set  # TF-adjustment key cols (per-record tf value arrays)
+    coded_cols: set  # all cols with raw codes (null checks ride the codes)
+
+
+def _model_col_plan(model) -> _ModelPlan:
     hist_cols: set[str] = set()
     set_cols: set[str] = set()
     split_cols: set[tuple[str, int]] = set()
     df_cols: set[str] = set()
     null_cols: set[str] = set()
+    eq_groups: set[frozenset] = set()
+    dig_cols: set[str] = set()
+    tf_cols: set[str] = set()
     for comp in model.comparisons:
         for lv in comp.levels:
             k, p = lv.kind, lv.params
@@ -563,22 +654,37 @@ def _model_col_plan(model) -> tuple[set[str], set[str], set[tuple[str, int]], se
                 null_cols.update(p["cols"])
             elif k == "else":
                 pass
-            elif k in ("exact", "digits_equal", "lev_leq"):
+            elif k == "exact":
+                eq_groups.add(frozenset((p["col"],)))
+            elif k == "digits_equal":
+                dig_cols.add(p["col"])
+            elif k == "lev_leq":
                 df_cols.add(p["col"])
             elif k == "pair_equal":
-                df_cols.update((p["col_l"], p["col_r"]))
+                eq_groups.add(frozenset((p["col_l"], p["col_r"])))
             elif k == "cross_equal":
-                df_cols.update((p["col_a"], p["col_b"]))
+                eq_groups.add(frozenset((p["col_a"], p["col_b"])))
             elif k == "flat_presence_mismatch":
-                df_cols.update(("flat_positional", "flat_letter"))
+                null_cols.update(("flat_positional", "flat_letter"))
             else:
                 raise ValueError(f"unknown level kind {k!r}")
             if lv.tf_col:
-                df_cols.add(lv.tf_col)
-    # a col referenced ONLY by null checks has no packed form — it must come
-    # from the pandas view (isnull for packed cols rides the packed store)
-    df_cols |= null_cols - hist_cols - set_cols
-    return hist_cols, set_cols, split_cols, df_cols
+                tf_cols.add(lv.tf_col)
+    coded = set().union(*eq_groups) if eq_groups else set()
+    coded |= tf_cols | dig_cols
+    # a col referenced ONLY by null checks and not packed/coded must come
+    # from the pandas view (isnull for packed/coded cols rides the store)
+    df_cols |= null_cols - hist_cols - set_cols - coded
+    return _ModelPlan(
+        hist_cols=hist_cols,
+        set_cols=set_cols,
+        split_cols=split_cols,
+        df_cols=df_cols,
+        eq_groups=eq_groups,
+        dig_cols=dig_cols,
+        tf_cols=tf_cols,
+        coded_cols=coded,
+    )
 
 
 class _BroadcastScorer:
@@ -620,6 +726,7 @@ class _BroadcastScorer:
         )
         model = ray.get(model_ref)
         tf = ray.get(tf_ref)
+        self.tf_tables = tf or {}
         self.evaluators = [
             _ComparisonEvaluator(c, tf or {}) for c in model.comparisons
         ]
@@ -629,14 +736,55 @@ class _BroadcastScorer:
         self.threshold = threshold
         self.emit_cols = emit_cols
         # packed-store plan: which cols are vectorised vs pandas-view
-        hist_cols, set_cols, split_cols, df_need = _model_col_plan(model)
+        plan = _model_col_plan(model)
         avail = set(payload_cols)
-        self._hist_cols = hist_cols & avail
-        self._set_cols = set_cols & avail
-        self._split_cols = {(c, p) for c, p in split_cols if c in avail}
-        self._df_cols = [c for c in payload_cols if c in df_need]
+        self._hist_cols = plan.hist_cols & avail
+        self._set_cols = plan.set_cols & avail
+        self._split_cols = {(c, p) for c, p in plan.split_cols if c in avail}
+        self._df_cols = [c for c in payload_cols if c in plan.df_cols]
+        self._eq_groups = {g for g in plan.eq_groups if g <= avail}
+        self._dig_cols = plan.dig_cols & avail
+        # only string-typed columns are safe to dictionary-encode (float
+        # NaN compares unequal to itself under `==` but would share a code)
+        def _is_str(c: str) -> bool:
+            try:
+                ty = self.tab_l.schema.field(c).type
+            except KeyError:
+                return False
+            return pa.types.is_string(ty) or pa.types.is_large_string(ty)
+
+        self._eq_groups = {g for g in self._eq_groups if all(map(_is_str, g))}
+        self._dig_cols = {c for c in self._dig_cols if _is_str(c)}
+        self._tf_cols = {
+            c for c in plan.tf_cols & avail if (tf or {}).get(c) and _is_str(c)
+        }
+        # null checks are served from per-store isnull arrays for EVERY col
+        # the plan moved out of the pandas view, tf table present or not
+        self._coded_cols = (
+            (set().union(*self._eq_groups) if self._eq_groups else set())
+            | self._dig_cols
+            | {c for c in plan.tf_cols & avail if _is_str(c)}
+        )
+        # anything the plan kept out of the pandas view but we could not
+        # code after all falls back to it: cols of dropped eq groups, dropped
+        # digits cols, and TF keys with a table but no code path
+        plan_eq_cols = set().union(*plan.eq_groups) if plan.eq_groups else set()
+        kept_eq_cols = (
+            set().union(*self._eq_groups) if self._eq_groups else set()
+        )
+        demoted = (
+            (plan_eq_cols - kept_eq_cols)
+            | (plan.dig_cols - self._dig_cols)
+            | ({c for c in plan.tf_cols if (tf or {}).get(c)} - self._tf_cols)
+        ) & avail
+        for c in payload_cols:
+            if c in demoted and c not in self._df_cols:
+                self._df_cols.append(c)
         self._packed_cache: dict = {}  # (side, col) -> PackedSets/PackedHists
         self._split_cache: dict = {}  # (side, col, part) -> object ndarray
+        self._code_cache: dict = {}  # group key -> {(col, side): int64 codes}
+        self._tf_cache: dict = {}  # col -> (tf_l float64, tf_r float64)
+        self._isnull_cache: dict = {}  # col -> (bool ndarray l, bool ndarray r)
         # branch-and-bound pruning state: per-comparison upper bound on the
         # log2 Bayes-factor contribution (incl. the largest possible TF
         # boost), evaluation ordered by descending bound so pairs that
@@ -713,14 +861,155 @@ class _BroadcastScorer:
             self._split_cache[key] = got
         return got
 
+    @staticmethod
+    def _store_col(tab: pa.Table, c: str) -> pa.Array:
+        arr = tab[c]
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    def _group_codes(self, cols: frozenset, *, digits: bool = False) -> dict:
+        """Dictionary-encode a group of scalar columns (both stores) into
+        ONE shared vocabulary, once per actor: scalar equality levels then
+        compare int64 codes instead of chasing Python-object pointers —
+        the memory-traffic term that capped same-box actor scaling.
+        Returns {(col, side): int64 codes} with -1 for null."""
+        import pyarrow.compute as pc
+
+        key = ("dig" if digits else "raw", cols)
+        got = self._code_cache.get(key)
+        if got is not None:
+            return got
+        self_dedup = self.tab_r is self.tab_l
+        parts: list[pa.Array] = []
+        spans: list[tuple[str, str, int, int]] = []
+        off = 0
+        ordered = sorted(cols)
+        for side, tab in (("l", self.tab_l), ("r", self.tab_r)):
+            if side == "r" and self_dedup:
+                break
+            for c in ordered:
+                arr = self._store_col(tab, c)
+                if digits:
+                    arr = pc.struct_field(
+                        pc.extract_regex(arr, pattern=r"(?P<d>\d+)"), "d"
+                    )
+                parts.append(arr)
+                spans.append((c, side, off, len(arr)))
+                off += len(arr)
+        enc = pa.concat_arrays(parts).dictionary_encode()
+        codes_all = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        out: dict = {}
+        for c, side, start, ln in spans:
+            out[(c, side)] = codes_all[start : start + ln]
+        if self_dedup:
+            for c in ordered:
+                out[(c, "r")] = out[(c, "l")]
+        self._code_cache[key] = out
+        return out
+
+    def _tf_arrays(self, c: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-record TF values for a TF-adjustment key col, resolved once
+        per actor through the shared code dictionary (NaN = no tf entry or
+        null value); per-pair lookup is then a float gather."""
+        got = self._tf_cache.get(c)
+        if got is not None:
+            return got
+        import pyarrow.compute as pc
+
+        tf = self.tf_tables.get(c) or {}
+        self_dedup = self.tab_r is self.tab_l
+        al = self._store_col(self.tab_l, c)
+        if self_dedup:
+            enc = al.dictionary_encode()
+            codes = [np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)]
+        else:
+            ar = self._store_col(self.tab_r, c)
+            enc = pa.concat_arrays([al, ar]).dictionary_encode()
+            codes_all = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+            codes = [codes_all[: len(al)], codes_all[len(al) :]]
+        vocab = enc.dictionary.to_pylist()
+        tf_by_code = np.full(len(vocab) + 1, np.nan)  # slot -1 = null
+        for ci, v in enumerate(vocab):
+            t = tf.get(v)
+            if t is not None:
+                tf_by_code[ci] = t
+        res_l = tf_by_code[codes[0]]
+        res_r = res_l if self_dedup else tf_by_code[codes[1]]
+        self._tf_cache[c] = (res_l, res_r)
+        return self._tf_cache[c]
+
+    def _isnull_arrays(self, c: str) -> tuple[np.ndarray, np.ndarray]:
+        got = self._isnull_cache.get(c)
+        if got is not None:
+            return got
+        nl = np.asarray(self._store_col(self.tab_l, c).is_null())
+        nr = (
+            nl
+            if self.tab_r is self.tab_l
+            else np.asarray(self._store_col(self.tab_r, c).is_null())
+        )
+        self._isnull_cache[c] = (nl, nr)
+        return self._isnull_cache[c]
+
     def _pre_for(self, ev, take_l: np.ndarray, take_r: np.ndarray) -> dict:
         """Batch-aligned vectorised arrays for one comparison's levels,
         computed from the packed store over exactly the given pair rows."""
         from .packed import hist_products, overlap_counts
 
         pre: dict = {}
+
+        def _isnull_pre(c: str):
+            if ("isnull", c, "l") not in pre:
+                nl, nr = self._isnull_arrays(c)
+                pre[("isnull", c, "l")] = nl[take_l]
+                pre[("isnull", c, "r")] = nr[take_r]
+
         for lv in ev.comp.levels:
             k, p = lv.kind, lv.params
+            if lv.tf_col and lv.tf_col in self._tf_cols:
+                if ("tf", lv.tf_col) not in pre:
+                    tfl, tfr = self._tf_arrays(lv.tf_col)
+                    pre[("tf", lv.tf_col)] = (tfl[take_l], tfr[take_r])
+            if k == "exact":
+                g = frozenset((p["col"],))
+                if g in self._eq_groups and ("eq", p["col"]) not in pre:
+                    codes = self._group_codes(g)
+                    pre[("eq", p["col"])] = (
+                        codes[(p["col"], "l")][take_l],
+                        codes[(p["col"], "r")][take_r],
+                    )
+            elif k == "pair_equal":
+                g = frozenset((p["col_l"], p["col_r"]))
+                key = ("eqpair", p["col_l"], p["col_r"])
+                if g in self._eq_groups and key not in pre:
+                    codes = self._group_codes(g)
+                    pre[key] = (
+                        codes[(p["col_l"], "l")][take_l],
+                        codes[(p["col_r"], "r")][take_r],
+                    )
+            elif k == "cross_equal":
+                a, b = p["col_a"], p["col_b"]
+                g = frozenset((a, b))
+                key = ("eqcross", a, b)
+                if g in self._eq_groups and key not in pre:
+                    codes = self._group_codes(g)
+                    pre[key] = (
+                        codes[(a, "l")][take_l],
+                        codes[(b, "r")][take_r],
+                        codes[(b, "l")][take_l],
+                        codes[(a, "r")][take_r],
+                    )
+            elif k == "digits_equal":
+                c = p["col"]
+                if c in self._dig_cols and ("eqdig", c) not in pre:
+                    codes = self._group_codes(frozenset((c,)), digits=True)
+                    pre[("eqdig", c)] = (
+                        codes[(c, "l")][take_l],
+                        codes[(c, "r")][take_r],
+                    )
+            elif k == "flat_presence_mismatch":
+                for c in ("flat_positional", "flat_letter"):
+                    if c not in self._df_cols and c in self._coded_cols:
+                        _isnull_pre(c)
             if k == "hist_product_lt":
                 c = p["col"]
                 if ("hist", c) not in pre and c in self._hist_cols:
@@ -743,13 +1032,17 @@ class _BroadcastScorer:
                         pre[("nullempty", c, "r")] = (pr.isnull | (pr.lens == 0))[take_r]
             elif k in ("null_any", "null_all", "null_any_level"):
                 for c in p["cols"]:
-                    # needed when the col is packed-only (not in the df view)
-                    if c in self._df_cols or c not in (self._set_cols | self._hist_cols):
+                    # needed when the col is packed- or code-only (not in
+                    # the pandas view)
+                    if c in self._df_cols:
                         continue
-                    pl, pr = self._packed("l", c), self._packed("r", c)
-                    if ("isnull", c, "l") not in pre:
-                        pre[("isnull", c, "l")] = pl.isnull[take_l]
-                        pre[("isnull", c, "r")] = pr.isnull[take_r]
+                    if c in (self._set_cols | self._hist_cols):
+                        pl, pr = self._packed("l", c), self._packed("r", c)
+                        if ("isnull", c, "l") not in pre:
+                            pre[("isnull", c, "l")] = pl.isnull[take_l]
+                            pre[("isnull", c, "r")] = pr.isnull[take_r]
+                    elif c in self._coded_cols:
+                        _isnull_pre(c)
             elif k == "split_part_equal":
                 c, part = p["col"], p["part"]
                 if (c, part) in self._split_cols:

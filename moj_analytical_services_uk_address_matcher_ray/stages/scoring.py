@@ -209,23 +209,42 @@ class _ComparisonEvaluator:
                 m &= _side_isna(c, "l") & _side_isna(c, "r")
             return m
         if k == "exact":
+            got = pre.get(("eq", p["col"]))
+            if got is not None:
+                cl, cr = got
+                return (cl == cr) & (cl >= 0)
             return _eq(df[f"{p['col']}_l"], df[f"{p['col']}_r"])
         if k == "pair_equal":
+            got = pre.get(("eqpair", p["col_l"], p["col_r"]))
+            if got is not None:
+                cl, cr = got
+                return (cl == cr) & (cl >= 0)
             return _eq(df[f"{p['col_l']}_l"], df[f"{p['col_r']}_r"])
         if k == "cross_equal":
             a, b = p["col_a"], p["col_b"]
+            got = pre.get(("eqcross", a, b))
+            if got is not None:
+                al, br, bl, ar = got
+                return ((al == br) & (al >= 0)) | ((bl == ar) & (bl >= 0))
             return _eq(df[f"{a}_l"], df[f"{b}_r"]) | _eq(df[f"{b}_l"], df[f"{a}_r"])
         if k == "digits_equal":
             c = p["col"]
+            got = pre.get(("eqdig", c))
+            if got is not None:
+                cl, cr = got
+                return (cl == cr) & (cl >= 0)
             dl = df[f"{c}_l"].str.extract(_DIGITS, expand=False)
             dr = df[f"{c}_r"].str.extract(_DIGITS, expand=False)
             return _eq(dl, dr)
         if k == "flat_presence_mismatch":
-            fp_l, fp_r = df["flat_positional_l"], df["flat_positional_r"]
-            fl_l, fl_r = df["flat_letter_l"], df["flat_letter_r"]
-            return (_notna(fp_l) & _isna(fp_r) & _notna(fl_r)) | (
-                _notna(fp_r) & _isna(fp_l) & _notna(fl_l)
-            )
+            na = {
+                (c, s): _side_isna(c, s)
+                for c in ("flat_positional", "flat_letter")
+                for s in ("l", "r")
+            }
+            fp_l, fp_r = na[("flat_positional", "l")], na[("flat_positional", "r")]
+            fl_l, fl_r = na[("flat_letter", "l")], na[("flat_letter", "r")]
+            return (~fp_l & fp_r & ~fl_r) | (~fp_r & fp_l & ~fl_l)
         if k == "overlap_geq":
             c, kk = p["col"], p["k"]
             ov = pre.get(("ov", c))
@@ -320,17 +339,32 @@ class _ComparisonEvaluator:
             else:
                 bf = np.full(mask.sum(), lv.bf, dtype=np.float64)
                 if lv.tf_col and lv.tf_col in self.tf_tables:
-                    tf = self.tf_tables[lv.tf_col]
-                    vals_l = df[f"{lv.tf_col}_l"].to_numpy(dtype=object)[mask]
-                    vals_r = df[f"{lv.tf_col}_r"].to_numpy(dtype=object)[mask]
-                    adj = np.ones(len(bf), dtype=np.float64)
-                    for j, (vl, vr) in enumerate(zip(vals_l, vals_r)):
-                        tl = tf.get(vl)
-                        tr = tf.get(vr)
-                        t = max(x for x in (tl, tr) if x is not None) if (tl or tr) else None
-                        if t:
-                            adj[j] = (lv.u / t) ** lv.tf_weight
-                    bf *= adj
+                    got = (pre or {}).get(("tf", lv.tf_col))
+                    if got is not None:
+                        # per-record tf values resolved once per actor
+                        # (NaN = null value or no tf entry); same max-side
+                        # + pow arithmetic as the per-row path below, so
+                        # both scorer paths stay float-identical
+                        tl_all, tr_all = got
+                        with np.errstate(invalid="ignore"):
+                            tv = np.fmax(tl_all[mask], tr_all[mask])
+                            valid = ~np.isnan(tv) & (tv > 0)
+                        adj = np.ones(len(bf), dtype=np.float64)
+                        if valid.any():
+                            adj[valid] = (lv.u / tv[valid]) ** lv.tf_weight
+                        bf *= adj
+                    else:
+                        tf = self.tf_tables[lv.tf_col]
+                        vals_l = df[f"{lv.tf_col}_l"].to_numpy(dtype=object)[mask]
+                        vals_r = df[f"{lv.tf_col}_r"].to_numpy(dtype=object)[mask]
+                        adj = np.ones(len(bf), dtype=np.float64)
+                        for j, (vl, vr) in enumerate(zip(vals_l, vals_r)):
+                            tl = tf.get(vl)
+                            tr = tf.get(vr)
+                            t = max(x for x in (tl, tr) if x is not None) if (tl or tr) else None
+                            if t:
+                                adj[j] = (lv.u / t) ** lv.tf_weight
+                        bf *= adj
                 log2_bf[mask] = np.log2(bf)
             remaining &= ~mask
         return level_idx, log2_bf

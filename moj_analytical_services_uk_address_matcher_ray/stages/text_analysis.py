@@ -38,47 +38,58 @@ class LanguageId:
     """
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.cjk = re.compile(r"[一-鿿]")
         self.tables = {k: v for k, v in _STOPWORDS.items() if v}
         self.langs = list(self.tables)
-        # inverted stopword index: ONE dict lookup per token instead of a
-        # membership test per language per token (once per actor — the
-        # point of the actor pool)
-        self.word_langs: dict[str, tuple[int, ...]] = {}
-        for li, (_, stop) in enumerate(self.tables.items()):
-            for w in stop:
-                self.word_langs.setdefault(w, ())
-                self.word_langs[w] = self.word_langs[w] + (li,)
+        # stopword value-sets as Arrow arrays, built once per actor: the
+        # per-batch work is one pc.is_in over the flattened token stream
+        # per language — no per-token Python
+        self.stop_arrays = {
+            lang: pa.array(sorted(stop)) for lang, stop in self.tables.items()
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n_langs = len(self.langs)
-        preds, scores = [], []
-        for text in t["text"].to_pylist():
-            text = text or ""
-            n_chars = max(1, len(text))
-            cjk = len(self.cjk.findall(text))
-            if cjk / n_chars > 0.05:
-                preds.append("zh")
-                scores.append(cjk / n_chars)
-                continue
-            toks = self.word.findall(text.lower())
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            hits = [0] * n_langs
-            wl = self.word_langs
-            for w in toks:
-                for li in wl.get(w, ()):
-                    hits[li] += 1
-            best_li = max(range(n_langs), key=hits.__getitem__, default=-1)
-            if best_li < 0 or hits[best_li] == 0:
-                preds.append("und")
-                scores.append(0.0)
-            else:
-                preds.append(self.langs[best_li])
-                scores.append(hits[best_li] / len(toks))
+        arr = t["text"].combine_chunks()
+        if pa.types.is_null(arr.type):
+            arr = arr.cast(pa.string())
+        filled = pc.coalesce(arr, "")
+        n_chars = np.maximum(np.asarray(pc.utf8_length(filled)), 1)
+        cjk = np.asarray(
+            pc.count_substring_regex(filled, pattern="[一-鿿]")
+        )
+        cjk_ratio = cjk / n_chars
+        is_zh = cjk_ratio > 0.05
+
+        # alpha-run tokens of the lowercased text ([a-zA-Z]+ semantics)
+        toks = pc.split_pattern_regex(pc.utf8_lower(filled), pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets)
+        starts, ends = offsets[:-1], offsets[1:]
+        flat = toks.values
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nonempty = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+        cum = np.concatenate([[0], np.cumsum(nonempty)])
+        n_toks = cum[ends] - cum[starts]  # split artefacts ('') not counted
+
+        hit_rows = np.empty((len(self.langs), t.num_rows), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            m = np.asarray(pc.is_in(flat, value_set=self.stop_arrays[lang]))
+            c = np.concatenate([[0], np.cumsum(m)])
+            hit_rows[li] = c[ends] - c[starts]
+        best_li = np.argmax(hit_rows, axis=0)  # first-max, matches dict order
+        best_hits = hit_rows[best_li, np.arange(t.num_rows)]
+        has_lang = (best_hits > 0) & (n_toks > 0)
+
+        lang_codes = np.array(self.langs)
+        preds = np.where(
+            is_zh, "zh", np.where(has_lang, lang_codes[best_li], "und")
+        )
+        scores = np.where(
+            is_zh,
+            cjk_ratio,
+            np.where(has_lang, best_hits / np.maximum(n_toks, 1), 0.0),
+        )
         t = t.append_column("lang_pred", pa.array(preds, pa.string()))
         t = t.append_column("lang_score", pa.array(scores, pa.float64()))
         return t
