@@ -161,10 +161,16 @@ def run_scaling() -> dict:
     actor curve are recorded in BASELINE.md."""
     results = {}
     for ncpu in (2, 8, 32):
+        # SCALE=10 (~180k files): large enough that per-leg fixed costs
+        # (sort-barrier setup, actor-pool ramp, driver-serial constants —
+        # all O(1) in corpus size) don't dominate the 2-cpu leg now that
+        # the per-row kernels are vectorised; every leg reads the SAME
+        # cached corpus bytes, which is what the two-cluster-size
+        # criterion requires.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            UAM_BENCH_SCALE=os.environ.get("UAM_BENCH_SCALE", "3"),
+            UAM_BENCH_SCALE=os.environ.get("UAM_BENCH_SCALE", "10"),
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

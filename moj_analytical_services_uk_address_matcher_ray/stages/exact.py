@@ -49,10 +49,17 @@ MATCH_OUT_COLS = [
 
 
 def _drop_last_char(t: pa.Table, col: str, out: str) -> pa.Table:
-    vals = [
-        (v[:-1] if v is not None and len(v) > 1 else None) for v in t[col].to_pylist()
-    ]
-    return t.append_column(out, pa.array(vals, pa.string()))
+    """v[:-1], NULL for 0/1-char or null values — vectorised."""
+    import pyarrow.compute as pc
+
+    arr = t[col]
+    if pa.types.is_null(arr.type):  # all-null batch arrives as null type
+        arr = arr.cast(pa.string())
+    sliced = pc.utf8_replace_slice(arr, start=-1, stop=1 << 30, replacement="")
+    keep = pc.greater(pc.utf8_length(arr), 1)
+    return t.append_column(
+        out, pc.if_else(keep, sliced, pa.scalar(None, pa.string()))
+    )
 
 
 def restrict_canonical_to_fuzzy_keys(

@@ -85,12 +85,15 @@ def resolve_with_trie(
             else [None] * t.num_rows
         )
         if block_strategy == "drop_last_char":
-            block_vals = pa.array(
-                [
-                    (v[:-1] if v is not None and len(v) > 1 else None)
-                    for v in t[block_col].to_pylist()
-                ],
-                pa.string(),
+            arr = t[block_col]
+            if pa.types.is_null(arr.type):  # all-null batch -> null type
+                arr = arr.cast(pa.string())
+            block_vals = pa.compute.if_else(
+                pa.compute.greater(pa.compute.utf8_length(arr), 1),
+                pa.compute.utf8_replace_slice(
+                    arr, start=-1, stop=1 << 30, replacement=""
+                ),
+                pa.scalar(None, pa.string()),
             )
         else:
             block_vals = t[block_col]
@@ -121,31 +124,34 @@ def resolve_with_trie(
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
         trie = _build_suffix_trie(
             [
-                (
-                    r["ukam_address_id"],
-                    r["canonical_unique_id"],
-                    [] if r["__tokens"] is None else list(r["__tokens"]),
+                (aid, cid, [] if toks is None else list(toks))
+                for aid, cid, toks in zip(
+                    cs["ukam_address_id"].tolist(),
+                    cs["canonical_unique_id"].tolist(),
+                    cs["__tokens"].tolist(),
                 )
-                for _, r in cs.iterrows()
             ]
         )
-        rows = []
-        for _, r in fs.iterrows():
-            toks = r["__tokens"]
+        out_ids, out_canon, out_resolved = [], [], []
+        for aid, toks in zip(
+            fs["ukam_address_id"].tolist(), fs["__tokens"].tolist()
+        ):
             toks = [] if toks is None else list(toks)
             hit = _find_address(toks, trie, min_depth=min_depth)
             if hit is not None:
-                rows.append(
-                    {
-                        "ukam_address_id": r["ukam_address_id"],
-                        "canonical_ukam_address_id": hit[0],
-                        "resolved_canonical_id": hit[1],
-                        "match_reason": MATCH_REASON_TRIE,
-                    }
-                )
-        if not rows:
+                out_ids.append(aid)
+                out_canon.append(hit[0])
+                out_resolved.append(hit[1])
+        if not out_ids:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
-        return pd.DataFrame(rows)
+        return pd.DataFrame(
+            {
+                "ukam_address_id": out_ids,
+                "canonical_ukam_address_id": out_canon,
+                "resolved_canonical_id": out_resolved,
+                "match_reason": MATCH_REASON_TRIE,
+            }
+        )
 
     from .bucketing import bucketed_pandas_groupby
 

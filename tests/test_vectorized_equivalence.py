@@ -1,0 +1,110 @@
+"""Vectorised stages vs straightforward per-row reference implementations:
+language-ID and hot-key counting (the two stages whose Python-loop forms
+were replaced by Arrow/numpy kernels)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+    KEY_SEP,
+    parse_blocking_rule,
+)
+from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+    _STOPWORDS,
+    LanguageId,
+)
+
+
+def _lang_id_rowwise(text: str) -> tuple[str, float]:
+    """The per-row heuristic the vectorised stage replaced, kept as the
+    test oracle: CJK codepoint share decides 'zh'; otherwise the language
+    with the most stopword hits wins (first-declared wins ties)."""
+    text = text or ""
+    n_chars = max(1, len(text))
+    cjk = len(re.findall(r"[一-鿿]", text))
+    if cjk / n_chars > 0.05:
+        return "zh", cjk / n_chars
+    toks = re.findall(r"[a-zA-Z]+", text.lower())
+    if not toks:
+        return "und", 0.0
+    tables = {k: v for k, v in _STOPWORDS.items() if v}
+    hits = {lang: sum(t in stop for t in toks) for lang, stop in tables.items()}
+    best = max(tables, key=lambda lang: hits[lang])
+    if hits[best] == 0:
+        return "und", 0.0
+    return best, hits[best] / len(toks)
+
+
+ADVERSARIAL = [
+    None,
+    "",
+    "   ",
+    "!!! ??? ...",
+    "the cat sat on the mat and it is that",
+    "el perro y el gato en la casa",
+    "der hund ist nicht mit den katzen",
+    "le chat est pour la maison et les chiens",
+    "你好世界 你好世界 你好世界",
+    "hello 你 world",  # 1 CJK char in 13 -> under the 0.05... boundary case
+    "a 你",  # 1/3 CJK -> zh
+    "the el der le",  # one stopword hit per language -> tie, first wins
+    "THE AND OF TO",  # uppercase stopwords
+    "x" * 500,
+    "the " * 200 + "el " * 199,
+]
+
+
+def test_language_id_matches_rowwise_reference():
+    t = pa.table({"text": pa.array(ADVERSARIAL, pa.string())})
+    out = LanguageId()(t)
+    preds = out["lang_pred"].to_pylist()
+    scores = out["lang_score"].to_pylist()
+    for text, p, s in zip(ADVERSARIAL, preds, scores):
+        wp, ws = _lang_id_rowwise(text)
+        assert p == wp, (text, p, wp)
+        assert abs(s - ws) < 1e-12, (text, s, ws)
+
+
+def test_language_id_randomized_against_reference():
+    rng = np.random.default_rng(5)
+    words = ["the", "el", "der", "le", "zzz", "qqq", "la", "de", "und", "是"]
+    texts = []
+    for _ in range(300):
+        k = int(rng.integers(0, 12))
+        texts.append(" ".join(words[int(rng.integers(0, len(words)))] for _ in range(k)))
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = LanguageId()(t)
+    for text, p, s in zip(
+        texts, out["lang_pred"].to_pylist(), out["lang_score"].to_pylist()
+    ):
+        wp, ws = _lang_id_rowwise(text)
+        assert p == wp and abs(s - ws) < 1e-12, (text, p, wp, s, ws)
+
+
+def test_hot_key_partial_counts_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        detect_hot_keys,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = [f"K{int(rng.integers(0, 5))}" for _ in range(n)]
+    keys[:2000] = ["HOT"] * 2000  # one key above threshold
+    rows = {
+        "ukam_address_id": [f"id{i}" for i in range(n)],
+        "numeric_token_1": keys,
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    rule = parse_blocking_rule("l.numeric_token_1 = r.numeric_token_1")
+    hot = detect_hot_keys(
+        ds, ds, [rule], hot_key_threshold=1000, salt_rows=500
+    )
+    # exact counting path (threshold < 3200 -> no sampling): HOT = 2000 rows
+    assert (0, "HOT") in hot
+    assert hot[(0, "HOT")] == 4  # ceil(2000 / 500)
+    assert all(k == (0, "HOT") for k in hot)
+    assert KEY_SEP not in "HOT"
