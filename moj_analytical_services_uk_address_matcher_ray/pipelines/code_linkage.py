@@ -406,7 +406,9 @@ def dedup_code_corpus(
     # relabel — the 10^12-row route
     from ..stages.joins import inner_join
 
-    out = inner_join(id_map, comps, on="node", num_partitions=num_partitions)
+    out = inner_join(
+        id_map, comps, on="node", num_partitions=num_partitions, broadcast=False
+    )
     out = out.map_batches(
         lambda t: pa.table(
             {

@@ -1316,6 +1316,7 @@ def generate_and_score_pairs(
         pairs,
         canon.map_batches(_l_payload, batch_format="pyarrow"),
         on=f"{id_col}_l",
+        broadcast=False,  # this IS the explicit shuffle (10^12-row) route
     )
 
     model_ref = ray.put(model)

@@ -62,6 +62,87 @@ def _schema_of(ds: "ray.data.Dataset") -> pa.Schema:
     return pa.schema([pa.field(n, t) for n, t in zip(names, types)])
 
 
+BROADCAST_JOIN_ROW_LIMIT = 200_000  # auto-broadcast a right side up to this
+BROADCAST_JOIN_BYTE_LIMIT = 256 << 20  # ... unless it is wider than this
+
+# worker-process-local cache of prepared broadcast right sides (keyed by the
+# object ref hex) — the ray.get is zero-copy from the local object store, but
+# the key-frame build is not free, so reuse it across batches on a worker
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_merge_join(
+    left: "ray.data.Dataset",
+    rt: pa.Table,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...],
+    how: str,
+    lcols: list[str],
+    rcols_payload: list[str],
+    rout: dict[str, str],
+) -> "ray.data.Dataset":
+    """Zero-shuffle equi-join against a *small* right table: the right side
+    is ``ray.put`` once (read zero-copy in every task), each left batch is
+    merged locally via a vectorised pandas hash-merge on dictionary codes.
+    Semantics identical to the co-partitioned path (NULL keys never match;
+    left rows with NULL keys survive a left join)."""
+    import pandas as pd
+
+    rt = rt.combine_chunks()
+    rkeys = _key_strings(rt, right_on)
+    valid = pc.is_valid(rkeys)
+    payload = rt.select(rcols_payload).rename_columns(
+        [rout[c] for c in rcols_payload]
+    )
+    ref = ray.put((rkeys.filter(valid), payload.filter(valid)))
+
+    def _prepared():
+        key = ref.hex()
+        hit = _BCAST_CACHE.get(key)
+        if hit is None:
+            rkeys_v, payload_v = ray.get(ref)
+            rdf = pd.DataFrame(
+                {
+                    "k": rkeys_v.to_pandas(),
+                    "j": np.arange(len(rkeys_v), dtype=np.int64),
+                }
+            )
+            hit = (rdf, payload_v)
+            if len(_BCAST_CACHE) > 8:
+                _BCAST_CACHE.clear()
+            _BCAST_CACHE[key] = hit
+        return hit
+
+    def merge_batch(t: pa.Table) -> pa.Table:
+        rdf, payload_v = _prepared()
+        lk = _key_strings(t, on)
+        if isinstance(lk, pa.ChunkedArray):
+            lk = lk.combine_chunks()
+        ldf = pd.DataFrame(
+            {"k": lk.to_pandas(), "i": np.arange(t.num_rows, dtype=np.int64)}
+        )
+        # right NULL keys were dropped above, so left NULL keys match
+        # nothing: inner-merge drops them, left-merge null-pads them — SQL
+        # three-valued equality for free.
+        m = ldf.merge(rdf, on="k", how=("left" if how == "left" else "inner"))
+        sel = t.select(lcols)
+        if len(m) == 0:
+            out = {c: sel[c].slice(0, 0) for c in lcols}
+            for c in rcols_payload:
+                out[rout[c]] = payload_v[rout[c]].slice(0, 0)
+            return pa.table(out)
+        li = pa.array(m["i"].to_numpy(), pa.int64())
+        rj = pa.Array.from_pandas(m["j"].astype("Int64"))  # NaN -> null row
+        lpart = sel.take(li)
+        rpart = payload_v.take(rj)
+        data = {c: lpart[c] for c in lcols}
+        for c in rcols_payload:
+            data[rout[c]] = rpart[rout[c]]
+        return pa.table(data)
+
+    return left.map_batches(merge_batch, batch_format="pyarrow")
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -71,9 +152,18 @@ def hash_join(
     how: str = "inner",  # "inner" | "left"
     right_suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,  # accepted, unused (groupby decides)
+    broadcast: bool | None = None,  # None = auto (probe the right side)
 ) -> "ray.data.Dataset":
     """Co-partitioned equi-join.  Output = all left columns + right columns
-    (right key columns dropped; clashing right names get ``right_suffix``)."""
+    (right key columns dropped; clashing right names get ``right_suffix``).
+
+    ``broadcast``: small right sides (dimension tables, lookup maps) skip the
+    all-to-all exchange entirely — the right table is materialised once,
+    ``ray.put`` into the object store, and each left batch hash-merges
+    against it locally.  ``None`` probes the right side with a bounded
+    ``limit(N+1).count()`` (streaming early-stop; cheap for scans/maps, one
+    extra barrier for aggregate-derived sides — pass an explicit bool there).
+    ``False`` forces the shuffle route — the 10^12-row big×big path."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (
         (right_on,) if isinstance(right_on, str) else tuple(right_on or on)
@@ -95,6 +185,44 @@ def hash_join(
         c: (c + right_suffix if c in lcols else c) for c in rcols_payload
     }
     rtypes = {c: rschema.field(c).type for c in rcols_payload}
+
+    if broadcast is None:
+        broadcast = (
+            right.limit(BROADCAST_JOIN_ROW_LIMIT + 1).count()
+            <= BROADCAST_JOIN_ROW_LIMIT
+        )
+    if broadcast:
+        import pandas as pd
+
+        refs = right.to_arrow_refs()
+        # to_arrow_refs takes a zero-copy shortcut when the dataset-level
+        # schema is Arrow, which can hand back raw *pandas* blocks from
+        # mixed-block unions — convert stragglers against the known schema
+        tables = []
+        for t in ray.get(refs):
+            if isinstance(t, pd.DataFrame):
+                if len(t) == 0:  # empty pandas stragglers may lack columns
+                    continue
+                t = pa.Table.from_pandas(
+                    t[list(rschema.names)], schema=rschema, preserve_index=False
+                )
+            if t.num_rows > 0:
+                tables.append(t)
+        rt = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table(
+                {n: pa.nulls(0, rschema.field(n).type) for n in rschema.names}
+            )
+        )
+        if (
+            rt.num_rows <= BROADCAST_JOIN_ROW_LIMIT
+            and rt.nbytes <= BROADCAST_JOIN_BYTE_LIMIT
+        ):
+            return _broadcast_merge_join(
+                left, rt, on, right_on, how, lcols, rcols_payload, rout
+            )
+        right = ray.data.from_arrow_refs(refs)  # too big after all: shuffle
 
     def prep_left(t: pa.Table) -> pa.Table:
         data = {c: t[c] for c in lcols}
@@ -187,21 +315,23 @@ def hash_join(
 
 def inner_join(
     left, right, on, *, right_on=None, num_partitions: int = DEFAULT_PARTITIONS,
-    left_suffix=None, right_suffix=None,
+    left_suffix=None, right_suffix=None, broadcast: bool | None = None,
 ):
     return hash_join(
         left, right, on, right_on=right_on, how="inner",
         right_suffix=right_suffix or "_r", num_partitions=num_partitions,
+        broadcast=broadcast,
     )
 
 
 def left_join(
     left, right, on, *, right_on=None, num_partitions: int = DEFAULT_PARTITIONS,
-    left_suffix=None, right_suffix=None,
+    left_suffix=None, right_suffix=None, broadcast: bool | None = None,
 ):
     return hash_join(
         left, right, on, right_on=right_on, how="left",
         right_suffix=right_suffix or "_r", num_partitions=num_partitions,
+        broadcast=broadcast,
     )
 
 
@@ -228,7 +358,12 @@ def semi_join(
 ) -> "ray.data.Dataset":
     """Rows of ``left`` whose key appears in ``right`` (J1)."""
     on = (on,) if isinstance(on, str) else tuple(on)
-    joined = left_join(left, _key_set(right, on), on, num_partitions=num_partitions)
+    # broadcast=False: the key set is aggregate-derived (a groupby barrier) —
+    # the auto-probe would run that barrier twice for small sides
+    joined = left_join(
+        left, _key_set(right, on), on,
+        num_partitions=num_partitions, broadcast=False,
+    )
     return joined.map_batches(
         lambda t: t.filter(pc.is_valid(t[_MARKER])).drop_columns([_MARKER]),
         batch_format="pyarrow",
@@ -245,7 +380,10 @@ def anti_join(
     """Rows of ``left`` whose key does NOT appear in ``right``
     (matching_stages.py:173-182 `_get_unmatched_subset`)."""
     on = (on,) if isinstance(on, str) else tuple(on)
-    joined = left_join(left, _key_set(right, on), on, num_partitions=num_partitions)
+    joined = left_join(
+        left, _key_set(right, on), on,
+        num_partitions=num_partitions, broadcast=False,
+    )
     return joined.map_batches(
         lambda t: t.filter(pc.is_null(t[_MARKER])).drop_columns([_MARKER]),
         batch_format="pyarrow",
