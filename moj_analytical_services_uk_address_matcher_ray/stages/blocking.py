@@ -265,21 +265,22 @@ def detect_hot_keys(
     sampling error is a few percent, far inside the 2x headroom a salt
     factor tolerates.  This cuts the pre-pass cost ~16x; small thresholds
     fall back to the exact count."""
-    import zlib
-
     sample_mod = 16 if hot_key_threshold >= 3200 else 1
 
     def _partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         if sample_mod > 1:
-            ids = t[id_col].to_pylist()
-            keep = [
-                i
-                for i, v in enumerate(ids)
-                if zlib.crc32(str(v).encode()) % sample_mod == 0
-            ]
-            t = t.take(pa.array(keep, pa.int64()))
+            import pandas as pd
+
+            ids = t[id_col]
+            ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+            if not pa.types.is_string(ids.type):
+                ids = ids.cast(pa.string())
+            h = pd.util.hash_array(
+                ids.to_numpy(zero_copy_only=False), categorize=True
+            )
+            t = t.filter(pa.array(h % sample_mod == 0))
         rule_parts, key_parts, cnt_parts = [], [], []
         for rule_idx, rule in enumerate(rules):
             cols = [e.evaluate(t) for e in rule.l_exprs]

@@ -14,8 +14,6 @@ it bounds task size (memory) and sets the parallelism of the reduce side.
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 import ray
 
@@ -33,7 +31,7 @@ def default_buckets() -> int:
     return max(8, cpus)
 
 
-def _combine_keys(t: pa.Table, keys: list[str]) -> list[str]:
+def _combine_keys(t: pa.Table, keys: list[str]) -> pa.Array:
     """Vectorised key concat (arrow cast + element-wise join); NULLs fold to
     '' so every row gets a bucket."""
     import pyarrow.compute as pc
@@ -42,24 +40,37 @@ def _combine_keys(t: pa.Table, keys: list[str]) -> list[str]:
     for k in keys:
         arr = t[k]
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        if not pa.types.is_string(arr.type):
+        if pa.types.is_null(arr.type):  # all-null batch arrives as null type
+            arr = arr.cast(pa.string())
+        elif not pa.types.is_string(arr.type):
             arr = arr.cast(pa.string())
         parts.append(pc.coalesce(arr, ""))
     if len(parts) == 1:
-        combined = parts[0]
-    else:
-        combined = pc.binary_join_element_wise(*parts, "\x1f")
-    return combined.to_pylist()
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
+def hash_bucket_ids(combined: pa.Array, n_buckets: int) -> "pa.Int32Array":
+    """Vectorised value-deterministic bucket assignment: pandas' C siphash
+    over the (dictionary-encoded) key strings.  Every batch of the same key
+    value lands in the same bucket — the only property a bucketed shuffle
+    needs.  Replaces a per-row ``zlib.crc32`` Python loop that ran on every
+    bucketed shuffle in the engine."""
+    import numpy as np
+    import pandas as pd
+
+    if len(combined) == 0:
+        return pa.array([], pa.int32())
+    h = pd.util.hash_array(
+        combined.to_numpy(zero_copy_only=False), categorize=True
+    )
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32), pa.int32())
 
 
 def add_bucket_column(
     t: pa.Table, keys: list[str], n_buckets: int, *, out: str = BUCKET_COL
 ) -> pa.Table:
-    combined = _combine_keys(t, keys)
-    buckets = pa.array(
-        [zlib.crc32(s.encode()) % n_buckets for s in combined], pa.int32()
-    )
-    return t.append_column(out, buckets)
+    return t.append_column(out, hash_bucket_ids(_combine_keys(t, keys), n_buckets))
 
 
 def bucketed_group_apply(
