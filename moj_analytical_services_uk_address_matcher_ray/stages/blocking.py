@@ -1052,8 +1052,6 @@ class _BroadcastScorer:
         return pre
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         n = t.num_rows
         kl, kr = f"{self.id_col}_l", f"{self.id_col}_r"
         if n == 0:
@@ -1070,6 +1068,32 @@ class _BroadcastScorer:
                 f"pair ids missing from the broadcast feature store "
                 f"({int((take_l < 0).sum()) + int((take_r < 0).sum())} rows)"
             )
+        rule_idx = t["rule_idx"]
+        rule_idx = (
+            rule_idx.combine_chunks()
+            if isinstance(rule_idx, pa.ChunkedArray)
+            else rule_idx
+        )
+        return self.score_taken(take_l, take_r, rule_idx)
+
+    def empty_scored(self) -> pa.Table:
+        """Zero-row output table with the exact emit schema."""
+        return self.score_taken(
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], pa.int32()),
+        )
+
+    def score_taken(
+        self, take_l: np.ndarray, take_r: np.ndarray, rule_idx: pa.Array
+    ) -> pa.Table:
+        """Score pairs given as STORE ROW INDICES (skips the id lookup —
+        the fused emit+score bucket path resolves ids to store rows once
+        per bucket member, not once per pair)."""
+        import pandas as pd
+
+        n = len(take_l)
+        kl, kr = f"{self.id_col}_l", f"{self.id_col}_r"
         # evaluation view: only the columns per-row kinds actually read —
         # list columns are evaluated from the packed store instead
         df_data: dict = {}
@@ -1083,9 +1107,12 @@ class _BroadcastScorer:
 
         from ..state.metrics import inc_metric
 
-        inc_metric("scoring.pairs_scored", n)
+        if n:
+            inc_metric("scoring.pairs_scored", n)
         mw = np.full(n, self.prior, dtype=np.float64)
-        if self.threshold is None:
+        if n == 0:
+            keep = np.zeros(0, dtype=bool)
+        elif self.threshold is None:
             for ev in self.evaluators:
                 _, log2_bf = ev.evaluate(df, self._pre_for(ev, take_l, take_r))
                 mw += log2_bf
@@ -1115,10 +1142,12 @@ class _BroadcastScorer:
             keep = np.zeros(n, dtype=bool)
             keep[active] = True
         idx = pa.array(np.flatnonzero(keep), pa.int64())
+        id_l_arr = self._store_col(self.tab_l, self.id_col)
+        id_r_arr = self._store_col(self.tab_r, self.id_col)
         out: dict = {
-            kl: t[kl].take(idx),
-            kr: t[kr].take(idx),
-            "rule_idx": t["rule_idx"].take(idx),
+            kl: id_l_arr.take(pa.array(take_l[keep], pa.int64())),
+            kr: id_r_arr.take(pa.array(take_r[keep], pa.int64())),
+            "rule_idx": rule_idx.take(idx),
             "match_weight": pa.array(mw[keep], pa.float64()),
             "match_probability": pa.array(
                 (2.0 ** mw[keep]) / (1.0 + 2.0 ** mw[keep]), pa.float64()
@@ -1187,6 +1216,203 @@ def _broadcast_score(
         concurrency=pool,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused pair EMISSION + scoring: the candidate-pair stream never exists
+# ---------------------------------------------------------------------------
+
+_FUSED_SCORER_CACHE: dict = {}
+
+
+def _fused_scorer(
+    store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
+) -> "_BroadcastScorer":
+    """Per-WORKER-PROCESS scorer cache: bucket tasks run on Ray's persistent
+    worker pool, so the packed stores / code dictionaries are built once per
+    process — the same amortisation an actor pool gives, without reserving
+    CPU slots that would starve the upstream sort."""
+    key = (store_l_ref.hex(), store_r_ref.hex(), model_ref.hex(), cache_key)
+    got = _FUSED_SCORER_CACHE.get(key)
+    if got is None:
+        _FUSED_SCORER_CACHE.clear()  # one live store per worker is the norm
+        got = _BroadcastScorer(
+            store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs
+        )
+        _FUSED_SCORER_CACHE[key] = got
+    return got
+
+
+def make_fused_emit_score(
+    store_l_ref,
+    store_r_ref,
+    model_ref,
+    tf_ref,
+    *,
+    payload_cols: list[str],
+    id_col: str,
+    threshold: float | None,
+    emit_cols: list[str] | None,
+    max_pairs_per_block: int,
+    ordered_self_pairs: bool,
+    symmetric_rules: frozenset[int] = frozenset(),
+    chunk_pairs: int = 262_144,
+):
+    """Per-bucket candidate-pair emission FUSED with broadcast scoring.
+
+    The unfused broadcast path shuffles the keyed rows, materialises the
+    full candidate-pair stream to the object store (a sort barrier: the
+    scorer pool idles during the sort, the sort idles during scoring), then
+    scores it.  At 180k corpus rows that stream is ~25M narrow rows of
+    which scoring discards ~97% — writing it out is the single largest
+    non-scaling cost of the flagship.  Fused, each bucket task emits its
+    blocks' pair-index arrays in memory, gathers features straight from the
+    zero-copy broadcast store, scores in ``chunk_pairs`` slices (bounds the
+    transient gather) and returns only threshold survivors.
+
+    ``ordered_self_pairs=True`` emits the id-ordered upper triangle of each
+    block directly — exactly the previous emit-all + ``id_l < id_r`` filter,
+    minus half the work.  The triangle shortcut requires the block's l-set
+    to equal its r-set, which holds only for SYMMETRIC rules
+    (``symmetric_rules``, precomputed by the caller) on UNSALTED keys; a
+    salted hot block puts each record in one l salt-bucket but replicates it
+    to every r bucket, so cross-salt pairs exist only in l x r — those
+    blocks (and asymmetric rules) take the general cross-product path with
+    the id-order filter applied after.  Cap semantics and the dropped-pairs
+    metric match the unfused emitter.
+    """
+    ctor_kwargs = dict(
+        payload_cols=payload_cols,
+        id_col=id_col,
+        threshold=threshold,
+        emit_cols=emit_cols,
+    )
+    cache_key = (
+        threshold,
+        tuple(emit_cols or ()),
+        id_col,
+        tuple(payload_cols),
+    )
+
+    def bucket_fn(g: pa.Table) -> pa.Table:
+        scorer = _fused_scorer(
+            store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
+        )
+        if g.num_rows == 0:
+            return scorer.empty_scored()
+        n = g.num_rows
+        rules = np.asarray(g["rule_idx"].to_pylist(), dtype=np.int64)
+        bkeys = g["block_key"].to_pylist()
+        sides = np.asarray(g["side"].to_pylist(), dtype=object)
+        ids = np.asarray(g[id_col].to_pylist(), dtype=object)
+        # bucket member -> broadcast-store row, resolved once per member
+        row_l = scorer.idx_l.get_indexer(pd.Index(ids))
+        row_r = (
+            row_l
+            if scorer.idx_r is scorer.idx_l
+            else scorer.idx_r.get_indexer(pd.Index(ids))
+        )
+        comb = np.fromiter(
+            (f"{r}\x1f{k}" for r, k in zip(rules, bkeys)), dtype=object, count=n
+        )
+        order = np.argsort(comb, kind="stable")
+        comb_sorted = comb[order]
+        boundaries = np.flatnonzero(
+            np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1]))
+        )
+        out_tables: list[pa.Table] = []
+        buf_l: list[np.ndarray] = []
+        buf_r: list[np.ndarray] = []
+        buf_rule: list[np.ndarray] = []
+        buffered = 0
+        dropped = 0
+
+        def flush():
+            nonlocal buffered
+            if not buffered:
+                return
+            tl = np.concatenate(buf_l)
+            tr = np.concatenate(buf_r)
+            tru = np.concatenate(buf_rule)
+            buf_l.clear()
+            buf_r.clear()
+            buf_rule.clear()
+            buffered = 0
+            res = scorer.score_taken(tl, tr, pa.array(tru, pa.int32()))
+            if res.num_rows:
+                out_tables.append(res)
+
+        for b_i, start in enumerate(boundaries):
+            end = boundaries[b_i + 1] if b_i + 1 < len(boundaries) else n
+            idxs = order[start:end]
+            rule_val = int(rules[idxs[0]])
+            triangle_ok = (
+                ordered_self_pairs
+                and rule_val in symmetric_rules
+                and SALT_SEP not in comb_sorted[start]
+            )
+            if triangle_ok:
+                # unsalted symmetric self-dedup: the l-side rows ARE the
+                # block's member set; emit the id-ordered upper triangle
+                mem = idxs[sides[idxs] == "l"]
+                m = len(mem)
+                if m < 2:
+                    continue
+                if m * m > max_pairs_per_block:
+                    # exact parity with the unfused path's truncation: it
+                    # kept the keep_l smallest ids on l and keep_r on r,
+                    # then filtered id_l < id_r — i.e. the upper triangle
+                    # of the keep_r smallest members restricted to rows
+                    # whose smaller id ranks below keep_l
+                    dropped += m * m - max_pairs_per_block
+                    keep_l = max(1, int(max_pairs_per_block**0.5))
+                    keep_r = max(1, max_pairs_per_block // keep_l)
+                    mem = mem[np.argsort(ids[mem], kind="stable")][:keep_r]
+                    m = len(mem)
+                    if m < 2:
+                        continue
+                    iu, ju = np.triu_indices(m, k=1)
+                    tri_keep = iu < keep_l
+                    iu, ju = iu[tri_keep], ju[tri_keep]
+                else:
+                    mem = mem[np.argsort(ids[mem], kind="stable")]
+                    iu, ju = np.triu_indices(m, k=1)
+                li, ri = mem[iu], mem[ju]
+            else:
+                l_idx = idxs[sides[idxs] == "l"]
+                r_idx = idxs[sides[idxs] == "r"]
+                nl, nr = len(l_idx), len(r_idx)
+                if nl == 0 or nr == 0:
+                    continue
+                if nl * nr > max_pairs_per_block:
+                    dropped += nl * nr - max_pairs_per_block
+                    keep_l = max(1, int(max_pairs_per_block**0.5))
+                    keep_r = max(1, max_pairs_per_block // keep_l)
+                    l_idx = l_idx[np.argsort(ids[l_idx], kind="stable")][:keep_l]
+                    r_idx = r_idx[np.argsort(ids[r_idx], kind="stable")][:keep_r]
+                    nl, nr = len(l_idx), len(r_idx)
+                li = np.repeat(l_idx, nr)
+                ri = np.tile(r_idx, nl)
+                if ordered_self_pairs:
+                    mask = ids[li] < ids[ri]
+                    if not mask.all():
+                        li, ri = li[mask], ri[mask]
+            if len(li) == 0:
+                continue
+            buf_l.append(row_l[li])
+            buf_r.append(row_r[ri])
+            buf_rule.append(np.full(len(li), rule_val, dtype=np.int32))
+            buffered += len(li)
+            if buffered >= chunk_pairs:
+                flush()
+        flush()
+        if dropped:
+            inc_metric("blocking.dropped_pairs", dropped)
+        if not out_tables:
+            return scorer.empty_scored()
+        return pa.concat_tables(out_tables, promote_options="default")
+
+    return bucket_fn
 
 
 # ---------------------------------------------------------------------------
@@ -1268,35 +1494,62 @@ def generate_and_score_pairs(
         n = canon.count() + (0 if same else messy.count())
         payload_mode = "broadcast" if n < broadcast_threshold else "shuffle"
 
-    pairs = generate_candidate_pairs(
-        canon,
-        messy,
-        parsed,
-        carry_cols=[id_col],  # narrow: ids only
-        max_pairs_per_block=max_pairs_per_block,
-        hot_key_threshold=hot_key_threshold,
-        id_col=id_col,
-        ordered_self_pairs=ordered_self_pairs,
-        # broadcast path: a pair scores identically under every rule, so the
-        # cross-rule dedup shuffle runs AFTER score+threshold, on the few
-        # surviving rows instead of the full raw candidate stream
-        dedupe=(payload_mode != "broadcast"),
-    )
-
     if payload_mode == "broadcast":
+        # FUSED path: key derivation -> ONE bucketed shuffle of the narrow
+        # keyed rows -> per-bucket pair emission + broadcast-store scoring
+        # in the same task.  The candidate-pair stream (rows x avg block
+        # size — ~25M rows at a 180k corpus, ~97% discarded by the
+        # threshold) never touches the object store, and there is no sort
+        # barrier between emission and scoring for workers to idle on.
+        from .bucketing import bucketed_group_apply as _bga, default_buckets
+
+        hot = None
+        if hot_key_threshold and canon.count() > hot_key_threshold:
+            hot = detect_hot_keys(
+                canon, messy, parsed, hot_key_threshold=hot_key_threshold
+            )
+        key_kwargs = {"rules": parsed, "carry_cols": [id_col], "hot_keys": hot}
+        keyed_l = canon.map_batches(
+            derive_block_keys,
+            batch_format="pyarrow",
+            fn_kwargs=dict(key_kwargs, side="l"),
+        )
+        keyed_r = messy.map_batches(
+            derive_block_keys,
+            batch_format="pyarrow",
+            fn_kwargs=dict(key_kwargs, side="r"),
+        )
+        store_l_ref = _build_arrow_store(canon, carry_cols)
+        store_r_ref = (
+            store_l_ref if messy is canon else _build_arrow_store(messy, carry_cols)
+        )
+        model_ref = ray.put(model)
+        tf_ref = ray.put(tf_tables or {})
         internal_emit = emit_cols
         if dedupe_output and emit_cols is not None and "rule_idx" not in emit_cols:
             internal_emit = list(emit_cols) + ["rule_idx"]
-        scored = _broadcast_score(
-            pairs,
-            canon,
-            messy,
-            model,
-            tf_tables=tf_tables,
-            carry_cols=carry_cols,
-            threshold=threshold_match_weight,
-            emit_cols=internal_emit,
-            id_col=id_col,
+        symmetric = frozenset(
+            i for i, r in enumerate(parsed) if r.l_exprs == r.r_exprs
+        )
+        scored = _bga(
+            keyed_l.union(keyed_r),
+            ["rule_idx", "block_key"],
+            make_fused_emit_score(
+                store_l_ref,
+                store_r_ref,
+                model_ref,
+                tf_ref,
+                payload_cols=payload_cols,
+                id_col=id_col,
+                threshold=threshold_match_weight,
+                emit_cols=internal_emit,
+                max_pairs_per_block=max_pairs_per_block,
+                ordered_self_pairs=ordered_self_pairs,
+                symmetric_rules=symmetric,
+            ),
+            # finer buckets than the default one-per-cpu: scoring now rides
+            # the bucket tasks, so bucket skew IS scoring skew
+            n_buckets=2 * default_buckets(),
         )
         if not dedupe_output:
             return scored
@@ -1306,6 +1559,18 @@ def generate_and_score_pairs(
                 lambda t: t.select(emit_cols), batch_format="pyarrow"
             )
         return deduped
+
+    pairs = generate_candidate_pairs(
+        canon,
+        messy,
+        parsed,
+        carry_cols=[id_col],  # narrow: ids only
+        max_pairs_per_block=max_pairs_per_block,
+        hot_key_threshold=hot_key_threshold,
+        id_col=id_col,
+        ordered_self_pairs=ordered_self_pairs,
+        dedupe=True,
+    )
 
     def _l_payload(t: pa.Table) -> pa.Table:
         data = {f"{id_col}_l": t[id_col]}

@@ -99,7 +99,17 @@ def bucketed_group_apply(
     else:
 
         def wrapper(g):
-            return bucket_fn(g.drop(columns=[BUCKET_COL]))
+            res = bucket_fn(g.drop(columns=[BUCKET_COL]))
+            # convert pandas results to Arrow HERE: Ray's own pandas->Arrow
+            # block conversion infers an all-NaN float64 column as Arrow
+            # `null` type, which poisons downstream schema unification when
+            # one bucket's output happens to be all-NaN (pyarrow's
+            # from_pandas keeps float64 -> double)
+            import pandas as pd
+
+            if isinstance(res, pd.DataFrame):
+                return pa.Table.from_pandas(res, preserve_index=False)
+            return res
 
     return keyed.groupby(BUCKET_COL).map_groups(wrapper, batch_format=batch_format)
 

@@ -136,20 +136,14 @@ def connected_components(
         )
 
     if n_adj < driver_threshold:
-        # exact driver-side union-find over the narrow edge list
-        pairs: list[tuple[str, str]] = []
-        for b in adj.iter_batches(batch_format="pyarrow"):
-            pairs.extend(zip(b["node"].to_pylist(), b["nbr"].to_pylist()))
-        labels = connected_components_local(pairs)
-        keys = sorted(labels)
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array(keys, pa.string()),
-                    "cluster_id": pa.array([labels[k] for k in keys], pa.string()),
-                }
-            )
-        )
+        # exact driver-side components, fully vectorised: factorize the node
+        # ids to int codes (pandas C hashing), rank them lexicographically so
+        # "min label" keeps the string-min cluster-id semantics, then iterate
+        # scatter-min over the edge arrays with pointer-jumping compression —
+        # O(E) C-speed work per round, O(log n) rounds.  (The previous
+        # per-edge Python union-find was ~10s of driver-serial time at 1.7M
+        # edges — a constant Amdahl term at every parallelism level.)
+        return ray.data.from_arrow(_vectorised_cc(adj))
 
     from .bucketing import bucketed_group_apply
 
@@ -184,6 +178,48 @@ def connected_components(
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
+    """Exact components of a mirrored adjacency Dataset, driver-side but
+    vectorised end to end.  Returns (node, cluster_id) with cluster_id = the
+    component's lexicographically smallest node id (identical semantics to
+    ``connected_components_local`` and the distributed Hash-to-Min path)."""
+    import numpy as np
+    import pandas as pd
+
+    blocks = [b for b in ray.get(adj.to_arrow_refs()) if b.num_rows]
+    tbl = pa.concat_tables(blocks).combine_chunks()
+    node = tbl["node"].combine_chunks().to_numpy(zero_copy_only=False)
+    nbr = tbl["nbr"].combine_chunks().to_numpy(zero_copy_only=False)
+    codes, uniques = pd.factorize(np.concatenate([node, nbr]))
+    n = len(uniques)
+    # rank nodes lexicographically: min RANK == min STRING id
+    order = np.argsort(uniques, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    e1 = rank[codes[: len(node)]]
+    e2 = rank[codes[len(node) :]]
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        before = labels.copy()
+        m = np.minimum(labels[e1], labels[e2])
+        np.minimum.at(labels, e1, m)
+        np.minimum.at(labels, e2, m)
+        while True:  # pointer jumping: compress label chains
+            jumped = labels[labels]
+            if np.array_equal(jumped, labels):
+                break
+            labels = jumped
+        if np.array_equal(labels, before):
+            break
+    sorted_ids = uniques[order]  # string id of each rank
+    return pa.table(
+        {
+            "node": pa.array(sorted_ids, pa.string()),
+            "cluster_id": pa.array(sorted_ids[labels], pa.string()),
+        }
     )
 
 

@@ -209,7 +209,9 @@ def hash_join(
             if t.num_rows > 0:
                 tables.append(t)
         rt = (
-            pa.concat_tables(tables)
+            # "default" promotion folds stray null-typed columns (e.g. an
+            # all-null block) into the other blocks' concrete types
+            pa.concat_tables(tables, promote_options="default")
             if tables
             else pa.table(
                 {n: pa.nulls(0, rschema.field(n).type) for n in rschema.names}
