@@ -50,6 +50,21 @@ def ensure_corpus(sf: float) -> str:
     n_repos = max(200, n_clusters // 60)
     path = os.path.join(CACHE, f"corpus_seed42_n{n_clusters}_r{n_repos}")
     marker = os.path.join(path, "_DONE")
+    fpath = os.path.join(path, "repo_files.parquet")
+    if os.path.exists(marker) and os.path.isfile(fpath):
+        # old single-file cache layout -> split into parts (a single parquet
+        # file reads as ONE Ray task; the directory layout reads in parallel)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(fpath)
+        os.remove(fpath)
+        os.makedirs(fpath, exist_ok=True)
+        parts = max(16, min(256, tbl.num_rows // 10_000))
+        step = -(-tbl.num_rows // parts)
+        for i in range(parts):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(fpath, f"part-{i:04d}.parquet"))
     if not os.path.exists(marker):
         from moj_analytical_services_uk_address_matcher_ray.datagen import (
             GenConfig,

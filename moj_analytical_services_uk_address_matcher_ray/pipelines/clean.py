@@ -154,6 +154,15 @@ def clean_dataset(
     tf_default = None
     if rel_tok_freq is None or end_tokens is None:
         ds = ds.materialize()  # the TF pass reads the pre-TF output once
+        # coalesce tiny blocks: every sort-based groupby downstream (the TF
+        # partial-aggregate here, exact/blocking shuffles later) spawns one
+        # reduce task per input block, and per-task fixed cost dominates at
+        # sub-MB blocks (see pipelines/code_linkage.py).  No-op at scale.
+        from ..stages.bucketing import default_buckets
+
+        tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
+        if ds.num_blocks() > 2 * tgt:
+            ds = ds.repartition(tgt).materialize()
     if rel_tok_freq is None and end_tokens is None:
         # fused single pass: token counts AND end-token counts from one
         # partial-aggregate shuffle (saves a full corpus scan)

@@ -246,6 +246,21 @@ def dedup_code_corpus(
     else:
         cleaned = prepare_code_dataset(files).materialize()
 
+    # Coalesce the cleaned table to ~one block per CPU (or 64MB, whichever
+    # gives more blocks).  Ray's auto read parallelism leaves small corpora
+    # in hundreds of sub-MB blocks, and every sort-based groupby downstream
+    # spawns ONE REDUCE TASK PER INPUT BLOCK — at 294 blocks the flagship's
+    # two bucketed shuffles ran 588 reduce tasks each, whose per-task fixed
+    # cost (~0.1-0.3s) exceeded their UDF time by 10-100x (measured: 84.5s
+    # wall for 1.2s of exact-match UDF).  At 10^12-row scale blocks are
+    # naturally >=64MB and this is a no-op.
+    from ..stages.bucketing import default_buckets
+
+    cleaned = cleaned.materialize()  # no-op unless resuming from checkpoint
+    tgt = max(default_buckets(), int((cleaned.size_bytes() or 0) // (64 << 20)))
+    if cleaned.num_blocks() > 2 * tgt:
+        cleaned = cleaned.repartition(tgt).materialize()
+
     # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256).
     #    Deliberately NOT materialised — the streaming executor runs this
     #    groupby concurrently with the blocking+scoring branch below; both
@@ -314,7 +329,12 @@ def dedup_code_corpus(
             {"src": kept["ukam_address_id_l"], "dst": kept["ukam_address_id_r"]}
         )
 
-    edges = scored.map_batches(_edges, batch_format="pyarrow")
+    # Materialise the probabilistic edges as their own phase: the streaming
+    # executor divides CPU among every runnable operator of one DAG, and in
+    # the combined exact||score||CC graph the heavyweight fused scorer was
+    # throttled to ~2 of 8 slots (measured 173s vs 78s standalone).  The
+    # edge list is tiny (ids + nothing), so the materialisation is free.
+    edges = scored.map_batches(_edges, batch_format="pyarrow").materialize()
 
     # 3. transitive closure over exact + probabilistic edges
     nodes = cleaned.map_batches(
@@ -337,29 +357,14 @@ def dedup_code_corpus(
     )
     comps = comps.materialize()
     if comps.count() <= broadcast_clusters_threshold:
-        # broadcast fast path: the cluster map rides plasma once; attaching
-        # it and relabelling are shuffle-free map stages plus ONE tiny
-        # groupby over per-batch partial minima (clusters x blocks rows).
-        cmap_ref = ray.put(
-            {
-                n: c
-                for b in comps.iter_batches(batch_format="pyarrow")
-                for n, c in zip(b["node"].to_pylist(), b["cluster_id"].to_pylist())
-            }
-        )
+        # broadcast fast path: both lookups are BROADCAST HASH JOINS (the
+        # right sides ride plasma once as Arrow; per-batch merges are
+        # dictionary-encoded C joins).  The previous driver-built Python
+        # dicts (~180k string entries each) cost several seconds of serial
+        # driver time per run — a constant Amdahl term at every level.
+        from ..stages.joins import inner_join
 
-        def attach(t: pa.Table) -> pa.Table:
-            cmap = ray.get(cmap_ref)
-            clusters = [cmap[n] for n in t["node"].to_pylist()]
-            return pa.table(
-                {
-                    "unique_id": t["unique_id"],
-                    "content_sha256": t["content_sha256"],
-                    "cluster_id": pa.array(clusters, pa.string()),
-                }
-            )
-
-        out = id_map.map_batches(attach, batch_format="pyarrow").materialize()
+        out = inner_join(id_map, comps, on="node", broadcast=True).materialize()
 
         def partial_min(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -377,30 +382,26 @@ def dedup_code_corpus(
             out.map_batches(partial_min, batch_format="pyarrow")
             .groupby("cluster_id")
             .min("min_uid")
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["cluster_id"],
+                    "final_cluster_id": t["min(min_uid)"],
+                }
+            ),
+            batch_format="pyarrow",
         )
-        relabel_ref = ray.put(
-            {
-                c: m
-                for b in mins.iter_batches(batch_format="pyarrow")
-                for c, m in zip(
-                    b["cluster_id"].to_pylist(), b["min(min_uid)"].to_pylist()
-                )
-            }
-        )
-
-        def relabel(t: pa.Table) -> pa.Table:
-            rl = ray.get(relabel_ref)
-            return pa.table(
+        relabelled = inner_join(out, mins, on="cluster_id", broadcast=True)
+        return relabelled.map_batches(
+            lambda t: pa.table(
                 {
                     "unique_id": t["unique_id"],
                     "content_sha256": t["content_sha256"],
-                    "cluster_id": pa.array(
-                        [rl[c] for c in t["cluster_id"].to_pylist()], pa.string()
-                    ),
+                    "cluster_id": t["final_cluster_id"],
                 }
-            )
-
-        return out.map_batches(relabel, batch_format="pyarrow")
+            ),
+            batch_format="pyarrow",
+        )
 
     # shuffle path (cluster map too large to broadcast): hash join + bucketed
     # relabel — the 10^12-row route

@@ -548,11 +548,18 @@ def _build_arrow_store(
     scaling corpus — the dominant anti-scaling term of the whole pipeline.)
     The id -> row-index map is rebuilt per actor from the id column (~50 ms
     for 10^5 rows); per-pair payload conversion happens per batch on the
-    gathered Arrow rows instead of up front."""
+    gathered Arrow rows instead of up front.  The concat/combine runs in a
+    REMOTE task (block refs in, combined table out) so the driver never
+    touches the bytes — the old driver-side combine was ~3s of serial time
+    on the 180k-row store."""
     refs = ds.select_columns(carry_cols).to_arrow_refs()
+    return _combine_store_blocks.remote(refs)
+
+
+@ray.remote
+def _combine_store_blocks(refs: list) -> pa.Table:
     blocks = [b for b in ray.get(refs) if b.num_rows] or [ray.get(refs[0])]
-    combined = pa.concat_tables(blocks).combine_chunks()
-    return ray.put(combined)
+    return pa.concat_tables(blocks).combine_chunks()
 
 
 def _max_log2_contribution(comp, tf_tables: dict) -> float:
@@ -712,9 +719,11 @@ class _BroadcastScorer:
         id_col: str,
         threshold: float | None,
         emit_cols: list[str] | None,
+        warm_ref=None,
     ):
         from .scoring import _ComparisonEvaluator, hist_to_dict
 
+        self._warm_ref = warm_ref
         self.tab_l: pa.Table = ray.get(store_l_ref)
         self.tab_r: pa.Table = (
             self.tab_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
@@ -808,6 +817,48 @@ class _BroadcastScorer:
         self._hist_to_dict = hist_to_dict
         self._ready_l: dict[str, np.ndarray] = {}
         self._ready_r: dict[str, np.ndarray] = {}
+        if warm_ref is not None:
+            # adopt precomputed lazy-cache state from plasma: the packed
+            # stores / code dictionaries cost ~seconds per process to build
+            # (numpy payloads deserialise zero-copy), so sharing ONE build
+            # makes per-task scorer setup ~free and lets the fused path use
+            # many small buckets without paying setup per bucket task
+            state = ray.get(warm_ref)
+            self._packed_cache = dict(state["packed"])
+            self._split_cache = dict(state["split"])
+            self._code_cache = dict(state["codes"])
+            self._tf_cache = dict(state["tf"])
+            self._isnull_cache = dict(state["isnull"])
+            self._ready_l = dict(state["ready_l"])
+            self._ready_r = (
+                self._ready_l
+                if self.tab_r is self.tab_l
+                else dict(state["ready_r"])
+            )
+
+    def warm_and_export(self) -> dict:
+        """Build every lazy cache (by scoring a tiny threshold-free batch)
+        and export the state for plasma sharing."""
+        n = min(64, self.tab_l.num_rows, self.tab_r.num_rows)
+        if n:
+            take = np.arange(n, dtype=np.int64)
+            saved = self.threshold
+            self.threshold = None  # B&B pruning would skip later evaluators
+            self._warming = True
+            try:
+                self.score_taken(take, take[::-1].copy(), pa.array([0] * n, pa.int32()))
+            finally:
+                self.threshold = saved
+                self._warming = False
+        return {
+            "packed": self._packed_cache,
+            "split": self._split_cache,
+            "codes": self._code_cache,
+            "tf": self._tf_cache,
+            "isnull": self._isnull_cache,
+            "ready_l": self._ready_l,
+            "ready_r": {} if self.tab_r is self.tab_l else self._ready_r,
+        }
 
     def _ready_col(self, side: str, c: str) -> np.ndarray:
         cache = self._ready_l if side == "l" else self._ready_r
@@ -1107,7 +1158,7 @@ class _BroadcastScorer:
 
         from ..state.metrics import inc_metric
 
-        if n:
+        if n and not getattr(self, "_warming", False):
             inc_metric("scoring.pairs_scored", n)
         mw = np.full(n, self.prior, dtype=np.float64)
         if n == 0:
@@ -1225,6 +1276,17 @@ def _broadcast_score(
 _FUSED_SCORER_CACHE: dict = {}
 
 
+@ray.remote
+def _build_warm_scorer_state(refs: tuple, ctor_kwargs: dict) -> dict:
+    """One-off remote build of the scorer's lazy caches (packed stores,
+    code dictionaries, TF gathers) so every bucket task / actor adopts them
+    zero-copy from plasma instead of rebuilding (~3.4s per process at a
+    180k-row store)."""
+    store_l_ref, store_r_ref, model_ref, tf_ref = refs
+    sc = _BroadcastScorer(store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs)
+    return sc.warm_and_export()
+
+
 def _fused_scorer(
     store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
 ) -> "_BroadcastScorer":
@@ -1257,6 +1319,7 @@ def make_fused_emit_score(
     ordered_self_pairs: bool,
     symmetric_rules: frozenset[int] = frozenset(),
     chunk_pairs: int = 262_144,
+    warm_ref=None,
 ):
     """Per-bucket candidate-pair emission FUSED with broadcast scoring.
 
@@ -1286,6 +1349,7 @@ def make_fused_emit_score(
         id_col=id_col,
         threshold=threshold,
         emit_cols=emit_cols,
+        warm_ref=warm_ref,
     )
     cache_key = (
         threshold,
@@ -1531,6 +1595,15 @@ def generate_and_score_pairs(
         symmetric = frozenset(
             i for i, r in enumerate(parsed) if r.l_exprs == r.r_exprs
         )
+        warm_ref = _build_warm_scorer_state.remote(
+            (store_l_ref, store_r_ref, model_ref, tf_ref),
+            dict(
+                payload_cols=payload_cols,
+                id_col=id_col,
+                threshold=threshold_match_weight,
+                emit_cols=internal_emit,
+            ),
+        )
         scored = _bga(
             keyed_l.union(keyed_r),
             ["rule_idx", "block_key"],
@@ -1546,10 +1619,12 @@ def generate_and_score_pairs(
                 max_pairs_per_block=max_pairs_per_block,
                 ordered_self_pairs=ordered_self_pairs,
                 symmetric_rules=symmetric,
+                warm_ref=warm_ref,
             ),
-            # finer buckets than the default one-per-cpu: scoring now rides
-            # the bucket tasks, so bucket skew IS scoring skew
-            n_buckets=2 * default_buckets(),
+            # finer buckets than the default one-per-cpu: scoring rides the
+            # bucket tasks, so bucket skew IS scoring skew — and adopting
+            # the warm plasma state makes per-task setup ~free
+            n_buckets=4 * default_buckets(),
         )
         if not dedupe_output:
             return scored

@@ -156,23 +156,41 @@ class TermFrequencyAnnotator:
         self.default = default
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         tf, default = self.tf, self.default
-        lists = t[self.source_col].to_pylist()
-        out = []
-        for lst in lists:
-            if lst is None:
-                out.append(None)
-            else:
-                out.append(
-                    [
-                        {"tok": tok, "rel_freq": tf.get(tok, default)}
-                        for tok in lst
-                    ]
-                )
-        t = t.drop_columns([self.source_col])
-        return t.append_column(
-            "token_rel_freq_arr", pa.array(out, pa.list_(TOKEN_STRUCT))
+        arr = t[self.source_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        # fully vectorised: dictionary-encode the flat token values, look up
+        # each unique token ONCE, gather per-token rel_freqs with a float
+        # take, and rebuild the list layout on the original offsets/validity
+        # (the per-token Python dict construction this replaces was the
+        # single largest CPU cost of the cleaning phase: ~2ms/row)
+        values = arr.values
+        values = (
+            values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
         )
+        enc = values.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        freq_by_code = np.empty(len(vocab) + 1, dtype=np.float64)
+        for i, v in enumerate(vocab):
+            freq_by_code[i] = tf.get(v, default)
+        freq_by_code[-1] = default  # code -1 = null token
+        codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        rel = freq_by_code[codes]
+        struct_vals = pa.StructArray.from_arrays(
+            [values, pa.array(rel, pa.float64())], names=["tok", "rel_freq"]
+        )
+        out_type = pa.list_(TOKEN_STRUCT)
+        buffers = arr.buffers()[:2]  # [validity, offsets]
+        # .values is the UNSLICED child, matching the raw offsets buffer, so
+        # propagating the parent's offset keeps sliced inputs correct
+        out_arr = pa.Array.from_buffers(
+            out_type, len(arr), buffers, children=[struct_vals], offset=arr.offset
+        )
+        t = t.drop_columns([self.source_col])
+        return t.append_column("token_rel_freq_arr", out_arr)
 
 
 # ---------------------------------------------------------------------------
