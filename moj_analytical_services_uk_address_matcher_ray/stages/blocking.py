@@ -313,17 +313,28 @@ def detect_hot_keys(
             }
         )
 
+    import pyarrow.compute as pc
+
     agg = (
         canon.map_batches(_partial, batch_format="pyarrow")
         .groupby(["rule_idx", "block_key"])
         .sum("count")
     )
+    # filter to actual hot keys BEFORE the driver collect: the aggregated
+    # (rule, key) table grows with the corpus (every distinct key), but hot
+    # keys are rare by construction — iterating the full table on the
+    # driver was O(corpus) serial time
+    hot_only = agg.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["sum(count)"], sample_mod), hot_key_threshold)
+        ),
+        batch_format="pyarrow",
+    )
     hot: dict[tuple[int, str], int] = {}
-    for batch in agg.iter_batches(batch_format="pyarrow"):
+    for batch in hot_only.iter_batches(batch_format="pyarrow"):
         keys = zip(batch["rule_idx"].to_pylist(), batch["block_key"].to_pylist())
         for key, cnt in zip(keys, batch["sum(count)"].to_pylist()):
-            if cnt * sample_mod > hot_key_threshold:
-                hot[key] = max(2, (cnt * sample_mod + salt_rows - 1) // salt_rows)
+            hot[key] = max(2, (cnt * sample_mod + salt_rows - 1) // salt_rows)
     if hot:
         inc_metric("blocking.hot_keys", len(hot))
     return hot
