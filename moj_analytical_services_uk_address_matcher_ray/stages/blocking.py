@@ -1632,10 +1632,12 @@ def generate_and_score_pairs(
                 symmetric_rules=symmetric,
                 warm_ref=warm_ref,
             ),
-            # finer buckets than the default one-per-cpu: scoring rides the
-            # bucket tasks, so bucket skew IS scoring skew — and adopting
-            # the warm plasma state makes per-task setup ~free
-            n_buckets=4 * default_buckets(),
+            # many fine buckets, independent of cpu count: scoring rides
+            # the bucket tasks, so the LARGEST bucket bounds the makespan
+            # (measured: 32 buckets left multi-M-pair stragglers that
+            # capped 8-cpu utilisation at ~60%).  Warm plasma state makes
+            # per-task setup ~free, so fine granularity costs nothing.
+            n_buckets=max(128, 4 * default_buckets()),
         )
         if not dedupe_output:
             return scored
