@@ -796,7 +796,11 @@ class _BroadcastScorer:
         demoted = (
             (plan_eq_cols - kept_eq_cols)
             | (plan.dig_cols - self._dig_cols)
-            | ({c for c in plan.tf_cols if (tf or {}).get(c)} - self._tf_cols)
+            # membership, not truthiness: a PRESENT-but-EMPTY tf table means
+            # the col is not coded (`_tf_cols` requires a non-empty table)
+            # yet the evaluator still takes its TF branch, so the col must
+            # be available in the pandas view for the per-row fallback
+            | ({c for c in plan.tf_cols if c in (tf or {})} - self._tf_cols)
         ) & avail
         for c in payload_cols:
             if c in demoted and c not in self._df_cols:
@@ -1387,6 +1391,17 @@ def make_fused_emit_score(
             if scorer.idx_r is scorer.idx_l
             else scorer.idx_r.get_indexer(pd.Index(ids))
         )
+        # guard like the unfused __call__: a -1 from get_indexer would
+        # silently numpy-wrap to the LAST store row in score_taken's
+        # gathers, producing wrong pairs.  l-side members must resolve in
+        # the l store, r-side in the r store (self-dedup shares one store).
+        l_side = sides == "l"
+        bad = int((row_l[l_side] < 0).sum()) + int((row_r[~l_side] < 0).sum())
+        if bad:
+            raise KeyError(
+                f"pair ids missing from the broadcast feature store "
+                f"({bad} bucket members)"
+            )
         comb = np.fromiter(
             (f"{r}\x1f{k}" for r, k in zip(rules, bkeys)), dtype=object, count=n
         )

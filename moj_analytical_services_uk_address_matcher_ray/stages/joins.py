@@ -187,9 +187,16 @@ def hash_join(
     rtypes = {c: rschema.field(c).type for c in rcols_payload}
 
     if broadcast is None:
+        # decide from metadata of ONE materialisation — a separate
+        # limit(N+1).count() probe would execute the right-side plan twice
+        # (and a nondeterministic side could pass the probe yet differ on
+        # the second execution).  The materialised blocks feed either route
+        # without re-execution; the shuffle route would have executed the
+        # full plan anyway.
+        right = right.materialize()
         broadcast = (
-            right.limit(BROADCAST_JOIN_ROW_LIMIT + 1).count()
-            <= BROADCAST_JOIN_ROW_LIMIT
+            right.count() <= BROADCAST_JOIN_ROW_LIMIT
+            and right.size_bytes() <= BROADCAST_JOIN_BYTE_LIMIT
         )
     if broadcast:
         import pandas as pd
@@ -217,14 +224,12 @@ def hash_join(
                 {n: pa.nulls(0, rschema.field(n).type) for n in rschema.names}
             )
         )
-        if (
-            rt.num_rows <= BROADCAST_JOIN_ROW_LIMIT
-            and rt.nbytes <= BROADCAST_JOIN_BYTE_LIMIT
-        ):
-            return _broadcast_merge_join(
-                left, rt, on, right_on, how, lcols, rcols_payload, rout
-            )
-        right = ray.data.from_arrow_refs(refs)  # too big after all: shuffle
+        # an EXPLICIT broadcast=True is honored unconditionally (the caller
+        # vouches for the size — e.g. code_linkage's cluster relabel gates
+        # on its own threshold); only the auto decision above is size-capped
+        return _broadcast_merge_join(
+            left, rt, on, right_on, how, lcols, rcols_payload, rout
+        )
 
     def prep_left(t: pa.Table) -> pa.Table:
         data = {c: t[c] for c in lcols}

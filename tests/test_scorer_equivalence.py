@@ -221,3 +221,60 @@ def test_broadcast_scorer_null_tf_and_empty_batch(ray_session):
     )
     empty = scorer(pairs.slice(0, 0))
     assert empty.num_rows == 0
+
+
+def test_broadcast_scorer_empty_tf_table(ray_session):
+    """A TF-tables entry that is PRESENT but EMPTY ({}) must not crash the
+    broadcast scorer (regression: the col was neither dictionary-coded nor
+    demoted to the pandas view, so the evaluator's per-row TF fallback read
+    a missing df column -> KeyError) and must score identically to the
+    pandas kernel given the same (empty) table."""
+    rng = np.random.default_rng(77)
+    n = 40
+    store = _rand_store(rng, n)
+    model = default_address_model()
+    payload = [c for c in store.column_names if c != "ukam_address_id"]
+    tf_empty = {"numeric_token_1": {}, "numeric_token_2": {"2": 0.5}}
+
+    n_pairs = 120
+    il = rng.integers(0, n, size=n_pairs)
+    ir = rng.integers(0, n, size=n_pairs)
+    ref = score_batch(
+        _wide_pairs(store, il, ir),
+        [_ComparisonEvaluator(c, tf_empty) for c in model.comparisons],
+        model.prior_log2_odds,
+    )
+    scorer = _BroadcastScorer(
+        ray.put(store),
+        ray.put(store),
+        ray.put(model),
+        ray.put(tf_empty),
+        payload_cols=payload,
+        id_col="ukam_address_id",
+        threshold=None,
+        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+    )
+    ids = store["ukam_address_id"].to_pylist()
+    pairs = pa.table(
+        {
+            "ukam_address_id_l": pa.array([ids[i] for i in il]),
+            "ukam_address_id_r": pa.array([ids[i] for i in ir]),
+            "rule_idx": pa.array(np.zeros(n_pairs, dtype=np.int32)),
+        }
+    )
+    got = scorer(pairs)  # must not raise
+    assert got.num_rows == n_pairs
+    got_w = {
+        (l, r): w
+        for l, r, w in zip(
+            got["ukam_address_id_l"].to_pylist(),
+            got["ukam_address_id_r"].to_pylist(),
+            got["match_weight"].to_pylist(),
+        )
+    }
+    for l, r, w in zip(
+        ref["ukam_address_id_l"].to_pylist(),
+        ref["ukam_address_id_r"].to_pylist(),
+        ref["match_weight"].to_pylist(),
+    ):
+        np.testing.assert_allclose(got_w[(l, r)], w, rtol=1e-12, atol=0)
