@@ -302,16 +302,29 @@ def _q_group_agg(sf_dir: str):
 def _q_topn_per_group(sf_dir: str):
     import pandas as pd
 
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        bucketed_group_apply,
+    )
+
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    # bucketed shuffle + ONE vectorised pandas pass per bucket (per-group
+    # map_groups = one Ray UDF call per customer — the overhead pattern
+    # stages/bucketing.py exists to avoid)
+    def top3_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(3)
-        g = g.assign(rn=range(1, len(g) + 1))
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = g.groupby("o_custkey", sort=False).cumcount()
+        g = g[rank < 3].copy()
+        g["rn"] = (rank[rank < 3] + 1).to_numpy()
         return g
 
-    return ds.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+    return bucketed_group_apply(
+        ds, "o_custkey", top3_bucket, batch_format="pandas"
+    )
 
 
 def _q_semi_join(sf_dir: str):
@@ -419,24 +432,49 @@ def _q_union(sf_dir: str):
 
 
 def _q_window_margin(sf_dir: str):
+    import numpy as np
     import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        bucketed_group_apply,
+    )
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def margin(g: pd.DataFrame) -> pd.DataFrame:
-        prices = g["o_totalprice"].sort_values(ascending=False).to_numpy()
-        best = prices[0]
-        second = prices[1] if len(prices) > 1 else None
+    # vectorised per bucket: groups are contiguous after the sort, so best /
+    # runner-up are plain offset gathers (no per-group Python)
+    def margin_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "best_price": pd.Series([], dtype="float64"),
+                    "margin": pd.Series([], dtype="float64"),
+                    "n_orders": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice"], ascending=[True, False], kind="mergesort"
+        )
+        counts = g.groupby("o_custkey", sort=False).size().to_numpy()
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        prices = g["o_totalprice"].to_numpy()
+        best = prices[starts]
+        second = np.where(
+            counts > 1, prices[np.minimum(starts + 1, len(prices) - 1)], np.nan
+        )
         return pd.DataFrame(
             {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "best_price": [best],
-                "margin": [best - second if second is not None else None],
-                "n_orders": [len(prices)],
+                "o_custkey": g["o_custkey"].to_numpy()[starts],
+                "best_price": best,
+                "margin": best - second,
+                "n_orders": counts.astype(np.int64),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(margin, batch_format="pandas")
+    return bucketed_group_apply(
+        ds, "o_custkey", margin_bucket, batch_format="pandas"
+    )
 
 
 def _q_match_metrics(sf_dir: str):
