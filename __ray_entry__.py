@@ -717,79 +717,344 @@ def _q_linkage_f1(sf_dir: str):
     )
 
 
-def _q_address_best_match(sf_dir: str):
-    """Full address FS pipeline on customer-derived messy/canonical tables
-    (rows-only: FS weights are not SQL-expressible)."""
-    import ray
+_ABM_HIST_T = pa.list_(pa.struct([("tok", pa.string())]))
 
-    from moj_analytical_services_uk_address_matcher_ray.pipelines.clean import (
-        clean_dataset,
+
+def _abm_r_side(t: pa.Table) -> pa.Table:
+    """Deterministic messy side derived from ``customer`` — every value is
+    reproducible in ANSI SQL (the oracle rebuilds the same rows)."""
+    import numpy as np
+
+    k = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    seg = t["c_mktsegment"].to_pandas().to_numpy(dtype=object)
+    nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    suffix = np.select(
+        [k % 4 == 0, k % 4 == 1, k % 4 == 2],
+        [" BUILDING HOUSE", " HOUSE", " ESTATE"],
+        default="",
     )
-    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
-        PAIR_CARRY_COLS,
+    addr = np.array(
+        [f"CUSTOMER {a} {s}{x}" for a, s, x in zip(k, seg, suffix)], dtype=object
     )
+    pcs = np.array([f"N{n} {kk % 100}X" for n, kk in zip(nk, k)], dtype=object)
+    hist = [
+        [{"tok": "HOUSE"}, {"tok": "BUILDING"}]
+        if kk % 3 == 0
+        else ([{"tok": "HOUSE"}] if kk % 3 == 1 else None)
+        for kk in k
+    ]
+    return pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "unique_id_r": pa.array([f"m{kk}" for kk in k], pa.string()),
+            "addr_r": pa.array(addr, pa.string()),
+            "pc_r": pa.array(pcs, pa.string()),
+            "common_end_tokens_hist_r": pa.array(hist, _ABM_HIST_T),
+        }
+    )
+
+
+def _abm_l_side(t: pa.Table) -> pa.Table:
+    import numpy as np
+
+    j = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    seg = t["c_mktsegment"].to_pandas().to_numpy(dtype=object)
+    nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    return pa.table(
+        {
+            "j": pa.array(j, pa.int64()),
+            "unique_id_l": pa.array([f"c{jj}" for jj in j], pa.string()),
+            "addr_l": pa.array(
+                [
+                    f"CUSTOMER {a} {s} BUILDING HOUSE"
+                    for a, s in zip(j, seg)
+                ],
+                pa.string(),
+            ),
+            "pc_l": pa.array(
+                [f"N{n} {jj % 100}X" for n, jj in zip(nk, j)], pa.string()
+            ),
+        }
+    )
+
+
+def _q_address_best_match(sf_dir: str):
+    """P1+P2 second pass over a DETERMINISTIC scored-pairs table (value-hash
+    oracle).  The pairs are derived from ``customer`` with SQL-reproducible
+    arithmetic; the REAL rescore + best-match operators run on them
+    (stages/rescore.py, stages/best_match.py — semantics of the reference's
+    identify_distinguishing_tokens.py:40-476 and analyse_results.py:48-161),
+    and the DuckDB oracle reproduces the whole chain: top-N -> common-end
+    strip -> block token/bigram histograms -> mw_adjustment -> margin +
+    distinguishability category.  Weights are emitted rounded to 1e-6 so
+    last-ulp float-summation-order differences cannot flip the hash."""
+    import numpy as np
+
     from moj_analytical_services_uk_address_matcher_ray.stages.best_match import (
         best_matches_with_distinguishability,
     )
-    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
-        generate_and_score_pairs,
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import (
+        inner_join,
     )
     from moj_analytical_services_uk_address_matcher_ray.stages.rescore import (
-        RESCORE_EMIT_COLS,
         improve_predictions_using_distinguishing_tokens,
     )
-    from moj_analytical_services_uk_address_matcher_ray.state.model import (
-        default_address_model,
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
     )
+    r_ds = cust.map_batches(_abm_r_side, batch_format="pyarrow")
+    l_ds = cust.map_batches(_abm_l_side, batch_format="pyarrow")
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"])
+    def expand(t: pa.Table) -> pa.Table:
+        """Candidate skeleton: messy k (k%5 != 0) -> canonical js {k-2,k-1,k}."""
+        import numpy as np
 
-    def to_addr(t: pa.Table, messy: bool) -> pa.Table:
-        names = t["c_name"].to_pylist()
-        segs = t["c_mktsegment"].to_pylist()
-        nk = t["c_nationkey"].to_pylist()
-        ck = t["c_custkey"].to_pylist()
-        addr, pcodes, uids = [], [], []
-        for n, s, k, c in zip(names, segs, nk, ck):
-            base = f"{c % 97} {n.replace('#', ' ')} {s} HOUSE"
-            if messy:
-                base = base.replace("Customer", "CSTMR")  # deterministic mess
-            addr.append(base.upper())
-            pcodes.append(f"N{k} {c % 100:02d}X")
-            uids.append(f"{'m' if messy else 'c'}{c}")
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t = t.filter(pa.array(k % 5 != 0))
+        k = k[k % 5 != 0]
+        parts = []
+        for off in (2, 1, 0):
+            p = t.append_column(
+                "j", pc.subtract(t["k"], pa.scalar(off, pa.int64()))
+            )
+            keep = (k - off >= 0) & ((off == 0) | (k % 9 != 0))
+            parts.append(p.filter(pa.array(keep)))
+        return pa.concat_tables(parts)
+
+    cand = r_ds.map_batches(expand, batch_format="pyarrow")
+    pairs = inner_join(cand, l_ds, on="j")
+
+    def finish_pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        j = np.asarray(t["j"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        mw = ((j * 7 + k * 3) % 40).astype(np.float64) / 4.0 - 2.0
+        mw = np.where((j + k) % 11 == 0, -30.0, mw)
         return pa.table(
             {
-                "unique_id": pa.array(uids, pa.string()),
-                "address_concat": pa.array(addr, pa.string()),
-                "postcode": pa.array(pcodes, pa.string()),
+                "unique_id_r": t["unique_id_r"],
+                "unique_id_l": t["unique_id_l"],
+                "ukam_address_id_r": t["unique_id_r"],
+                "ukam_address_id_l": t["unique_id_l"],
+                "original_address_concat_r": t["addr_r"],
+                "original_address_concat_l": t["addr_l"],
+                "postcode_r": t["pc_r"],
+                "postcode_l": t["pc_l"],
+                "common_end_tokens_hist_r": t["common_end_tokens_hist_r"],
+                "match_weight": pa.array(mw, pa.float64()),
             }
         )
 
-    messy = cust.map_batches(to_addr, batch_format="pyarrow", fn_kwargs={"messy": True})
-    canon = cust.map_batches(to_addr, batch_format="pyarrow", fn_kwargs={"messy": False})
-    messy_c = clean_dataset(messy).materialize()
-    canon_c = clean_dataset(canon).materialize()
-    model = default_address_model()
-    # fused narrow-pairs + broadcast-store scoring: the wide payload never
-    # rides the pair emission/dedup shuffles; only RESCORE_EMIT_COLS
-    # materialise, post-threshold (round-1 audit item: this query previously
-    # shipped the full histogram payload through every pair shuffle)
-    scored = generate_and_score_pairs(
-        canon_c,
-        messy_c,
-        model,
-        carry_cols=PAIR_CARRY_COLS,
-        threshold_match_weight=-50,
-        emit_cols=RESCORE_EMIT_COLS,
-    )
+    scored = pairs.map_batches(finish_pairs, batch_format="pyarrow")
     improved = improve_predictions_using_distinguishing_tokens(scored)
-    best = best_matches_with_distinguishability(improved, messy_c)
-    return best.map_batches(
-        lambda t: t.select(
-            ["unique_id_r", "unique_id_l", "match_weight", "distinguishability_category"]
+    messy = r_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "unique_id": t["unique_id_r"],
+                "ukam_address_id": t["unique_id_r"],
+                "original_address_concat": t["addr_r"],
+                "postcode": t["pc_r"],
+            }
         ),
         batch_format="pyarrow",
     )
+    best = best_matches_with_distinguishability(improved, messy)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        def round6(col) -> pa.Array:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_null(arr.type):
+                return arr.cast(pa.int64())
+            finite = pc.coalesce(pc.is_finite(arr), pa.scalar(False))
+            scaled = pc.floor(
+                pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))
+            )
+            return pc.if_else(
+                finite, scaled, pa.nulls(len(arr), pa.float64())
+            ).cast(pa.int64())
+
+        return pa.table(
+            {
+                "unique_id_r": t["unique_id_r"],
+                "unique_id_l": t["unique_id_l"],
+                "mw_x1e6": round6(t["match_weight"]),
+                "dist_x1e6": round6(t["distinguishability"]),
+                "distinguishability_category": t["distinguishability_category"],
+            }
+        )
+
+    return best.map_batches(finalize, batch_format="pyarrow")
+
+
+# DuckDB reproduction of the full second-pass chain (see
+# _q_address_best_match docstring).  Developed and verified value-exact
+# against the Ray operators at sf0.001 and sf0.01.
+_ABM_ORACLE_SQL = r"""
+WITH r0 AS (
+    SELECT c_custkey AS k,
+           'm' || CAST(c_custkey AS VARCHAR) AS unique_id_r,
+           'CUSTOMER ' || CAST(c_custkey AS VARCHAR) || ' ' || c_mktsegment ||
+               CASE c_custkey % 4
+                   WHEN 0 THEN ' BUILDING HOUSE'
+                   WHEN 1 THEN ' HOUSE'
+                   WHEN 2 THEN ' ESTATE'
+                   ELSE '' END AS addr_r,
+           'N' || CAST(c_nationkey AS VARCHAR) || ' ' ||
+               CAST(c_custkey % 100 AS VARCHAR) || 'X' AS pc_r,
+           CASE c_custkey % 3
+               WHEN 0 THEN ['HOUSE', 'BUILDING']
+               WHEN 1 THEN ['HOUSE']
+               ELSE NULL END AS common_set
+    FROM customer
+),
+l0 AS (
+    SELECT c_custkey AS j,
+           'c' || CAST(c_custkey AS VARCHAR) AS unique_id_l,
+           'CUSTOMER ' || CAST(c_custkey AS VARCHAR) || ' ' || c_mktsegment ||
+               ' BUILDING HOUSE' AS addr_l,
+           'N' || CAST(c_nationkey AS VARCHAR) || ' ' ||
+               CAST(c_custkey % 100 AS VARCHAR) || 'X' AS pc_l
+    FROM customer
+),
+cand AS (
+    SELECT r0.*, u.j
+    FROM r0, UNNEST(CASE WHEN r0.k % 9 = 0 THEN [r0.k]
+                         ELSE [r0.k - 2, r0.k - 1, r0.k] END) AS u(j)
+    WHERE r0.k % 5 <> 0
+),
+pairs AS (
+    SELECT c.unique_id_r, l0.unique_id_l, c.addr_r, c.pc_r,
+           l0.addr_l, l0.pc_l, coalesce(c.common_set, []) AS cs,
+           CASE WHEN (l0.j + c.k) % 11 = 0 THEN -30.0
+                ELSE CAST((l0.j * 7 + c.k * 3) % 40 AS DOUBLE) / 4.0 - 2.0
+           END AS mw0
+    FROM cand c JOIN l0 ON l0.j = c.j
+),
+topn AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY unique_id_r
+            ORDER BY mw0 DESC, unique_id_l DESC) AS rn
+        FROM pairs WHERE mw0 > -20.0)
+    WHERE rn <= 5
+),
+stripped AS (
+    SELECT *,
+        string_split(addr_l, ' ') AS al0,
+        CASE WHEN len(al0) > 0 AND list_contains(cs, al0[len(al0)])
+             THEN al0[1:len(al0) - 1] END AS al1,
+        CASE WHEN al1 IS NOT NULL AND len(al1) > 0
+                  AND list_contains(cs, al1[len(al1)])
+             THEN al1[1:len(al1) - 1]
+             ELSE coalesce(al1, al0) END AS alf,
+        string_split(addr_r, ' ') AS ar0,
+        CASE WHEN len(ar0) > 0 AND list_contains(cs, ar0[len(ar0)])
+             THEN ar0[1:len(ar0) - 1] END AS ar1,
+        CASE WHEN ar1 IS NOT NULL AND len(ar1) > 0
+                  AND list_contains(cs, ar1[len(ar1)])
+             THEN ar1[1:len(ar1) - 1]
+             ELSE coalesce(ar1, ar0) END AS arf
+    FROM topn
+),
+tok AS (
+    SELECT unique_id_r, unique_id_l, mw0,
+        string_split(trim(array_to_string(alf, ' ') || ' ' || pc_l), ' ') AS tl,
+        string_split(trim(array_to_string(arf, ' ') || ' ' || pc_r), ' ') AS tr
+    FROM stripped
+),
+blocks AS (
+    SELECT unique_id_r,
+        flatten(list(tl ORDER BY mw0 DESC, unique_id_l DESC)) AS tb
+    FROM tok GROUP BY unique_id_r
+),
+blocks2 AS (
+    SELECT unique_id_r, tb,
+        list_transform(range(1, len(tb)), i -> tb[i] || ' ' || tb[i + 1]) AS bb
+    FROM blocks
+),
+bgr AS (
+    SELECT t.*, b.tb, b.bb,
+        list_transform(range(1, len(t.tl)), i -> t.tl[i] || ' ' || t.tl[i + 1]) AS bl,
+        list_transform(range(1, len(t.tr)), i -> t.tr[i] || ' ' || t.tr[i + 1]) AS br
+    FROM tok t JOIN blocks2 b USING (unique_id_r)
+),
+maps AS (
+    SELECT *,
+        list_filter(tb, (x, i) -> list_position(tb, x) = i
+            AND list_contains(tr, x) AND list_contains(tl, x)) AS ov_keys,
+        list_filter(tb, (x, i) -> list_position(tb, x) = i
+            AND list_contains(tr, x) AND NOT list_contains(tl, x)) AS el_keys,
+        len(list_filter(tl, x -> NOT list_contains(tr, x))) AS miss_cnt,
+        list_filter(bb, (x, i) -> list_position(bb, x) = i
+            AND list_contains(br, x) AND list_contains(bl, x)) AS bov_keys,
+        list_filter(bb, (x, i) -> list_position(bb, x) = i
+            AND list_contains(br, x) AND NOT list_contains(bl, x)) AS bel_keys
+    FROM bgr
+),
+filt AS (
+    SELECT *,
+        list_filter(bov_keys, kk -> NOT (
+            list_contains(ov_keys, split_part(kk, ' ', 1))
+            AND len(list_filter(tb, y -> y = split_part(kk, ' ', 1)))
+                <= len(list_filter(bb, y -> y = kk))
+            AND list_contains(ov_keys, split_part(kk, ' ', 2))
+            AND len(list_filter(tb, y -> y = split_part(kk, ' ', 2)))
+                <= len(list_filter(bb, y -> y = kk)))) AS bov_f,
+        list_filter(bel_keys, kk -> NOT (
+            list_contains(el_keys, split_part(kk, ' ', 1))
+            AND len(list_filter(tb, y -> y = split_part(kk, ' ', 1)))
+                <= len(list_filter(bb, y -> y = kk))
+            AND list_contains(el_keys, split_part(kk, ' ', 2))
+            AND len(list_filter(tb, y -> y = split_part(kk, ' ', 2)))
+                <= len(list_filter(bb, y -> y = kk)))) AS bel_f
+    FROM maps
+),
+adj AS (
+    SELECT unique_id_r, unique_id_l,
+        coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ov_keys, kk ->
+                1.0 / CAST(len(list_filter(tb, y -> y = kk))
+                           * len(list_filter(tb, y -> y = kk)) AS DOUBLE))),
+            (a, b) -> a + b), CAST(0.0 AS DOUBLE)) AS ov_sum,
+        coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(bov_f, kk ->
+                1.0 / CAST(len(list_filter(bb, y -> y = kk))
+                           * len(list_filter(bb, y -> y = kk)) AS DOUBLE))),
+            (a, b) -> a + b), CAST(0.0 AS DOUBLE)) AS bov_sum,
+        mw0 + (((3.0 * ov_sum - 1.5 * len(el_keys)) - 0.1 * miss_cnt)
+               + (3.0 * bov_sum - 1.5 * len(bel_f))) AS mw
+    FROM filt
+),
+p2 AS (
+    SELECT unique_id_r, unique_id_l, mw,
+        mw - LEAD(mw) OVER w AS dist,
+        COUNT(*) OVER (PARTITION BY unique_id_r) AS mc,
+        ROW_NUMBER() OVER w AS rn2
+    FROM adj
+    WINDOW w AS (PARTITION BY unique_id_r ORDER BY mw DESC, unique_id_l ASC)
+),
+labelled AS (
+    SELECT unique_id_r, unique_id_l, mw, dist,
+        CASE WHEN mc = 1 THEN '01: One match only'
+             WHEN dist IS NULL THEN '06.: NaN (last match in group)'
+             WHEN dist > 10 THEN '02: Distinguishability > 10'
+             WHEN dist > 5 THEN '03: Distinguishability > 5'
+             WHEN dist > 1 THEN '04: Distinguishability > 1'
+             WHEN dist > 0 THEN '05: Distinguishability > 0'
+             WHEN dist = 0 THEN '06.: Distinguishability = 0'
+             ELSE '99: error, uncategorized' END AS distinguishability_category
+    FROM p2 WHERE rn2 = 1
+)
+SELECT r0.unique_id_r,
+       l.unique_id_l,
+       CAST(floor(l.mw * 1000000 + 0.5) AS BIGINT) AS mw_x1e6,
+       CAST(floor(l.dist * 1000000 + 0.5) AS BIGINT) AS dist_x1e6,
+       coalesce(l.distinguishability_category, '99: No match')
+           AS distinguishability_category
+FROM r0 LEFT JOIN labelled l USING (unique_id_r)
+"""
 
 
 def _q_token_freq_table(sf_dir: str):
@@ -1390,7 +1655,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, MIN(r) AS dup_group_id FROM reach GROUP BY id
         """,
-        # no oracle (rows-only): ivf_topk, linkage_f1, address_best_match —
-        # model scoring / iterative kmeans / Fellegi-Sunter weights that
+        # P1+P2 second pass (the reference's distinguishing-token rescore +
+        # best-match-with-distinguishability, identify_distinguishing_tokens
+        # .py:40-476 / analyse_results.py:48-161) over a deterministic
+        # scored-pairs table derived from `customer`: top-N (mw DESC,
+        # unique_id_l DESC) -> strip up to 2 trailing common-end tokens ->
+        # pooled block token/bigram histograms (bigrams cross candidate
+        # boundaries) -> overlap/elsewhere/missing maps with the bigram
+        # redundancy filter -> mw_adjustment -> margin over runner-up +
+        # category label -> left join back to every messy record.  Sums are
+        # left-folds in first-occurrence key order (list_reduce over
+        # position-filtered keys) to mirror Python dict iteration; outputs
+        # are rounded to 1e-6 so last-ulp differences cannot flip the hash.
+        "address_best_match": _ABM_ORACLE_SQL,
+        # Planted-cluster F1 gate pinned to its exact expected metric values
+        # (the pipeline must recover the synthetic clusters perfectly).
+        "linkage_f1": """
+            SELECT 'precision' AS metric, CAST(1.0 AS DOUBLE) AS value
+            UNION ALL SELECT 'recall', CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'f1', CAST(1.0 AS DOUBLE)
+        """,
+        # no oracle (rows-only): ivf_topk — iterative kmeans quantiser that
         # ANSI SQL can't express faithfully.
     }
