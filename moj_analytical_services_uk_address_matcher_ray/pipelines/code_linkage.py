@@ -55,16 +55,80 @@ FINGERPRINT_K = 6
 
 
 def _content_fingerprint(content: str | None, k: int = FINGERPRINT_K) -> list[str]:
+    """Reference-semantics scalar form (kept for documentation/tests); the
+    pipeline uses the batch-vectorised ``_fingerprint_arrays``."""
     if not content:
         return []
-    import hashlib as _hl
+    import numpy as np
+    import pandas as pd
 
-    hashes = sorted(
-        _hl.blake2b(line.encode(), digest_size=6).hexdigest()
-        for line in set(content.split("\n"))
-        if line.strip()
+    lines = np.array(
+        sorted({ln for ln in content.split("\n") if ln.strip()}), dtype=object
     )
-    return ["Q" + h.upper() for h in hashes[:k]]
+    if len(lines) == 0:
+        return []
+    h = np.sort(pd.util.hash_array(lines, categorize=False))[:k]
+    hx = h.astype(">u8").tobytes().hex().upper()
+    return ["Q" + hx[i * 16 : (i + 1) * 16] for i in range(len(h))]
+
+
+def _fingerprint_arrays(contents, n: int, k: int = FINGERPRINT_K):
+    """Vectorised line-set min-hash fingerprint for a whole batch: the K
+    smallest per-line hashes of each row's distinct non-blank lines.  One
+    Arrow split + one C siphash pass over every line in the batch — no
+    per-row Python.  Returns (list<string> fp_tokens, fp_1, fp_2)."""
+    import numpy as np
+    import pandas as pd
+
+    c = pc.coalesce(
+        contents.combine_chunks()
+        if isinstance(contents, pa.ChunkedArray)
+        else contents,
+        "",
+    )
+    lines = pc.split_pattern(c, "\n")
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lines)
+    keep = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+    rows = parents[keep.to_numpy(zero_copy_only=False)]
+    kept = flat.filter(keep)
+    empty_lists = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+        pa.array([], pa.string()),
+    )
+    if len(kept) == 0:
+        nulls = pa.nulls(n, pa.string())
+        return empty_lists, nulls, nulls
+    h = pd.util.hash_array(
+        kept.to_numpy(zero_copy_only=False), categorize=False
+    )
+    # distinct lines per row, hashes ascending: one lexsort, then first-of-run
+    order = np.lexsort((h, rows))
+    rs, hs = rows[order], h[order]
+    uniq = np.concatenate(([True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])))
+    rs, hs = rs[uniq], hs[uniq]
+    # rank within row (rows are runs; hashes already ascending inside each)
+    run_start = np.flatnonzero(np.concatenate(([True], rs[1:] != rs[:-1])))
+    run_len = np.diff(np.concatenate((run_start, [len(rs)])))
+    rank = np.arange(len(rs)) - np.repeat(run_start, run_len)
+    sel = rank < k
+    rs, hs = rs[sel], hs[sel]
+    # hex tokens "Q" + 16 uppercase hex chars, vectorised via a buffer view
+    hexs = hs.astype(">u8").tobytes().hex().upper().encode()
+    toks = np.char.add("Q", np.frombuffer(hexs, dtype="S16").astype("U16"))
+    counts = np.bincount(rs, minlength=n).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    fp_lists = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), pa.array(toks, pa.string())
+    )
+    fp1 = np.full(n, None, dtype=object)
+    fp2 = np.full(n, None, dtype=object)
+    has1 = counts > 0
+    has2 = counts > 1
+    fp1[has1] = toks[offsets[:-1][has1]]
+    fp2[has2] = toks[offsets[:-1][has2] + 1]
+    return fp_lists, pa.array(fp1, pa.string()), pa.array(fp2, pa.string())
 
 #: blocking rules for the code domain — the three key families of the north
 #: star (lang + path-suffix token, repo-name bigram, sha256 prefix) plus the
@@ -103,64 +167,82 @@ CODE_BLOCKING_RULES = [
 def derive_code_features(t: pa.Table) -> pa.Table:
     """(repo, path, commit, lang, content) -> address-shaped row + sha256.
 
+    Fully vectorised (Arrow kernels + one batched siphash pass for the
+    fingerprint): this is the first map stage of the flagship, the one
+    stage that touches every content byte, so no per-row Python runs here.
     ``content`` is dropped right after hashing (SURVEY §7.4 "wide rows"):
     only (identity text, sha) travel through the shuffles.
     """
+    import numpy as np
+
     t = C.add_sha256(t, col="content", out="content_sha256")
-    repos = t["repo"].to_pylist()
-    paths = t["path"].to_pylist()
-    commits = t["commit"].to_pylist()
-    langs = t["lang"].to_pylist()
-    shas = t["content_sha256"].to_pylist()
-    contents = t["content"].to_pylist()
-    uid, addr, pcode, shap, fp1, fp2, fps = [], [], [], [], [], [], []
-    pc_sb, pc_sb_up = [], []
-    for repo, path, commit, lang, sha, content in zip(
-        repos, paths, commits, langs, shas, contents
-    ):
-        uid.append(f"{repo}::{path}@{commit}")
-        segs = [s for s in _SPLIT_PATH.split(path or "") if s]
-        rsegs = [s for s in _SPLIT_PATH.split(repo or "") if s]
-        fp = _content_fingerprint(content)
-        # fp tokens are NOT folded into the identity text: they carry their
-        # own dominant comparison (code_model fp_levels) and their own
-        # blocking keys, and injecting them into address_concat made them
-        # the bulk of the TF vocabulary (6 near-unique tokens per file) —
-        # inflating the TF shuffle, the broadcast dict, the per-row
-        # histograms and the scoring payload for a redundant signal.
-        addr.append(" ".join(segs + rsegs).upper())
-        basename = (path or "").rsplit("/", 1)[-1]
-        base_stem = basename.split(".", 1)[0]  # "parser_v2.py" -> "parser_v2"
-        stem = _STEM_STRIP.sub("", base_stem.upper())[:12] or "X"
-        pc = f"{(lang or 'UNK').upper()} {stem}"
-        pcode.append(pc)
-        # size-bucketed blocking keys: log2 bucket of the content length
-        sb = max(1, len(content or "")).bit_length()
-        pc_sb.append(f"{pc}|{sb}")
-        pc_sb_up.append(f"{pc}|{sb + 1}")
-        shap.append(sha[:8] if sha else None)
-        fp1.append(fp[0] if len(fp) > 0 else None)
-        fp2.append(fp[1] if len(fp) > 1 else None)
-        fps.append(fp)
-    out = pa.table(
+
+    def _col(name: str) -> pa.Array:
+        arr = t[name]
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    n = t.num_rows
+    repo, path, commit = _col("repo"), _col("path"), _col("commit")
+    lang, content, sha = _col("lang"), _col("content"), _col("content_sha256")
+    join = pc.binary_join_element_wise
+
+    uid = join(join(repo, path, "::"), commit, "@")
+    # identity text: path tokens then repo tokens, '/._-' runs -> spaces
+    seg_pat = r"[/._\-]+"
+    a = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.coalesce(path, ""), seg_pat, " ")
+    )
+    b = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.coalesce(repo, ""), seg_pat, " ")
+    )
+    addr = pc.utf8_upper(pc.utf8_trim_whitespace(join(a, b, " ")))
+    # postcode analogue: "<LANG> <BASENAME-STEM>"
+    basename = pc.replace_substring_regex(pc.coalesce(path, ""), r"^.*/", "")
+    base_stem = pc.replace_substring_regex(basename, r"\..*$", "")
+    stem = pc.utf8_slice_codeunits(
+        pc.replace_substring_regex(pc.utf8_upper(base_stem), r"[^A-Z0-9]", ""),
+        0,
+        12,
+    )
+    stem = pc.if_else(pc.equal(stem, ""), pa.scalar("X"), stem)
+    lang_up = pc.utf8_upper(pc.coalesce(lang, "UNK"))
+    lang_up = pc.if_else(pc.equal(lang_up, ""), pa.scalar("UNK"), lang_up)
+    pcode = join(lang_up, stem, " ")
+    # size-bucketed blocking keys: log2 bucket of the content length
+    nchars = pc.utf8_length(pc.coalesce(content, "")).to_numpy(
+        zero_copy_only=False
+    )
+    sb = np.frexp(np.maximum(nchars, 1).astype(np.float64))[1]  # bit_length
+    lut = np.array([str(i) for i in range(int(sb.max()) + 2)], dtype=object)
+    sb_s = pa.array(lut[sb], pa.string())
+    sb_up_s = pa.array(lut[sb + 1], pa.string())
+    pc_sb = join(pcode, sb_s, "|")
+    pc_sb_up = join(pcode, sb_up_s, "|")
+    # fp tokens are NOT folded into the identity text: they carry their own
+    # dominant comparison (code_model fp_levels) and their own blocking
+    # keys, and injecting them into address_concat made them the bulk of
+    # the TF vocabulary (6 near-unique tokens per file) — inflating the TF
+    # shuffle, the broadcast dict, the per-row histograms and the scoring
+    # payload for a redundant signal.
+    fps, fp1, fp2 = _fingerprint_arrays(content, n)
+    return pa.table(
         {
-            "unique_id": pa.array(uid, pa.string()),
-            "address_concat": pa.array(addr, pa.string()),
-            "postcode": pa.array(pcode, pa.string()),
-            "pc_sb": pa.array(pc_sb, pa.string()),
-            "pc_sb_up": pa.array(pc_sb_up, pa.string()),
-            "sha_prefix": pa.array(shap, pa.string()),
-            "fp_1": pa.array(fp1, pa.string()),
-            "fp_2": pa.array(fp2, pa.string()),
-            "fp_tokens": pa.array(fps, pa.list_(pa.string())),
-            "content_sha256": pa.array(shas, pa.string()),
+            "unique_id": uid,
+            "address_concat": addr,
+            "postcode": pcode,
+            "pc_sb": pc_sb,
+            "pc_sb_up": pc_sb_up,
+            "sha_prefix": pc.utf8_slice_codeunits(sha, 0, 8),
+            "fp_1": fp1,
+            "fp_2": fp2,
+            "fp_tokens": fps,
+            "content_sha256": sha,
             "lang": t["lang"],
             "repo": t["repo"],
             "path": t["path"],
             "commit": t["commit"],
         }
     )
-    return out
 
 
 #: lean pair payload for the self-dedup flow (blocking keys are derived

@@ -108,3 +108,81 @@ def test_hot_key_partial_counts_match_bruteforce(ray_session):
     assert hot[(0, "HOT")] == 4  # ceil(2000 / 500)
     assert all(k == (0, "HOT") for k in hot)
     assert KEY_SEP not in "HOT"
+
+
+def _features_rowwise(repo, path, commit, lang, content):
+    """Per-row reference for derive_code_features' identity fields (the
+    Python-loop form the vectorised kernel replaced)."""
+    import re as _re
+
+    split_path = _re.compile(r"[/._\-]+")
+    stem_strip = _re.compile(r"[^A-Z0-9]")
+    segs = [s for s in split_path.split(path or "") if s]
+    rsegs = [s for s in split_path.split(repo or "") if s]
+    addr = " ".join(segs + rsegs).upper()
+    basename = (path or "").rsplit("/", 1)[-1]
+    base_stem = basename.split(".", 1)[0]
+    stem = stem_strip.sub("", base_stem.upper())[:12] or "X"
+    pcd = f"{(lang or 'UNK').upper()} {stem}"
+    sb = max(1, len(content or "")).bit_length()
+    return {
+        "unique_id": f"{repo}::{path}@{commit}",
+        "address_concat": addr,
+        "postcode": pcd,
+        "pc_sb": f"{pcd}|{sb}",
+        "pc_sb_up": f"{pcd}|{sb + 1}",
+    }
+
+
+def test_derive_code_features_vectorized_equivalence():
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        _content_fingerprint,
+        derive_code_features,
+    )
+
+    rows = [
+        ("org/repo-a", "src/parser_v2.py", "abc123", "py", "x = 1\ny = 2\n"),
+        ("org/repo-a", "/lead/.hidden.tar.gz", "def", "", ""),
+        ("r", "", "c", None, "same\nsame\n  \nother"),
+        ("weird.repo_name-x", "a//b__c..d", "zz", "RS", "one line"),
+        ("o", "noext", "h", "go", "\n\n\n"),
+        ("o", "dir.with.dots/file", "h2", "go", "a\n" * 300 + "unique tail"),
+    ]
+    t = pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([r[3] for r in rows]),
+            "content": pa.array([r[4] for r in rows]),
+        }
+    )
+    out = derive_code_features(t)
+    for i, (repo, path, commit, lang, content) in enumerate(rows):
+        exp = _features_rowwise(repo, path, commit, lang, content)
+        for col, want in exp.items():
+            got = out[col][i].as_py()
+            assert got == want, (col, i, got, want)
+        fp = _content_fingerprint(content)
+        assert out["fp_tokens"][i].as_py() == fp, (i, fp)
+        assert out["fp_1"][i].as_py() == (fp[0] if len(fp) > 0 else None)
+        assert out["fp_2"][i].as_py() == (fp[1] if len(fp) > 1 else None)
+        import hashlib
+
+        want_sha = hashlib.sha256(content.encode()).hexdigest()
+        assert out["content_sha256"][i].as_py() == want_sha
+        assert out["sha_prefix"][i].as_py() == want_sha[:8]
+
+
+def test_fingerprint_nearly_identical_content_shares_tokens():
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        _content_fingerprint,
+    )
+
+    base = "\n".join(f"line number {i} of the file" for i in range(40))
+    edited = base.replace("line number 17", "LINE NUMBER 17")
+    a, b = _content_fingerprint(base), _content_fingerprint(edited)
+    assert len(a) == 6 and len(b) == 6
+    assert len(set(a) & set(b)) >= 4  # near-dup shares most fp tokens
+    assert _content_fingerprint("") == []
+    assert _content_fingerprint(None) == []
