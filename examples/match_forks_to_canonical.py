@@ -1,30 +1,107 @@
 """Large two-table matching — the Ray-Data analogue of the reference's
-EPC->OS run (examples/match_epc_to_os.py:31-137): a big MESSY table matched
+headline run (readme.md:5-11: 176,640 messy x 273,832 canonical addresses in
+11.05s) and of examples/match_epc_to_os.py:31-137: a big MESSY table matched
 against a big CANONICAL universe that is NOT the same dataset.
 
 Code-domain casting of the same shape, over the deterministic datagen
 corpus (no external data in this sandbox):
 
-  * canonical universe = one representative file per cluster (the "index");
+  * canonical universe = one representative file per cluster (the "index")
+    plus singleton gazetteer entries (``extra_singletons``) so the canonical
+    side outnumbers the messy side the way OS outnumbers EPC;
   * messy table        = every other cluster member (forks, near-dup edits,
-    renamed copies) plus the corpus's singletons;
+    renamed copies);
+  * blocking-key density mirrors the reference's postcode density (~15 rows
+    per (lang, stem) key — UK: ~30M addresses / ~1.8M postcodes) via the
+    datagen ``n_stems`` knob; the legacy 26-word vocabulary makes blocks
+    thousands of rows wide, which no real gazetteer exhibits;
   * the canonical side's corpus term frequencies clean BOTH sides, the way
     the reference cleans EPC with the OS-derived TF table
     (match_epc_to_os.py:60-75);
-  * deterministic exact pass (content sha256) peels off identical forks,
-    then blocked Fellegi-Sunter scoring + best-match selection resolves the
-    rest, EPC-style thresholds (predict -100, improve/top-n 5).
+  * deterministic exact pass (content sha256) peels off identical forks and
+    REMOVES them from the probabilistic input (the reference's get_linker
+    drops resolved rows, splink_model.py:49-54);
+  * blocked Fellegi-Sunter scoring at the reference's headline threshold
+    (predict -50, example_matching.py:99) + best-match selection.
+
+The timed window covers the PIPELINE (read parquet -> clean -> exact ->
+block+score -> best-match materialised); corpus generation and accuracy
+evaluation sit outside it, as in the reference's readme timing.
 
 Run:  PYTHONPATH=. python examples/match_forks_to_canonical.py [--clusters 2000]
+      PYTHONPATH=. python examples/match_forks_to_canonical.py --reference-shape
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
+CACHE = "/tmp/uam_two_table_cache"
 
-def main(n_clusters: int = 2000, verbose: bool = True) -> dict:
+
+def build_corpus(
+    n_clusters: int,
+    *,
+    extra_singletons: int = 0,
+    n_stems: int | None = None,
+    n_repos: int | None = None,
+    cache_root: str = CACHE,
+    seed: int = 11,
+) -> str:
+    """Write (or reuse) the canonical/messy/truth parquet directories for a
+    two-table corpus; returns the corpus directory."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+
+    n_repos = n_repos or max(40, n_clusters // 60)
+    tag = f"tt_seed{seed}_c{n_clusters}_s{extra_singletons}_v{n_stems}_r{n_repos}"
+    out = os.path.join(cache_root, tag)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    files, labels = generate_corpus(
+        GenConfig(
+            seed=seed,
+            n_clusters=n_clusters,
+            n_repos=n_repos,
+            n_stems=n_stems,
+            extra_singletons=extra_singletons,
+        )
+    )
+    lab = labels.to_pandas()
+    canon_uid = lab.drop_duplicates("cluster_id", keep="first").set_index(
+        "cluster_id"
+    )["unique_id"]
+    lab["canonical_uid"] = lab["cluster_id"].map(canon_uid)
+    is_canon = (lab["unique_id"] == lab["canonical_uid"]).to_numpy()
+    truth = lab[~is_canon][["unique_id", "canonical_uid"]]
+
+    def _write_parts(tbl: pa.Table, sub: str, n_parts: int) -> None:
+        d = os.path.join(out, sub)
+        os.makedirs(d, exist_ok=True)
+        n = tbl.num_rows
+        per = max(1, -(-n // n_parts))
+        for i in range(0, n, per):
+            pq.write_table(tbl.slice(i, per), os.path.join(d, f"part-{i // per:05d}.parquet"))
+
+    parts = max(8, (files.num_rows // 25_000) or 1)
+    _write_parts(files.filter(pa.array(is_canon)), "canon", parts)
+    _write_parts(files.filter(pa.array(~is_canon)), "messy", parts)
+    _write_parts(pa.Table.from_pandas(truth, preserve_index=False), "truth", 4)
+    with open(os.path.join(out, "_DONE"), "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run(corpus_dir: str, *, verbose: bool = True) -> dict:
+    """Timed two-table pipeline over a prebuilt corpus directory."""
     import logging
 
     import ray
@@ -39,122 +116,149 @@ def main(n_clusters: int = 2000, verbose: bool = True) -> dict:
     DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from moj_analytical_services_uk_address_matcher_ray.datagen import (
-        GenConfig,
-        generate_corpus,
-    )
     from moj_analytical_services_uk_address_matcher_ray.pipelines.clean import (
-        get_token_frequency_table,
+        apply_pre_tf,
+        apply_post_tf,
+        corpus_tf_and_end_tokens,
     )
     from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
         CODE_BLOCKING_RULES,
         DEDUP_CARRY_COLS,
+        derive_code_features,
         prepare_code_dataset,
-    )
-    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
-        bucketed_pandas_groupby,
     )
     from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
         generate_and_score_pairs,
     )
-    from moj_analytical_services_uk_address_matcher_ray.stages.exact import (
-        annotate_exact_matches,
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        default_buckets,
     )
-    from moj_analytical_services_uk_address_matcher_ray.stages.term_frequency import (
-        tf_table_to_dict,
+    from moj_analytical_services_uk_address_matcher_ray.stages.exact import (
+        annotate_exact_matches_broadcast,
     )
     from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
 
+    def _coalesce(ds):
+        tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
+        if ds.num_blocks() > 2 * tgt:
+            ds = ds.repartition(tgt).materialize()
+        return ds
+
     t0 = time.perf_counter()
-    files, labels = generate_corpus(
-        GenConfig(seed=11, n_clusters=n_clusters, n_repos=max(40, n_clusters // 60))
-    )
-
-    # canonical = first member of each cluster; messy = the rest
-    uid = labels["unique_id"].to_pylist()
-    cid = labels["cluster_id"].to_pylist()
-    canonical_of: dict[str, str] = {}
-    for u, c in zip(uid, cid):
-        canonical_of.setdefault(c, u)
-    canon_ids = set(canonical_of.values())
-    truth = {u: canonical_of[c] for u, c in zip(uid, cid)}
-
-    uid_arr = pa.array([f"{r}::{p}@{c}" for r, p, c in zip(
-        files["repo"].to_pylist(),
-        files["path"].to_pylist(),
-        files["commit"].to_pylist(),
-    )])
-    is_canon = pc.is_in(uid_arr, value_set=pa.array(list(canon_ids)))
-    canon_tbl = files.filter(is_canon)
-    messy_tbl = files.filter(pc.invert(is_canon))
-
-    # clean the canonical universe with its own corpus TF, then reuse that
-    # TF table for the messy side (reference match_epc_to_os.py:60-75)
-    canon = prepare_code_dataset(rd.from_arrow(canon_tbl)).materialize()
-    tf_dict = tf_table_to_dict(get_token_frequency_table(canon))
-    messy = prepare_code_dataset(
-        rd.from_arrow(messy_tbl), rel_tok_freq=tf_dict
+    # clean the canonical universe with its own corpus statistics (ONE fused
+    # TF + end-token aggregate), then reuse them for the messy side — the
+    # reference's precomputed-table flow (match_epc_to_os.py:60-75); the
+    # messy clean is then a single fused map chain with no shuffle at all.
+    canon_pre = apply_pre_tf(
+        rd.read_parquet(os.path.join(corpus_dir, "canon")).map_batches(
+            derive_code_features, batch_format="pyarrow"
+        )
     ).materialize()
+    canon_pre = _coalesce(canon_pre)
+    tf_dict, end_tokens, tf_default = corpus_tf_and_end_tokens(canon_pre)
+    tf_ref = ray.put(tf_dict)
+    canon = apply_post_tf(
+        canon_pre, tf_ref, end_tokens, tf_default=tf_default
+    ).materialize()
+    messy = prepare_code_dataset(
+        rd.read_parquet(os.path.join(corpus_dir, "messy")),
+        rel_tok_freq=tf_dict,
+        end_tokens=end_tokens,
+        tf_default=tf_default,
+    ).materialize()
+    messy = _coalesce(messy)
     n_messy, n_canon = messy.count(), canon.count()
     t_clean = time.perf_counter() - t0
 
-    # deterministic pass: exact content match against the canonical universe
-    det = annotate_exact_matches(
+    # deterministic pass: broadcast exact content match against the
+    # canonical universe (zero shuffle); resolved rows are DROPPED from the
+    # probabilistic input (reference get_linker, splink_model.py:49-54)
+    annotated = annotate_exact_matches_broadcast(
         messy, canon, match_cols=("content_sha256",)
     ).materialize()
-    exact_pairs = det.map_batches(
-        lambda t: pa.table(
-            {
-                "messy_id": t["ukam_address_id"],
-                "canon_id": t["canonical_ukam_address_id"],
-            }
+    det = annotated.map_batches(
+        lambda t: t.filter(pc.is_valid(t["match_reason"])).select(
+            ["ukam_address_id", "canonical_ukam_address_id"]
         ),
         batch_format="pyarrow",
     )
+    unresolved = annotated.map_batches(
+        lambda t: t.filter(pc.is_null(t["match_reason"])).drop_columns(
+            ["canonical_ukam_address_id", "resolved_canonical_id", "match_reason"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
     t_exact = time.perf_counter() - t0 - t_clean
 
-    # probabilistic pass: blocked FS scoring, EPC-style low predict threshold
+    # probabilistic pass: fused blocked FS scoring at the reference's
+    # headline predict threshold (-50), per-bucket partial top-1, then the
+    # tiny global top-1 per messy record.  Cross-rule duplicates collapse in
+    # the top-1, so the dedup barrier is skipped.
     model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
     scored = generate_and_score_pairs(
         canon,
-        messy,
+        unresolved,
         model,
         carry_cols=DEDUP_CARRY_COLS,
-        threshold_match_weight=-100.0,
+        threshold_match_weight=-50.0,
         emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
         hot_key_threshold=50_000,
+        dedupe_output=False,
+        partial_top1_per_r=True,
     )
-    best = bucketed_pandas_groupby(
-        scored,
-        "ukam_address_id_r",
-        lambda g: g.sort_values(
+    # the per-bucket partial top-1 leaves ~one row per (messy record,
+    # touched bucket); the global winner is a tiny driver reduce (the same
+    # pattern as ann_topk's per-batch partial top-k)
+    import pandas as pd
+
+    best_df = (
+        pa.concat_tables(ray.get(scored.to_arrow_refs()), promote_options="default")
+        .to_pandas()
+        .sort_values(
             ["match_weight", "ukam_address_id_l"],
             ascending=[False, True],
             kind="mergesort",
-        ).head(1),
-    ).materialize()
+        )
+        .drop_duplicates("ukam_address_id_r", keep="first")
+    )
     t_score = time.perf_counter() - t0 - t_clean - t_exact
-
-    # evaluate: messy rows whose predicted canonical is the true one
-    id_map = {
-        r["ukam_address_id"]: r["unique_id"]
-        for r in canon.select_columns(["ukam_address_id", "unique_id"]).take_all()
-    }
-    messy_map = {
-        r["ukam_address_id"]: r["unique_id"]
-        for r in messy.select_columns(["ukam_address_id", "unique_id"]).take_all()
-    }
-    pred: dict[str, str] = {}
-    for r in exact_pairs.take_all():
-        pred[messy_map[r["messy_id"]]] = id_map[r["canon_id"]]
-    for r in best.take_all():
-        mu = messy_map[r["ukam_address_id_r"]]
-        pred.setdefault(mu, id_map[r["ukam_address_id_l"]])
-    n_right = sum(1 for mu, cu in pred.items() if truth.get(mu) == cu)
     wall = time.perf_counter() - t0
+
+    # ---- accuracy evaluation (untimed, vectorised) ----
+    cmap = canon.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
+    mmap = messy.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
+    det_df = det.to_pandas()
+    best_df = best_df.rename(
+        columns={
+            "ukam_address_id_r": "ukam_address_id",
+            "ukam_address_id_l": "canonical_ukam_address_id",
+        }
+    )[["ukam_address_id", "canonical_ukam_address_id"]]
+    pred = pd.concat(
+        [det_df, best_df[~best_df["ukam_address_id"].isin(det_df["ukam_address_id"])]],
+        ignore_index=True,
+    )
+    pred = pred.merge(
+        mmap.rename(columns={"unique_id": "messy_uid"}), on="ukam_address_id"
+    ).merge(
+        cmap.rename(
+            columns={
+                "ukam_address_id": "canonical_ukam_address_id",
+                "unique_id": "pred_uid",
+            }
+        ),
+        on="canonical_ukam_address_id",
+    )
+    truth = pd.read_parquet(os.path.join(corpus_dir, "truth"))
+    ev = pred.merge(
+        truth.rename(columns={"unique_id": "messy_uid"}), on="messy_uid", how="left"
+    )
+    n_right = int((ev["pred_uid"] == ev["canonical_uid"]).sum())
+    n_pairs = None
     out = {
         "n_messy": n_messy,
         "n_canonical": n_canon,
+        "exact_matched": len(det_df),
         "matched": len(pred),
         "correct": n_right,
         "recall": round(n_right / max(1, n_messy), 4),
@@ -168,13 +272,42 @@ def main(n_clusters: int = 2000, verbose: bool = True) -> dict:
         print(
             f"{n_messy} messy vs {n_canon} canonical: "
             f"{n_right}/{n_messy} correct ({out['recall']:.1%}) in {wall:.1f}s "
-            f"(clean {t_clean:.1f}s, exact {t_exact:.1f}s, score {t_score:.1f}s)"
+            f"(clean {t_clean:.1f}s, exact {t_exact:.1f}s, score {t_score:.1f}s; "
+            f"{out['messy_rows_per_sec']:.0f} messy rows/s)"
         )
     return out
+
+
+def main(n_clusters: int = 2000, verbose: bool = True, **corpus_kwargs) -> dict:
+    corpus = build_corpus(n_clusters, **corpus_kwargs)
+    return run(corpus, verbose=verbose)
+
+
+#: the reference-shaped workload: ~176k messy x ~274k canonical
+#: (readme.md:5-11), postcode-density blocking keys
+REFERENCE_SHAPE = dict(
+    n_clusters=88_000,
+    extra_singletons=186_000,
+    n_stems=6_000,
+)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--clusters", type=int, default=2000)
+    ap.add_argument("--singletons", type=int, default=0)
+    ap.add_argument("--stems", type=int, default=None)
+    ap.add_argument(
+        "--reference-shape",
+        action="store_true",
+        help="~176k messy x ~274k canonical, postcode-density keys",
+    )
     args = ap.parse_args()
-    main(args.clusters)
+    if args.reference_shape:
+        main(
+            REFERENCE_SHAPE["n_clusters"],
+            extra_singletons=REFERENCE_SHAPE["extra_singletons"],
+            n_stems=REFERENCE_SHAPE["n_stems"],
+        )
+    else:
+        main(args.clusters, extra_singletons=args.singletons, n_stems=args.stems)

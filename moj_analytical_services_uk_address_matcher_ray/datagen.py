@@ -51,6 +51,15 @@ class GenConfig:
     n_clusters: int = 500
     max_cluster_size: int = 5
     n_repos: int = 40
+    #: size of the basename-stem vocabulary.  None = the fixed 26-word
+    #: vocabulary (legacy corpora).  Real corpora have ~15 rows per
+    #: (lang, stem) blocking key (the UK-postcode density the reference's
+    #: blocking assumes); pass ~n_rows/75 for reference-shaped benchmarks.
+    n_stems: int | None = None
+    #: extra singleton clusters appended AFTER the regular ones (same rng
+    #: stream for the regular clusters).  Models a canonical universe far
+    #: larger than the messy table (gazetteer-style two-table workloads).
+    extra_singletons: int = 0
 
 
 def _content(rng: random.Random, n_lines: int) -> str:
@@ -85,12 +94,20 @@ def generate_corpus(cfg: GenConfig = GenConfig()) -> tuple[pa.Table, pa.Table]:
         f"org{rng.randint(0, 9)}/{rng.choice(_STEM_VOCAB)}{i}"
         for i in range(cfg.n_repos)
     ]
+    if cfg.n_stems is None:
+        stem_vocab = _STEM_VOCAB
+    else:
+        base = len(_STEM_VOCAB)
+        stem_vocab = [
+            _STEM_VOCAB[i] if i < base else f"{_STEM_VOCAB[i % base]}{i // base}"
+            for i in range(max(1, cfg.n_stems))
+        ]
     rows: list[dict] = []
     labels: list[dict] = []
-    for cid in range(cfg.n_clusters):
+    for cid in range(cfg.n_clusters + cfg.extra_singletons):
         lang = rng.choices(LANGS, weights=LANG_WEIGHTS, k=1)[0]
         hot = rng.random() < _HOT_BASENAME_SHARE
-        stem = "index" if hot else rng.choice(_STEM_VOCAB)
+        stem = "index" if hot else rng.choice(stem_vocab)
         version = rng.randint(1, 9) if rng.random() < 0.6 else None
         base_stem = f"{stem}_v{version}" if version is not None else stem
         depth = rng.randint(1, 3)
@@ -98,7 +115,7 @@ def generate_corpus(cfg: GenConfig = GenConfig()) -> tuple[pa.Table, pa.Table]:
         base_path = "/".join(dirs + [f"{base_stem}.{lang}"])
         base_repo = rng.choice(repos)
         base_content = _content(rng, rng.randint(8, 40))
-        size = rng.randint(1, cfg.max_cluster_size)
+        size = 1 if cid >= cfg.n_clusters else rng.randint(1, cfg.max_cluster_size)
         members = [(base_repo, base_path, base_content)]
         for m in range(1, size):
             kind = rng.random()

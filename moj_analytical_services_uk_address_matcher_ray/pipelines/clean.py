@@ -105,6 +105,26 @@ def _auto_concurrency() -> tuple[int, int]:
     return (max(1, min(2, cpus // 4)), max(2, cpus // 4))
 
 
+_TF_TASK_CACHE: dict = {}
+
+
+def _annotate_tf_task(t: pa.Table, tf_ref, default) -> pa.Table:
+    """Task-form TF annotation: the dict rides plasma once per worker
+    process (cached), the per-batch kernel is TermFrequencyAnnotator's.
+    A plain task (unlike the actor pool) fuses with the surrounding map
+    chain WITHOUT dragging it onto a size-capped actor pool — the fused
+    derive+clean+annotate chain previously ran as <=8 actors (measured 5x
+    the CPU and a parallelism ceiling)."""
+    key = tf_ref.hex() if isinstance(tf_ref, ray.ObjectRef) else id(tf_ref)
+    ann = _TF_TASK_CACHE.get(key)
+    if ann is None:
+        _TF_TASK_CACHE.clear()
+        kwargs = {} if default is None else {"default": default}
+        ann = TF.TermFrequencyAnnotator(tf_ref, **kwargs)
+        _TF_TASK_CACHE[key] = ann
+    return ann(t)
+
+
 def apply_post_tf(
     ds: "ray.data.Dataset",
     tf: dict[str, float] | "ray.ObjectRef",
@@ -113,14 +133,12 @@ def apply_post_tf(
     tf_concurrency: int | tuple[int, int] | None = None,
     tf_default: float | None = None,
 ) -> "ray.data.Dataset":
-    tf_concurrency = tf_concurrency or _auto_concurrency()
-    annot_kwargs = {} if tf_default is None else {"default": tf_default}
+    if not isinstance(tf, ray.ObjectRef):
+        tf = ray.put(tf)
     ds = ds.map_batches(
-        TF.TermFrequencyAnnotator,
-        fn_constructor_args=(tf,),
-        fn_constructor_kwargs=annot_kwargs,
+        _annotate_tf_task,
         batch_format="pyarrow",
-        concurrency=tf_concurrency,
+        fn_kwargs={"tf_ref": tf, "default": tf_default},
     )
     ds = ds.map_batches(
         TF.move_common_end_tokens_to_field,
@@ -142,16 +160,20 @@ def clean_dataset(
     rel_tok_freq: dict[str, float] | None = None,
     end_tokens: frozenset[str] | None = None,
     tf_concurrency: int | tuple[int, int] | None = None,
+    tf_default: float | None = None,
 ) -> "ray.data.Dataset":
     """Full cleaning pipeline.
 
     ``rel_tok_freq=None`` -> on-the-fly corpus TF (reference
     ``clean_data_on_the_fly``); a dict -> precomputed-TF variant
     (``clean_data_using_precomputed_rel_tok_freq``).  ``end_tokens=None``
-    derives the common-end-token set from the corpus itself.
+    derives the common-end-token set from the corpus itself.  With BOTH
+    statistics precomputed (``corpus_tf_and_end_tokens``), the whole clean
+    is one fused map chain — no mid-pipeline materialisation or shuffle.
+    ``tf_default`` overrides the unseen-token rel_freq (pass the singleton
+    rel_freq when the dict was singleton-compressed).
     """
     ds = apply_pre_tf(ds)
-    tf_default = None
     if rel_tok_freq is None or end_tokens is None:
         ds = ds.materialize()  # the TF pass reads the pre-TF output once
         # coalesce tiny blocks: every sort-based groupby downstream (the TF
@@ -181,6 +203,77 @@ def clean_dataset(
     )
 
 
+def _last_tokens(t: pa.Table, col: str = "address_tokens") -> pa.Array:
+    """Vectorised last-element-per-list (null for null/empty lists)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = t[col]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_null(arr.type):
+        return pa.nulls(len(arr), pa.string())
+    if not isinstance(arr, pa.ListArray):
+        arr = arr.cast(pa.list_(pa.string()))
+    offs = np.asarray(arr.offsets)
+    lens = offs[1:] - offs[:-1]
+    valid = (~np.asarray(arr.is_null())) & (lens > 0)
+    idx = np.where(valid, offs[1:] - 1, 0)
+    taken = arr.values.take(pa.array(idx, pa.int32()))
+    return pc.if_else(pa.array(valid), taken, pa.scalar(None, pa.string()))
+
+
+def _make_stats_partial(tokens_col: str, numeric_cols: tuple[str, ...] = ()):
+    """Vectorised per-batch partial for the corpus TF + end-token aggregate:
+    one ``list_flatten`` + Arrow ``value_counts`` per batch (the Counter
+    row-loop this replaces was ~40% of the two-table clean phase)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        flat = pc.list_flatten(
+            t[tokens_col].combine_chunks()
+            if isinstance(t[tokens_col], pa.ChunkedArray)
+            else t[tokens_col]
+        )
+        parts.append(flat.drop_null())
+        for c in numeric_cols:
+            arr = t[c]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            if pa.types.is_null(arr.type):
+                continue
+            parts.append(arr.drop_null())
+        allv = pa.concat_arrays([p.cast(pa.string()) for p in parts])
+        vc = allv.value_counts()
+        tok_counts = dict(
+            zip(vc.field(0).to_pylist(), vc.field(1).to_pylist())
+        )
+        evc = _last_tokens(t).drop_null().value_counts()
+        end_counts = dict(
+            zip(evc.field(0).to_pylist(), evc.field(1).to_pylist())
+        )
+        n_rows = t.num_rows
+        tokens = list(set(tok_counts) | set(end_counts))
+        if not tokens and n_rows:
+            tokens = [""]  # keep the row count even if no tokens at all
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "count": pa.array(
+                    [tok_counts.get(x, 0) for x in tokens], pa.int64()
+                ),
+                "end_count": pa.array(
+                    [end_counts.get(x, 0) for x in tokens], pa.int64()
+                ),
+                "rows": pa.array(
+                    [n_rows] + [0] * (len(tokens) - 1) if tokens else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partial
+
+
 def _tf_and_end_tokens_single_pass(
     ds: "ray.data.Dataset",
 ) -> tuple[dict[str, float], frozenset[str], float]:
@@ -192,35 +285,7 @@ def _tf_and_end_tokens_single_pass(
     fingerprints ride the address text) are NOT stored: their rel_freq is
     exactly ``1/total``, which is returned as the annotator default, so the
     broadcast dict shrinks ~6x with bit-identical annotation output."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        tok_counts: Counter = Counter()
-        end_counts: Counter = Counter()
-        for lst in t["address_without_numbers_tokenised"].to_pylist():
-            if lst:
-                tok_counts.update(x for x in lst if x is not None)
-        n_rows = 0
-        for lst in t["address_tokens"].to_pylist():
-            n_rows += 1
-            if lst:
-                end_counts[lst[-1]] += 1
-        tokens = list(set(tok_counts) | set(end_counts))
-        if not tokens and n_rows:
-            tokens = [""]  # keep the row count even if no tokens at all
-        return pa.table(
-            {
-                "token": pa.array(tokens, pa.string()),
-                "count": pa.array([tok_counts.get(x, 0) for x in tokens], pa.int64()),
-                "end_count": pa.array(
-                    [end_counts.get(x, 0) for x in tokens], pa.int64()
-                ),
-                "rows": pa.array([n_rows] + [0] * (len(tokens) - 1), pa.int64())
-                if tokens
-                else pa.array([], pa.int64()),
-            }
-        )
+    partial = _make_stats_partial("address_without_numbers_tokenised")
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -244,6 +309,47 @@ def _tf_and_end_tokens_single_pass(
 def clean_data_with_minimal_steps(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Reference ``clean_data_with_minimal_steps`` — pre-TF stages only."""
     return apply_pre_tf(ds)
+
+
+def corpus_tf_and_end_tokens(
+    ds: "ray.data.Dataset",
+    *,
+    numeric_cols: tuple[str, ...] = (
+        "numeric_token_1",
+        "numeric_token_2",
+        "numeric_token_3",
+    ),
+    tokens_col: str = "address_without_numbers_tokenised",
+) -> tuple[dict[str, float], frozenset[str], float]:
+    """ONE partial-aggregate pass over a pre-TF-cleaned dataset producing
+    BOTH corpus statistics a two-table run needs: the A7-style token
+    frequency dict (numeric + non-numeric tokens, reference
+    term_frequencies.py:371-418) and the common-end-token set — the way the
+    reference derives its reference-data TF table once from the canonical
+    universe and reuses it for every messy table (match_epc_to_os.py:60-75).
+
+    Returns ``(tf_dict, end_tokens, default_rel_freq)``; singleton tokens
+    are compressed out of the dict (their rel_freq is exactly the returned
+    default), shrinking the broadcast payload ~6x."""
+    partial = _make_stats_partial(tokens_col, numeric_cols)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum(["count", "end_count", "rows"])
+    )
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+    )
+    tokens = tbl["token"].to_pylist()
+    counts = tbl["sum(count)"].to_pylist()
+    ends = tbl["sum(end_count)"].to_pylist()
+    n_rows = sum(tbl["sum(rows)"].to_pylist())
+    total = sum(counts) or 1
+    tf = {t: c / total for t, c in zip(tokens, counts) if c > 1}
+    min_count = max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))
+    end_tokens = frozenset(t for t, e in zip(tokens, ends) if e > min_count)
+    return tf, end_tokens, 1.0 / total
 
 
 def get_token_frequency_table(

@@ -283,12 +283,18 @@ def prepare_code_dataset(
     files: "ray.data.Dataset",
     *,
     rel_tok_freq: dict[str, float] | None = None,
+    end_tokens: frozenset[str] | None = None,
     tf_concurrency: int | tuple[int, int] | None = None,
+    tf_default: float | None = None,
 ) -> "ray.data.Dataset":
     """features + full cleaning; returns the cleaned, scored-ready table."""
     feats = files.map_batches(derive_code_features, batch_format="pyarrow")
     return clean_dataset(
-        feats, rel_tok_freq=rel_tok_freq, tf_concurrency=tf_concurrency
+        feats,
+        rel_tok_freq=rel_tok_freq,
+        end_tokens=end_tokens,
+        tf_concurrency=tf_concurrency,
+        tf_default=tf_default,
     )
 
 

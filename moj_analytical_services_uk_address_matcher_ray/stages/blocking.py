@@ -1335,8 +1335,17 @@ def make_fused_emit_score(
     symmetric_rules: frozenset[int] = frozenset(),
     chunk_pairs: int = 262_144,
     warm_ref=None,
+    partial_top1_per_r: bool = False,
 ):
     """Per-bucket candidate-pair emission FUSED with broadcast scoring.
+
+    ``partial_top1_per_r=True`` reduces each bucket's survivors to the
+    best row per ``{id_col}_r`` (max match_weight, ties broken by min
+    ``{id_col}_l`` — the best-match selection order) before returning, so a
+    top-1-per-messy consumer shuffles ~one row per (messy record, touched
+    bucket) instead of every threshold survivor.  The global winner of each
+    messy record wins its own bucket, so a downstream top-1 over the
+    reduced stream is exact.
 
     The unfused broadcast path shuffles the keyed rows, materialises the
     full candidate-pair stream to the object store (a sort barrier: the
@@ -1500,7 +1509,18 @@ def make_fused_emit_score(
             inc_metric("blocking.dropped_pairs", dropped)
         if not out_tables:
             return scorer.empty_scored()
-        return pa.concat_tables(out_tables, promote_options="default")
+        res = pa.concat_tables(out_tables, promote_options="default")
+        if partial_top1_per_r and res.num_rows > 1:
+            mw = np.asarray(res["match_weight"].to_pylist(), dtype=np.float64)
+            rid = np.asarray(res[f"{id_col}_r"].to_pylist(), dtype=object)
+            lid = np.asarray(res[f"{id_col}_l"].to_pylist(), dtype=object)
+            order = np.lexsort((lid, -mw, rid))
+            rid_sorted = rid[order]
+            first = np.concatenate(
+                ([True], rid_sorted[1:] != rid_sorted[:-1])
+            )
+            res = res.take(pa.array(order[first], pa.int64()))
+        return res
 
     return bucket_fn
 
@@ -1542,6 +1562,7 @@ def generate_and_score_pairs(
     payload_mode: str = "auto",  # "auto" | "broadcast" | "shuffle"
     broadcast_threshold: int = 2_000_000,
     dedupe_output: bool = True,
+    partial_top1_per_r: bool = False,
 ) -> "ray.data.Dataset":
     """J6 + §2.5 fused: narrow pair generation/dedup, then payload + scoring.
 
@@ -1565,6 +1586,10 @@ def generate_and_score_pairs(
     the same (l, r) pair appearing once per matching blocking rule — e.g.
     the connected-components edge pass, which dedups edges itself; a pair
     scores identically under every rule, so values never conflict.
+
+    ``partial_top1_per_r=True`` (broadcast path only): each bucket task
+    pre-reduces its survivors to the best row per messy id, for
+    best-match-selection consumers — see ``make_fused_emit_score``.
     """
     import pyarrow.compute as pc
 
@@ -1646,6 +1671,7 @@ def generate_and_score_pairs(
                 ordered_self_pairs=ordered_self_pairs,
                 symmetric_rules=symmetric,
                 warm_ref=warm_ref,
+                partial_top1_per_r=partial_top1_per_r,
             ),
             # many fine buckets, independent of cpu count: scoring rides
             # the bucket tasks, so the LARGEST bucket bounds the makespan

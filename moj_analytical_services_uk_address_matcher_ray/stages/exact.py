@@ -218,6 +218,89 @@ def annotate_exact_matches(
     return bucketed_group_apply(fz.union(cz), "__key", per_bucket)
 
 
+def annotate_exact_matches_broadcast(
+    fuzzy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    match_cols: tuple[str, ...] = ("original_address_concat", "postcode"),
+    match_reason: str = MATCH_REASON_EXACT,
+) -> "ray.data.Dataset":
+    """Zero-shuffle J2 for a broadcastable canonical side: the canonical
+    key -> (min ukam id, unique_id) index is built ONCE (driver-side pandas
+    over the canonical key projection — the 10^12-row route stays
+    ``annotate_exact_matches``'s co-partitioned shuffle) and ``ray.put``;
+    every fuzzy batch annotates itself with a local hash-merge.
+
+    Unlike ``annotate_exact_matches`` (which returns only matched rows),
+    this returns EVERY fuzzy row + nullable (canonical_ukam_address_id,
+    resolved_canonical_id, match_reason) — callers split matched/unmatched
+    with two narrow filters and no further shuffle (the reference's
+    get_linker drops resolved rows the same way, splink_model.py:49-54)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .joins import _key_strings
+
+    proj = ["ukam_address_id", *match_cols] + (
+        ["unique_id"] if "unique_id" in canon.schema().names else []
+    )
+    ctab = pa.concat_tables(
+        ray.get(canon.select_columns(proj).to_arrow_refs()),
+        promote_options="default",
+    )
+    cdf = pd.DataFrame(
+        {
+            "__key": _key_strings(ctab, tuple(match_cols)).to_pandas(),
+            "ukam_address_id": ctab["ukam_address_id"].to_pandas(),
+            "unique_id": (
+                ctab["unique_id"].to_pandas()
+                if "unique_id" in ctab.column_names
+                else None
+            ),
+        }
+    )
+    cdf = cdf[cdf["__key"].notna()].sort_values(
+        ["__key", "ukam_address_id"], kind="mergesort"
+    )
+    cdf = cdf.drop_duplicates("__key", keep="first")
+    idx_ref = ray.put(
+        (
+            pd.Index(cdf["__key"].to_numpy()),
+            cdf["ukam_address_id"].to_numpy(dtype=object),
+            cdf["unique_id"].to_numpy(dtype=object),
+        )
+    )
+    _cache: dict = {}
+
+    def annotate(t: pa.Table) -> pa.Table:
+        hit = _cache.get("idx")
+        if hit is None:
+            hit = ray.get(idx_ref)
+            _cache["idx"] = hit
+        idx, cids, cuids = hit
+        keys = _key_strings(t, tuple(match_cols)).to_pandas()
+        valid = pd.notna(keys)
+        pos = np.full(t.num_rows, -1, dtype=np.int64)
+        if valid.any():
+            pos[valid.to_numpy()] = idx.get_indexer(keys[valid])
+        found = pos >= 0
+        cid = np.full(t.num_rows, None, dtype=object)
+        uid = np.full(t.num_rows, None, dtype=object)
+        reason = np.full(t.num_rows, None, dtype=object)
+        cid[found] = cids[pos[found]]
+        uid[found] = cuids[pos[found]]
+        reason[found] = match_reason
+        t = t.append_column(
+            "canonical_ukam_address_id", pa.array(cid, pa.string())
+        )
+        t = t.append_column("resolved_canonical_id", pa.array(uid, pa.string()))
+        t = t.append_column("match_reason", pa.array(reason, pa.string()))
+        return t
+
+    return fuzzy.map_batches(annotate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # J3 — unique trigram resolution
 # ---------------------------------------------------------------------------
