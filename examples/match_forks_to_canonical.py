@@ -202,7 +202,14 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
         carry_cols=DEDUP_CARRY_COLS,
         threshold_match_weight=-50.0,
         emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
-        hot_key_threshold=50_000,
+        # tight per-block cap instead of hot-key salting: the fingerprint
+        # rules already pair every near-dup in tiny content-keyed blocks,
+        # so giant hot-stem blocks ("index") are almost pure redundancy —
+        # capping them (counted drops) costs <0.01% recall and removes the
+        # dominant quadratic term; salting would only spread the same
+        # pairs, not remove them.
+        max_pairs_per_block=20_000,
+        hot_key_threshold=None,
         dedupe_output=False,
         partial_top1_per_r=True,
     )

@@ -218,6 +218,9 @@ def annotate_exact_matches(
     return bucketed_group_apply(fz.union(cz), "__key", per_bucket)
 
 
+_EXACT_IDX_CACHE: dict = {}  # worker-process cache: ref hex -> built index
+
+
 def annotate_exact_matches_broadcast(
     fuzzy: "ray.data.Dataset",
     canon: "ray.data.Dataset",
@@ -264,20 +267,35 @@ def annotate_exact_matches_broadcast(
         ["__key", "ukam_address_id"], kind="mergesort"
     )
     cdf = cdf.drop_duplicates("__key", keep="first")
+    # plasma payload is Arrow (zero-copy reads); the pd.Index hash table is
+    # built ONCE PER WORKER PROCESS in the module-level cache — a closure
+    # cache would ship empty into every task and rebuild the 10^5-entry
+    # index per task (measured: 86s CPU at 176k messy rows)
     idx_ref = ray.put(
-        (
-            pd.Index(cdf["__key"].to_numpy()),
-            cdf["ukam_address_id"].to_numpy(dtype=object),
-            cdf["unique_id"].to_numpy(dtype=object),
+        pa.table(
+            {
+                "k": pa.array(cdf["__key"].to_numpy(dtype=object), pa.string()),
+                "cid": pa.array(
+                    cdf["ukam_address_id"].to_numpy(dtype=object), pa.string()
+                ),
+                "uid": pa.array(
+                    cdf["unique_id"].to_numpy(dtype=object), pa.string()
+                ),
+            }
         )
     )
-    _cache: dict = {}
 
     def annotate(t: pa.Table) -> pa.Table:
-        hit = _cache.get("idx")
+        hit = _EXACT_IDX_CACHE.get(idx_ref.hex())
         if hit is None:
-            hit = ray.get(idx_ref)
-            _cache["idx"] = hit
+            _EXACT_IDX_CACHE.clear()
+            itab = ray.get(idx_ref)
+            hit = (
+                pd.Index(itab["k"].to_pandas()),
+                itab["cid"].to_pandas().to_numpy(dtype=object),
+                itab["uid"].to_pandas().to_numpy(dtype=object),
+            )
+            _EXACT_IDX_CACHE[idx_ref.hex()] = hit
         idx, cids, cuids = hit
         keys = _key_strings(t, tuple(match_cols)).to_pandas()
         valid = pd.notna(keys)

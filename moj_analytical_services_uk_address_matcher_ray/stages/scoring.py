@@ -59,6 +59,64 @@ def levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def levenshtein_leq_batch(al, ar, k: int) -> "np.ndarray":
+    """Vectorised ``levenshtein_leq`` over object arrays of strings: the DP
+    runs as O(maxlen^2) numpy ops over the WHOLE pair batch instead of one
+    Python DP per pair (the per-pair form was the single largest CPU cost
+    of the two-table scoring kernel).  The insertion recurrence's in-row
+    scan uses the min-plus trick: min over j'<=j of cur[j'] + (j - j') =
+    (running min of cur[j'] - j') + j."""
+    al = np.asarray(al, dtype=object)
+    ar = np.asarray(ar, dtype=object)
+    n = len(al)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    valid = (al != None) & (ar != None)  # noqa: E711 (elementwise)
+    if not valid.any():
+        return out
+    A = np.array(np.where(valid, al, ""), dtype="U")
+    B = np.array(np.where(valid, ar, ""), dtype="U")
+    la = np.char.str_len(A)
+    lb = np.char.str_len(B)
+    eqs = valid & (A == B)
+    out |= eqs
+    todo = valid & ~eqs & (np.abs(la - lb) <= k)
+    if not todo.any():
+        return out
+    idx = np.flatnonzero(todo)
+    A2, B2 = A[idx], B[idx]
+    la2, lb2 = la[idx].astype(np.int64), lb[idx].astype(np.int64)
+    m = len(idx)
+    wa = max(1, A2.dtype.itemsize // 4)
+    wb = max(1, B2.dtype.itemsize // 4)
+    Am = A2.view(np.uint32).reshape(m, wa)
+    Bm = B2.view(np.uint32).reshape(m, wb)
+    maxa = int(la2.max())
+    maxb = int(lb2.max())
+    rows = np.arange(m)
+    res = np.full(m, np.iinfo(np.int32).max, dtype=np.int32)
+    jj = np.arange(maxb + 1, dtype=np.int32)
+    prev = np.broadcast_to(jj, (m, maxb + 1)).copy()
+    done0 = la2 == 0
+    if done0.any():
+        res[done0] = lb2[done0].astype(np.int32)
+    for i in range(1, maxa + 1):
+        ai = Am[:, i - 1] if i - 1 < wa else np.zeros(m, dtype=np.uint32)
+        cost = (Bm[:, :maxb] != ai[:, None]).astype(np.int32)
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        # transitive insertion scan (min-plus running minimum)
+        cur = np.minimum.accumulate(cur - jj, axis=1) + jj
+        sel = la2 == i
+        if sel.any():
+            res[sel] = cur[sel, lb2[sel]]
+        prev = cur
+    out[idx] = res <= k
+    return out
+
+
 def split_part(s, part: int) -> str | None:
     """DuckDB split_part: 1-based, '' when out of range, NULL propagates
     (split_part(NULL, ...) IS NULL — a NULL-side comparison can never fire
@@ -281,13 +339,12 @@ class _ComparisonEvaluator:
             c, kk = p["col"], p["k"]
             al = df[f"{c}_l"].to_numpy(dtype=object)
             ar = df[f"{c}_r"].to_numpy(dtype=object)
-            return _sparse_rowwise(
-                lambda x, y: x is not None and y is not None
-                and levenshtein_leq(x, y, kk),
-                al,
-                ar,
-                remaining,
-            )
+            if remaining is None:
+                return levenshtein_leq_batch(al, ar, kk)
+            idx = np.flatnonzero(remaining)
+            out = np.zeros(n, dtype=bool)
+            out[idx] = levenshtein_leq_batch(al[idx], ar[idx], kk)
+            return out
         if k == "split_part_equal":
             c, part = p["col"], p["part"]
             sl = pre.get(("split", c, part, "l"))

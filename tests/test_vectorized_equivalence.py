@@ -186,3 +186,24 @@ def test_fingerprint_nearly_identical_content_shares_tokens():
     assert len(set(a) & set(b)) >= 4  # near-dup shares most fp tokens
     assert _content_fingerprint("") == []
     assert _content_fingerprint(None) == []
+
+
+def test_levenshtein_batch_matches_scalar():
+    from moj_analytical_services_uk_address_matcher_ray.stages.scoring import (
+        levenshtein_leq,
+        levenshtein_leq_batch,
+    )
+
+    rng = np.random.default_rng(99)
+    vocab = ["", "A", "AB", "ABC", "PY PARSER", "PY PARSER2", "JS PARSERX",
+             "JS PARSER", "N12 34X", "N12 35X", "N1 34X", "ÜNICODE", "ÜNICODX",
+             None, "LONGSTEMNAME12", "LONGSTEMNAME21", "LONGSTEMNAME123456"]
+    al = [vocab[i] for i in rng.integers(0, len(vocab), 400)]
+    ar = [vocab[i] for i in rng.integers(0, len(vocab), 400)]
+    for k in (0, 1, 2, 3):
+        got = levenshtein_leq_batch(al, ar, k)
+        for i, (x, y) in enumerate(zip(al, ar)):
+            want = (
+                x is not None and y is not None and levenshtein_leq(x, y, k)
+            )
+            assert bool(got[i]) == want, (x, y, k, got[i], want)
