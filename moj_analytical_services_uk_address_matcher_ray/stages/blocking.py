@@ -1302,6 +1302,90 @@ def _build_warm_scorer_state(refs: tuple, ctor_kwargs: dict) -> dict:
     return sc.warm_and_export()
 
 
+_WARM_EXPORT_KEYS = ("packed", "split", "codes", "tf", "isnull", "ready_l", "ready_r")
+
+
+@ray.remote
+def _warm_part(refs: tuple, ctor_kwargs: dict, jobs: list) -> dict:
+    """Build a SUBSET of the scorer's lazy caches (one parallel shard of
+    the warm build)."""
+    store_l_ref, store_r_ref, model_ref, tf_ref = refs
+    sc = _BroadcastScorer(store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs)
+    for kind, args in jobs:
+        if kind == "packed":
+            sc._packed(*args)
+        elif kind == "codes":
+            sc._group_codes(frozenset(args))
+        elif kind == "codes_dig":
+            sc._group_codes(frozenset(args), digits=True)
+        elif kind == "split":
+            sc._split_arr(*args)
+        elif kind == "tf":
+            sc._tf_arrays(args)
+        elif kind == "isnull":
+            sc._isnull_arrays(args)
+        elif kind == "ready":
+            sc._ready_col(*args)
+    return {
+        "packed": sc._packed_cache,
+        "split": sc._split_cache,
+        "codes": sc._code_cache,
+        "tf": sc._tf_cache,
+        "isnull": sc._isnull_cache,
+        "ready_l": sc._ready_l,
+        "ready_r": {} if sc.tab_r is sc.tab_l else sc._ready_r,
+    }
+
+
+@ray.remote
+def _combine_warm(*parts) -> dict:
+    out: dict = {k: {} for k in _WARM_EXPORT_KEYS}
+    for p in parts:
+        for k in _WARM_EXPORT_KEYS:
+            out[k].update(p[k])
+    return out
+
+
+def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
+    """PARALLEL warm build: the single-task form serialises ~all the packed
+    conversions (8s+ at a 335k-row store) on one core while the rest of the
+    cluster idles; here each heavy cache entry (a packed column, a code
+    dictionary, a pandas-view conversion) is its own remote task and a tiny
+    combine task merges the shards.  Cache entries are adopt-or-rebuild, so
+    an enumeration miss only costs a lazy per-process rebuild later."""
+    store_l_ref, store_r_ref, model_ref, tf_ref = refs
+    sc = _BroadcastScorer(
+        store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs
+    )  # enumeration only — ctor is cheap, caches stay lazy
+    self_dedup = sc.tab_r is sc.tab_l
+    sides = ("l",) if self_dedup else ("l", "r")
+    heavy: list[list] = []
+    light: list = []
+    for c in sc._hist_cols | sc._set_cols:
+        for s in sides:
+            heavy.append([("packed", (s, c))])
+    for g in sc._eq_groups:
+        heavy.append([("codes", tuple(g))])
+    for c in sc._dig_cols:
+        heavy.append([("codes_dig", (c,))])
+    for c in sc._df_cols:
+        for s in sides:
+            heavy.append([("ready", (s, c))])
+    for c, p in sc._split_cols:
+        for s in sides:
+            light.append(("split", (s, c, p)))
+    for c in sc._tf_cols:
+        light.append(("tf", c))
+    for c in sc._coded_cols:
+        light.append(("isnull", c))
+    if light:
+        heavy.append(light)
+    parts = [_warm_part.remote(refs, ctor_kwargs, jobs) for jobs in heavy]
+    if not parts:
+        return _build_warm_scorer_state.remote(refs, ctor_kwargs)
+    return _combine_warm.remote(*parts)
+
+
 def _fused_scorer(
     store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
 ) -> "_BroadcastScorer":
@@ -1411,100 +1495,95 @@ def make_fused_emit_score(
                 f"pair ids missing from the broadcast feature store "
                 f"({bad} bucket members)"
             )
-        comb = np.fromiter(
-            (f"{r}\x1f{k}" for r, k in zip(rules, bkeys)), dtype=object, count=n
-        )
-        order = np.argsort(comb, kind="stable")
-        comb_sorted = comb[order]
-        boundaries = np.flatnonzero(
-            np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1]))
-        )
-        out_tables: list[pa.Table] = []
-        buf_l: list[np.ndarray] = []
-        buf_r: list[np.ndarray] = []
-        buf_rule: list[np.ndarray] = []
-        buffered = 0
-        dropped = 0
-
-        def flush():
-            nonlocal buffered
-            if not buffered:
-                return
-            tl = np.concatenate(buf_l)
-            tr = np.concatenate(buf_r)
-            tru = np.concatenate(buf_rule)
-            buf_l.clear()
-            buf_r.clear()
-            buf_rule.clear()
-            buffered = 0
-            res = scorer.score_taken(tl, tr, pa.array(tru, pa.int32()))
-            if res.num_rows:
-                out_tables.append(res)
-
-        for b_i, start in enumerate(boundaries):
-            end = boundaries[b_i + 1] if b_i + 1 < len(boundaries) else n
-            idxs = order[start:end]
-            rule_val = int(rules[idxs[0]])
-            triangle_ok = (
-                ordered_self_pairs
-                and rule_val in symmetric_rules
-                and SALT_SEP not in comb_sorted[start]
+        # ---- vectorised per-block pair emission ----
+        # One lexsort groups every (rule, key) block contiguously with its
+        # l members first; cross products for ALL uncapped blocks are then
+        # emitted in a handful of numpy repeat/tile expressions (the
+        # per-block Python loop this replaces was the largest CPU term of
+        # the fused stage once scoring itself was vectorised).  The
+        # id-ordered self-pair filter and the cap keep-rule run on integer
+        # id RANKS (np.unique + searchsorted once per bucket), so no
+        # per-pair Python string compares remain.  Semantics (cap keeps,
+        # dropped-pair counts, ordered filter) are exactly the loop's: the
+        # old unsalted-symmetric triangle shortcut emitted the id-ordered
+        # upper triangle, which is precisely what cross-product + rank
+        # filter yields — one code path now serves every block kind.
+        bkeys_arr = np.asarray(bkeys, dtype=object)
+        order = np.lexsort((sides, bkeys_arr, rules))
+        rules_s = rules[order]
+        keys_s = bkeys_arr[order]
+        lmask_s = l_side[order]
+        row_l_s = row_l[order]
+        row_r_s = row_r[order]
+        uniq = np.unique(ids)
+        rank_s = np.searchsorted(uniq, ids[order])
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (rules_s[1:] != rules_s[:-1]) | (keys_s[1:] != keys_s[:-1]))
             )
-            if triangle_ok:
-                # unsalted symmetric self-dedup: the l-side rows ARE the
-                # block's member set; emit the id-ordered upper triangle
-                mem = idxs[sides[idxs] == "l"]
-                m = len(mem)
-                if m < 2:
+        )
+        ends = np.concatenate((starts[1:], [n]))
+        csum = np.concatenate(([0], np.cumsum(lmask_s)))
+        nl = csum[ends] - csum[starts]
+        nr = (ends - starts) - nl
+        m_raw = nl * nr
+        capped = m_raw > max_pairs_per_block
+        easy = np.flatnonzero((m_raw > 0) & ~capped)
+        dropped = int((m_raw[capped] - max_pairs_per_block).sum())
+        out_tables: list[pa.Table] = []
+
+        def score_block_of_pairs(li: np.ndarray, ri: np.ndarray, rl: np.ndarray):
+            if ordered_self_pairs:
+                keep = rank_s[li] < rank_s[ri]
+                if not keep.all():
+                    li, ri, rl = li[keep], ri[keep], rl[keep]
+            for off in range(0, len(li), chunk_pairs):
+                res = scorer.score_taken(
+                    row_l_s[li[off : off + chunk_pairs]],
+                    row_r_s[ri[off : off + chunk_pairs]],
+                    pa.array(rl[off : off + chunk_pairs], pa.int32()),
+                )
+                if res.num_rows:
+                    out_tables.append(res)
+
+        # uncapped blocks: emit in windows of ~8 chunks to bound the
+        # transient index arrays (a bucket can hold millions of pairs)
+        if len(easy):
+            m = m_raw[easy]
+            cm = np.cumsum(m)
+            window = 8 * chunk_pairs
+            edges = np.searchsorted(cm, np.arange(window, int(cm[-1]) + window, window))
+            lo = 0
+            for hi in np.minimum(edges + 1, len(easy)):
+                if hi <= lo:
                     continue
-                if m * m > max_pairs_per_block:
-                    # exact parity with the unfused path's truncation: it
-                    # kept the keep_l smallest ids on l and keep_r on r,
-                    # then filtered id_l < id_r — i.e. the upper triangle
-                    # of the keep_r smallest members restricted to rows
-                    # whose smaller id ranks below keep_l
-                    dropped += m * m - max_pairs_per_block
-                    keep_l = max(1, int(max_pairs_per_block**0.5))
-                    keep_r = max(1, max_pairs_per_block // keep_l)
-                    mem = mem[np.argsort(ids[mem], kind="stable")][:keep_r]
-                    m = len(mem)
-                    if m < 2:
-                        continue
-                    iu, ju = np.triu_indices(m, k=1)
-                    tri_keep = iu < keep_l
-                    iu, ju = iu[tri_keep], ju[tri_keep]
-                else:
-                    mem = mem[np.argsort(ids[mem], kind="stable")]
-                    iu, ju = np.triu_indices(m, k=1)
-                li, ri = mem[iu], mem[ju]
-            else:
-                l_idx = idxs[sides[idxs] == "l"]
-                r_idx = idxs[sides[idxs] == "r"]
-                nl, nr = len(l_idx), len(r_idx)
-                if nl == 0 or nr == 0:
-                    continue
-                if nl * nr > max_pairs_per_block:
-                    dropped += nl * nr - max_pairs_per_block
-                    keep_l = max(1, int(max_pairs_per_block**0.5))
-                    keep_r = max(1, max_pairs_per_block // keep_l)
-                    l_idx = l_idx[np.argsort(ids[l_idx], kind="stable")][:keep_l]
-                    r_idx = r_idx[np.argsort(ids[r_idx], kind="stable")][:keep_r]
-                    nl, nr = len(l_idx), len(r_idx)
-                li = np.repeat(l_idx, nr)
-                ri = np.tile(r_idx, nl)
-                if ordered_self_pairs:
-                    mask = ids[li] < ids[ri]
-                    if not mask.all():
-                        li, ri = li[mask], ri[mask]
-            if len(li) == 0:
-                continue
-            buf_l.append(row_l[li])
-            buf_r.append(row_r[ri])
-            buf_rule.append(np.full(len(li), rule_val, dtype=np.int32))
-            buffered += len(li)
-            if buffered >= chunk_pairs:
-                flush()
-        flush()
+                sel = easy[lo:hi]
+                bs, bnl, bnr, bm = starts[sel], nl[sel], nr[sel], m_raw[sel]
+                total = int(bm.sum())
+                rep = np.repeat(np.arange(len(sel)), bm)
+                offs = np.concatenate(([0], np.cumsum(bm)))[:-1]
+                p = np.arange(total, dtype=np.int64) - offs[rep]
+                li = bs[rep] + p // bnr[rep]
+                ri = bs[rep] + bnl[rep] + p % bnr[rep]
+                rl = np.repeat(rules_s[bs], bm).astype(np.int32)
+                score_block_of_pairs(li, ri, rl)
+                lo = hi
+        # capped blocks (rare): per-block keep of the keep_l/keep_r
+        # smallest-ranked members — identical keeps and drop accounting to
+        # the unfused emitter
+        for b in np.flatnonzero(capped):
+            s, e, l_n = int(starts[b]), int(ends[b]), int(nl[b])
+            keep_l = max(1, int(max_pairs_per_block**0.5))
+            keep_r = max(1, max_pairs_per_block // keep_l)
+            l_idx = np.arange(s, s + l_n)
+            r_idx = np.arange(s + l_n, e)
+            l_idx = l_idx[np.argsort(rank_s[l_idx], kind="stable")][:keep_l]
+            r_idx = r_idx[np.argsort(rank_s[r_idx], kind="stable")][:keep_r]
+            score_block_of_pairs(
+                np.repeat(l_idx, len(r_idx)),
+                np.tile(r_idx, len(l_idx)),
+                np.full(len(l_idx) * len(r_idx), rules_s[s], dtype=np.int32),
+            )
         if dropped:
             inc_metric("blocking.dropped_pairs", dropped)
         if not out_tables:
@@ -1563,6 +1642,7 @@ def generate_and_score_pairs(
     broadcast_threshold: int = 2_000_000,
     dedupe_output: bool = True,
     partial_top1_per_r: bool = False,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """J6 + §2.5 fused: narrow pair generation/dedup, then payload + scoring.
 
@@ -1646,7 +1726,7 @@ def generate_and_score_pairs(
         symmetric = frozenset(
             i for i, r in enumerate(parsed) if r.l_exprs == r.r_exprs
         )
-        warm_ref = _build_warm_scorer_state.remote(
+        warm_ref = launch_warm_scorer_build(
             (store_l_ref, store_r_ref, model_ref, tf_ref),
             dict(
                 payload_cols=payload_cols,
@@ -1677,8 +1757,10 @@ def generate_and_score_pairs(
             # the bucket tasks, so the LARGEST bucket bounds the makespan
             # (measured: 32 buckets left multi-M-pair stragglers that
             # capped 8-cpu utilisation at ~60%).  Warm plasma state makes
-            # per-task setup ~free, so fine granularity costs nothing.
-            n_buckets=max(128, 4 * default_buckets()),
+            # per-task setup ~free, so fine granularity costs little;
+            # callers with many tiny blocks (two-table gazetteer runs) can
+            # lower n_buckets to shrink the per-bucket fixed costs.
+            n_buckets=n_buckets or max(128, 4 * default_buckets()),
         )
         if not dedupe_output:
             return scored

@@ -218,9 +218,6 @@ def annotate_exact_matches(
     return bucketed_group_apply(fz.union(cz), "__key", per_bucket)
 
 
-_EXACT_IDX_CACHE: dict = {}  # worker-process cache: ref hex -> built index
-
-
 def annotate_exact_matches_broadcast(
     fuzzy: "ray.data.Dataset",
     canon: "ray.data.Dataset",
@@ -267,10 +264,10 @@ def annotate_exact_matches_broadcast(
         ["__key", "ukam_address_id"], kind="mergesort"
     )
     cdf = cdf.drop_duplicates("__key", keep="first")
-    # plasma payload is Arrow (zero-copy reads); the pd.Index hash table is
-    # built ONCE PER WORKER PROCESS in the module-level cache — a closure
-    # cache would ship empty into every task and rebuild the 10^5-entry
-    # index per task (measured: 86s CPU at 176k messy rows)
+    # plasma payload is Arrow — zero-copy per worker; the per-batch lookup
+    # is pc.index_in (a C hash probe against the broadcast key array), so
+    # no Python index structure is ever built on workers (a pd.Index build
+    # per task measured 86s CPU at 176k messy rows)
     idx_ref = ray.put(
         pa.table(
             {
@@ -286,34 +283,19 @@ def annotate_exact_matches_broadcast(
     )
 
     def annotate(t: pa.Table) -> pa.Table:
-        hit = _EXACT_IDX_CACHE.get(idx_ref.hex())
-        if hit is None:
-            _EXACT_IDX_CACHE.clear()
-            itab = ray.get(idx_ref)
-            hit = (
-                pd.Index(itab["k"].to_pandas()),
-                itab["cid"].to_pandas().to_numpy(dtype=object),
-                itab["uid"].to_pandas().to_numpy(dtype=object),
-            )
-            _EXACT_IDX_CACHE[idx_ref.hex()] = hit
-        idx, cids, cuids = hit
-        keys = _key_strings(t, tuple(match_cols)).to_pandas()
-        valid = pd.notna(keys)
-        pos = np.full(t.num_rows, -1, dtype=np.int64)
-        if valid.any():
-            pos[valid.to_numpy()] = idx.get_indexer(keys[valid])
-        found = pos >= 0
-        cid = np.full(t.num_rows, None, dtype=object)
-        uid = np.full(t.num_rows, None, dtype=object)
-        reason = np.full(t.num_rows, None, dtype=object)
-        cid[found] = cids[pos[found]]
-        uid[found] = cuids[pos[found]]
-        reason[found] = match_reason
-        t = t.append_column(
-            "canonical_ukam_address_id", pa.array(cid, pa.string())
+        itab = ray.get(idx_ref)  # zero-copy from the local object store
+        keys = _key_strings(t, tuple(match_cols))
+        pos = pc.index_in(keys, value_set=itab["k"].combine_chunks())
+        cid = itab["cid"].take(pos)  # null pos -> null value
+        uid = itab["uid"].take(pos)
+        reason = pc.if_else(
+            pc.is_valid(pos),
+            pa.scalar(match_reason, pa.string()),
+            pa.scalar(None, pa.string()),
         )
-        t = t.append_column("resolved_canonical_id", pa.array(uid, pa.string()))
-        t = t.append_column("match_reason", pa.array(reason, pa.string()))
+        t = t.append_column("canonical_ukam_address_id", cid)
+        t = t.append_column("resolved_canonical_id", uid)
+        t = t.append_column("match_reason", reason)
         return t
 
     return fuzzy.map_batches(annotate, batch_format="pyarrow")
