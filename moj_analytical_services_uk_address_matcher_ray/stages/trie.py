@@ -40,12 +40,26 @@ def _build_suffix_trie(canon_rows: list[tuple[str, str, list[str]]]) -> dict:
 
 def _find_address(tokens: list[str], root: dict, *, min_depth: int = 2):
     """Walk from the end of ``tokens``; skip tokens missing at the current
-    level; resolve when exactly one canonical remains at depth>=min_depth."""
+    level; resolve when exactly one canonical remains at depth>=min_depth.
+
+    "Fuzziness" (pinned by the reference golden rows,
+    tests/test_exact_matching.py:113-147: fuzzy token 'st' must reach the
+    canonical 'street' branch): when a token has no exact child, descend
+    into the UNIQUE child related to it by token prefix (either direction);
+    an ambiguous prefix stays a skip."""
     node = root
     depth = 0
     candidates = None
     for tok in reversed(tokens or []):
         child = node.get(tok)
+        if child is None and tok:
+            related = [
+                c
+                for t2, c in node.items()
+                if t2 != _END and (t2.startswith(tok) or tok.startswith(t2))
+            ]
+            if len(related) == 1:
+                child = related[0]
         if child is None:
             continue  # skip
         node = child

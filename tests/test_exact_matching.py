@@ -216,3 +216,70 @@ def test_self_dedup_exclude_self(ray_session):
     ).materialize()
     got = {r["ukam_address_id"]: r["canonical_ukam_address_id"] for r in out.take_all()}
     assert got == {"u0": "u1", "u1": "u0"}  # BBB singleton unmatched
+
+
+def test_reference_trie_golden_rows(ray_session):
+    """The reference's exact+trie golden fixture ported VERBATIM
+    (tests/test_exact_matching.py:10-147): 8 fuzzy rows (duplicate
+    unique_ids, surrogate ukam ids) vs 2 canonical rows; expected
+    per-ukam-row (unique_id, resolved_canonical_id, match_reason) tuples —
+    including the two trie resolutions with token fuzziness ('road' vs
+    'rd' tokens, 'st' vs 'street')."""
+    fuzzy_rows = [
+        (1, "4 Sample Street", "CC3 3CC", ["4", "sample", "street"], 1),
+        (10, "4 Sample Street", "CC3 3CC", ["4", "sample", "street"], 2),
+        (2, "5 Demo Rd", "DD4 4DD", ["5", "demo", "rd"], 3),
+        (2, "5 Demo Rd", "DD4 4DD", ["5", "demo", "rd"], 4),
+        (2, "5 Demo Road", "DD4 4DD", ["5", "demo", "road"], 5),
+        (2, "5 Demo Road", "DD4 4DD", ["5", "demo", "road"], 6),
+        (2, "4 Sample St", "CC3 3CC", ["4", "sample", "st"], 7),
+        (3, "999 Mystery Lane", "EE5 5EE", ["999", "mystery", "lane"], 8),
+    ]
+    canon_rows = [
+        (1000, "4 Sample Street", "CC3 3CC", ["4", "sample", "street"], 1),
+        (2000, "5 Demo Rd", "DD4 4DD", ["5", "demo", "road"], 2),
+    ]
+
+    def _ds(rows):
+        return rd.from_items(
+            [
+                {
+                    "unique_id": u,
+                    "original_address_concat": a,
+                    "postcode": p,
+                    "address_tokens": toks,
+                    "ukam_address_id": k,
+                }
+                for u, a, p, toks, k in rows
+            ]
+        )
+
+    out = run_deterministic_match_pass(
+        _ds(fuzzy_rows), _ds(canon_rows), stages=["exact", "trie"]
+    ).materialize()
+    got = sorted(
+        (
+            r["ukam_address_id"],
+            r["unique_id"],
+            str(r["resolved_canonical_id"])
+            if r["resolved_canonical_id"] is not None
+            else None,
+            r["match_reason"],
+        )
+        for r in out.take_all()
+    )
+    EXACT = "exact: full match"
+    TRIE = "trie: exact match with skips and fuzziness"
+    assert got == [
+        (1, 1, "1000", EXACT),
+        (2, 10, "1000", EXACT),
+        (3, 2, "2000", EXACT),
+        (4, 2, "2000", EXACT),
+        (5, 2, "2000", TRIE),
+        (6, 2, "2000", TRIE),
+        (7, 2, "1000", TRIE),
+        (8, 3, None, None),
+    ]
+    # row-count preservation (reference
+    # test_trie_stage_does_not_inflate_row_count)
+    assert out.count() == len(fuzzy_rows)

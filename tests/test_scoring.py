@@ -182,3 +182,37 @@ def test_reference_model_scores_exact_pair():
     built = _score(_pair_df()).to_pandas()
     # the loaded reference model and our programmatic re-derivation agree
     assert out["match_weight"][0] == pytest.approx(built["match_weight"][0])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MODEL), reason="reference model absent")
+def test_reference_model_gamma_numbering():
+    """Splink gamma-numbering parity against the REFERENCE model JSON
+    (splink_model.json level ordering): gamma -1 for a fired null level,
+    highest gamma for the first-declared non-null level, 0 for 'else' —
+    asserted per comparison on pairs engineered to fire specific levels."""
+    m = load_model_json(REF_MODEL)
+
+    def gammas(df):
+        return _score(df, model=m).to_pandas().iloc[0]
+
+    # exact postcode -> first of the 6 non-null postcode levels
+    # (exact, lev<=1, lev<=2, outward, inward, else) -> gamma 5
+    g = gammas(_pair_df())
+    assert g["gamma_postcode"] == 5
+    # lev<=1 postcode -> second non-null level -> gamma 4
+    assert gammas(_pair_df(postcode_r=["W1G 9SV"]))["gamma_postcode"] == 4
+    # same outward district only -> gamma 2; else -> gamma 0
+    assert gammas(_pair_df(postcode_r=["W1G 111"]))["gamma_postcode"] == 2
+    assert gammas(_pair_df(postcode_r=["ZZ9 9ZZ"]))["gamma_postcode"] == 0
+    # both-null numeric_token_2 fires its null level -> gamma -1
+    assert g["gamma_numeric_token_2"] == -1
+    # exact original_address_concat: levels (null, exact, else) -> gamma 1
+    assert g["gamma_original_address_concat"] == 1
+    assert (
+        gammas(_pair_df(original_address_concat_r=["2 LOW RD"]))[
+            "gamma_original_address_concat"
+        ]
+        == 0
+    )
+    # numeric_token_1 exact -> first of its 5 non-null levels -> gamma 4
+    assert g["gamma_numeric_token_1"] == 4
