@@ -588,14 +588,37 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
-    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import ivf_topk
+    """IVF with a REAL index: the corpus is persisted partitioned by
+    centroid cell (cached per sf_dir); the probe reads only the n_probe
+    cell partitions — scan bytes ∝ n_probe/n_centroids, not corpus size."""
+    import hashlib
+    import os
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/uam_ivf_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_INDEX_DONE")):
+        os.makedirs(index_dir, exist_ok=True)
+        build_ivf_index(ds, index_dir, n_centroids=16)
     qrows = sorted(
         (r for r in ds.take(64) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
     )
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
-    return ivf_topk(ds, Q, k=5, query_ids=[r["vec_id"] for r in qrows])
+    out, io_stats = ivf_topk_indexed(
+        index_dir, Q, k=5, n_probe=4, query_ids=[r["vec_id"] for r in qrows]
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        inc_metric,
+    )
+
+    inc_metric("ivf.probed_bytes", io_stats["probed_bytes"])
+    inc_metric("ivf.total_bytes", io_stats["total_bytes"])
+    return out
 
 
 def _q_quality(sf_dir: str):

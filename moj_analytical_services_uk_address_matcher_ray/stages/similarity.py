@@ -119,6 +119,178 @@ def train_centroids(
     return C
 
 
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> np.ndarray:
+    """Materialise the corpus PARTITIONED BY CENTROID CELL (hive layout,
+    one directory per cell) — the IO half of an IVF index: a probe then
+    reads only its ``n_probe`` cell directories, so scan bytes scale with
+    n_probe/n_centroids instead of corpus size.  Returns the centroids
+    (also persisted to ``<index_dir>/centroids.npy``)."""
+    import os
+
+    C = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        cells = np.argmax(V @ Cm.T, axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cells, pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    with open(os.path.join(index_dir, "_INDEX_DONE"), "w") as fh:
+        fh.write("ok")
+    return C
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    query_ids: list | None = None,
+) -> tuple[pa.Table, dict]:
+    """Probe a persisted IVF index: reads ONLY the probed cell partitions.
+    Returns (top-k table, io_stats) where io_stats reports the probed vs
+    total index bytes — the partition-pruning evidence."""
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    qids = query_ids if query_ids is not None else list(range(len(Q)))
+    needed = sorted({int(c) for row in probe_cells for c in row})
+    cell_dirs = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in needed
+        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+    ]
+    io_stats = {
+        "probed_cells": len(cell_dirs),
+        "total_cells": len(
+            [d for d in os.listdir(index_dir) if d.startswith("cell=")]
+        ),
+        "probed_bytes": sum(_dir_bytes(d) for d in cell_dirs),
+        "total_bytes": sum(
+            _dir_bytes(os.path.join(index_dir, d))
+            for d in os.listdir(index_dir)
+            if d.startswith("cell=")
+        ),
+    }
+    if not cell_dirs:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int32()),
+            }
+        )
+        return empty, io_stats
+    # one dataset per probed cell dir, tagged with its cell id (reading a
+    # partition SUBDIR does not restore the hive column on all paths)
+    per_cell = []
+    for c, d in zip(needed, cell_dirs):
+        sub = rd.read_parquet(d, columns=[id_col, vec_col])
+        per_cell.append(
+            sub.map_batches(
+                lambda t, cc=c: t.append_column(
+                    "cell", pa.array([cc] * t.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ds = per_cell[0]
+    for other in per_cell[1:]:
+        ds = ds.union(other)
+    probe_ref = ray.put((Q, probe_cells))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Qm, probes = ray.get(probe_ref)
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        ids = t[id_col].to_pylist()
+        cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(Qm)):
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sims = Qm[qi] @ V[mask].T
+            sub_ids = [ids[i] for i in np.where(mask)[0]]
+            kk = min(k, len(sub_ids))
+            top = (
+                np.argpartition(-sims, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
+            )
+            for vi in top:
+                out_q.append(qi)
+                out_v.append(sub_ids[vi])
+                out_s.append(float(sims[vi]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = [
+        b
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=4096
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    by_q: dict[int, list] = {}
+    for qi, v, s in zip(
+        allp["qi"].to_pylist(), allp["vec_id"].to_pylist(), allp["cosine"].to_pylist()
+    ):
+        by_q.setdefault(qi, []).append((s, v))
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qi in sorted(by_q):
+        rows = sorted(by_q[qi], key=lambda x: (-x[0], str(x[1])))[:k]
+        for rank, (s, v) in enumerate(rows, start=1):
+            out_q.append(qids[qi])
+            out_v.append(v)
+            out_s.append(s)
+            out_r.append(rank)
+    return (
+        pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_v),
+                "cosine": pa.array(out_s, pa.float64()),
+                "rank": pa.array(out_r, pa.int32()),
+            }
+        ),
+        io_stats,
+    )
+
+
 def ivf_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,

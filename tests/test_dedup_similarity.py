@@ -114,3 +114,29 @@ def test_ivf_topk_recall(ray_session):
         e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
         a = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
         assert len(e & a) >= 3  # >=60% recall with 4/8 probes on random data
+
+
+def test_ivf_indexed_partition_pruning(ray_session, tmp_path):
+    """The persisted IVF index must (a) keep recall vs brute force and
+    (b) READ ONLY the probed cell partitions — scan bytes scale with
+    n_probe/n_centroids, not corpus size (the 'real index' property)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    ds, base = _emb_ds(n=160)
+    q = base[:2]
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, index_dir, n_centroids=8)
+    approx, io = ivf_topk_indexed(index_dir, q, k=5, n_probe=3)
+    exact = brute_force_topk(ds, q, k=5)
+    for qi in range(2):
+        e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
+        assert len(e & a) >= 3
+    assert io["total_cells"] >= 6
+    assert io["probed_cells"] <= 6  # <= 2 queries x 3 probes
+    # the pruning claim: probed bytes are a strict fraction of the index
+    assert 0 < io["probed_bytes"] < io["total_bytes"]
+    assert io["probed_bytes"] / io["total_bytes"] <= (io["probed_cells"] + 1) / io["total_cells"] + 0.25
