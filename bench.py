@@ -144,6 +144,43 @@ def run_bench() -> dict:
             res.materialize().count()
         timings[name] = time.perf_counter() - t0
 
+    # --- reference-shaped two-table match (readme.md:5-11) -----------------
+    # ~176k messy x ~274k canonical, postcode-density blocking keys; the
+    # reference's headline run.  Median of three runs — this VM's run-to-run
+    # wall variance is ±10-30% (see BASELINE.md), so a single sample is
+    # noise.  Only at the driver's sf0.1 level (fixed-size workload).
+    two_table = None
+    if sf >= 0.1 and not os.environ.get("UAM_BENCH_SKIP_TWO_TABLE"):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "match_forks_to_canonical",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "examples",
+                "match_forks_to_canonical.py",
+            ),
+        )
+        mftc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mftc)
+        corpus_dir = mftc.build_corpus(
+            mftc.REFERENCE_SHAPE["n_clusters"],
+            extra_singletons=mftc.REFERENCE_SHAPE["extra_singletons"],
+            n_stems=mftc.REFERENCE_SHAPE["n_stems"],
+        )
+        runs = [mftc.run(corpus_dir, verbose=False) for _ in range(3)]
+        walls = sorted(r["sec_total"] for r in runs)
+        med = next(r for r in runs if r["sec_total"] == walls[1])
+        timings["two_table_match"] = med["sec_total"]
+        two_table = {
+            "n_messy": med["n_messy"],
+            "n_canonical": med["n_canonical"],
+            "recall": med["recall"],
+            "messy_rows_per_sec_median": med["messy_rows_per_sec"],
+            "sec_runs": walls,
+            "reference_rows_per_sec": 15008,
+        }
+
     total = sum(timings.values())
     out = {
         "metric": "headline pipelines wall clock (linkage dedup + operator suite)",
@@ -157,6 +194,7 @@ def run_bench() -> dict:
         "pairs_per_sec": round(pairs_scored / timings["linkage_dedup"], 1)
         if timings["linkage_dedup"]
         else None,
+        "two_table": two_table,
     }
     ray.shutdown()
     return out
@@ -186,6 +224,9 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             UAM_BENCH_SCALE=os.environ.get("UAM_BENCH_SCALE", "10"),
+            # the scaling legs time the flagship only; the fixed-size
+            # two-table workload would add ~3 long runs per leg
+            UAM_BENCH_SKIP_TWO_TABLE="1",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

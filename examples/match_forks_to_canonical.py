@@ -136,6 +136,10 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     from moj_analytical_services_uk_address_matcher_ray.stages.exact import (
         annotate_exact_matches_broadcast,
     )
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        read_metrics,
+        reset_metrics,
+    )
     from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
 
     def _coalesce(ds):
@@ -144,6 +148,7 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
             ds = ds.repartition(tgt).materialize()
         return ds
 
+    reset_metrics()
     t0 = time.perf_counter()
     # clean the canonical universe with its own corpus statistics (ONE fused
     # TF + end-token aggregate), then reuse them for the messy side — the
@@ -239,6 +244,7 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     )
     t_score = time.perf_counter() - t0 - t_clean - t_exact
     wall = time.perf_counter() - t0
+    pairs_scored = int(read_metrics().get("scoring.pairs_scored", 0))
 
     # ---- accuracy evaluation (untimed, vectorised) ----
     cmap = canon.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
@@ -283,6 +289,7 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
         "sec_score": round(t_score, 1),
         "sec_total": round(wall, 1),
         "messy_rows_per_sec": round(n_messy / wall, 1),
+        "pairs_scored": pairs_scored,
     }
     if verbose:
         print(

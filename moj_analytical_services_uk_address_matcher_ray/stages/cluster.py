@@ -1,21 +1,27 @@
-"""Iterative hash-to-min connected components over an edge Dataset.
+"""Distributed connected components over an edge Dataset.
 
 The north rule extends the reference's best-match-per-record selection with
 transitive clustering: scored pairs above threshold are edges, and entity
-clusters are the connected components.  Implemented as the Hash-to-Min
-map-reduce CC algorithm (Rastogi et al., ICDE'13 — see PAPERS.md): the
-graph's adjacency is a Dataset of (node, nbr) rows, and each round is ONE
-``groupby(node).map_groups``:
+clusters are the connected components.  Two paths:
 
-    m = min(nbrs ∪ {node})
-    emit (m, v)  for every v in nbrs ∪ {node}     # send cluster to the min
-    emit (v, m)  for every v in nbrs ∪ {node}     # send the min everywhere
+* below ``driver_threshold`` mirrored edges, an exact vectorised driver
+  solve (factorize + scatter-min + pointer jumping) — seconds, no shuffles;
+* above it, alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14 — same MapReduce
+  lineage as Hash-to-Min (Rastogi et al., ICDE'13, see PAPERS.md) but with
+  BOUNDED fan-in): per node v with m = min(N(v) ∪ {v}), large-star links
+  every larger neighbour to m, small-star links every smaller neighbour
+  (and v) to m.  Converges in O(log² n) rounds; at the fixpoint every edge
+  is (member, component-min).
 
-which converges in O(log diameter) rounds; at the fixpoint every node's
-neighbourhood is exactly {its component min}.  No joins, no driver state —
-one hash shuffle per round, streaming throughout.  Convergence is detected
-with an order-independent 64-bit checksum of the adjacency rows (one cheap
-aggregate pass per round).
+The round's group min is NEVER computed by co-locating a neighbourhood:
+per-batch partial aggregates combine into a tiny (key, min, degree) table,
+and the min is attached back to edge rows with a salted bucketed merge
+whose per-key salt width scales with degree (``STAR_TARGET_GROUP_ROWS``) —
+so a 10⁹-edge component's min node costs ~degree/4096 rows per task, not
+one task holding the whole component (Hash-to-Min's mega-star failure).
+Convergence is detected with an order-independent 64-bit checksum of the
+canonicalised edge rows (one cheap aggregate pass per round).
 
 Node ids are strings; the component label is the lexicographic MIN node id —
 deterministic, retry-safe.
@@ -58,34 +64,350 @@ def _checksum(ds: "ray.data.Dataset", cols: tuple[str, str]) -> int:
     ) % (1 << 63)
 
 
-def _hash_to_min_round_bucket(g: pa.Table) -> pa.Table:
-    """One Hash-to-Min round for a whole BUCKET of nodes, fully vectorised
-    in pandas (see stages/bucketing.py — per-group UDF calls would dominate
-    wall time at high node cardinality).
+#: a star-merge group (one (key, salt) sub-bucket) is kept near this many
+#: rows: keys whose degree exceeds it are salted over ceil(degree / TARGET)
+#: sub-keys (the group min is attached via a pre-combined aggregate + a
+#: salted merge, never by co-locating the whole neighbourhood — the
+#: Hash-to-Min mega-star fix).  Cold keys (the overwhelming majority) pay
+#: nothing: one min row, salt 0.
+STAR_TARGET_GROUP_ROWS = 8_192
+#: cap on per-key salt width so the driver-side hot-key map stays bounded;
+#: a degree beyond TARGET * MAX (~33M rows) still lands ≤ degree/MAX
+#: (~degree/4096) rows per task.
+STAR_MAX_SALT = 4_096
 
-    Per node with vals = nbrs ∪ {node}, m = min(vals):
-        emit (m, v) for v in vals, v != m
-        emit (v, m) for v in vals
-    """
+
+def _sever(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Re-root a materialized Dataset from its block refs.  ``materialize()``
+    keeps the full logical plan; in an iterative loop the retained plans
+    compound per-execution driver overhead ~3× PER ROUND (measured: constant
+    39-row rounds grew 3.5s → 100s by round 5; severed, they hold at 0.9s).
+    ``from_arrow_refs`` starts a fresh plan while the blocks themselves stay
+    in plasma — no driver collect, scale-safe."""
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
+def _coalesce_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Bound the block count of a materialized Dataset (every sort-based
+    groupby spawns one reduce task per input block AND emits roughly one
+    block per input block, so the star rounds' shuffle-heavy loop compounds
+    block counts ×4 per round unless re-coalesced), then sever its plan
+    (see ``_sever``)."""
+    from .bucketing import default_buckets
+
+    tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
+    if ds.num_blocks() > 2 * tgt:
+        ds = ds.repartition(tgt).materialize()
+    return _sever(ds)
+
+
+def _group_min_table(
+    adj: "ray.data.Dataset", key: str, val: str, n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """(key, m, cnt) with m = min(val ∪ {key}) and cnt = group row count per
+    key — per-batch partial aggregates (bounded fan-in for any degree), then
+    a BUCKETED combine: Ray's own string-keyed sort-groupby measured 146s on
+    a 20M-row view where the equivalent int32-bucket shuffle + in-task
+    pandas groupby runs in seconds."""
+    import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
-    df = g.to_pandas()
-    uniq = df["node"].unique()
-    df = pd.concat(
-        [df, pd.DataFrame({"node": uniq, "nbr": uniq})], ignore_index=True
-    ).drop_duplicates()
-    mins = df.groupby("node")["nbr"].min()
-    mcol = df["node"].map(mins).to_numpy(dtype=object)
-    nbr = df["nbr"].to_numpy(dtype=object)
-    em1 = pd.DataFrame({"node": mcol, "nbr": nbr})
-    em1 = em1[em1["node"] != em1["nbr"]]
-    em2 = pd.DataFrame({"node": nbr, "nbr": mcol})
-    out = pd.concat([em1, em2], ignore_index=True).drop_duplicates()
-    return pa.table(
-        {
-            "node": pa.array(out["node"].tolist(), pa.string()),
-            "nbr": pa.array(out["nbr"].tolist(), pa.string()),
-        }
+    from .bucketing import bucketed_group_apply
+
+    def _agg(t: pa.Table) -> pa.Table:
+        """(k, m, cnt) → per-key (k, min m, sum cnt), Arrow-vectorised for
+        the unique-in-batch majority (no groupby at all), pandas groupby
+        only over the duplicated minority."""
+        k_arr = t[key].combine_chunks()
+        m_arr = t["m"].combine_chunks()
+        c_arr = t["cnt"].combine_chunks()
+        dup = (
+            pd.Series(k_arr.to_numpy(zero_copy_only=False))
+            .duplicated(keep=False)
+            .to_numpy()
+        )
+        if not dup.any():
+            return pa.table({key: k_arr, "m": m_arr, "cnt": c_arr})
+        mask = pa.array(dup)
+        uniq = pa.table({key: k_arr, "m": m_arr, "cnt": c_arr}).filter(
+            pc.invert(mask)
+        )
+        d = (
+            pa.table({key: k_arr, "m": m_arr, "cnt": c_arr})
+            .filter(mask)
+            .to_pandas()
+            .groupby(key, sort=False)
+            .agg(m=("m", "min"), cnt=("cnt", "sum"))
+        )
+        dt = pa.table(
+            {
+                key: pa.array(d.index.to_numpy(dtype=object), pa.string()),
+                "m": pa.array(d["m"].to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(d["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+        return pa.concat_tables([uniq, dt])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k_arr = t[key].combine_chunks()
+        return _agg(
+            pa.table(
+                {
+                    key: k_arr,
+                    # min(val, key itself) element-wise — Arrow C kernel
+                    "m": pc.min_element_wise(t[val].combine_chunks(), k_arr),
+                    "cnt": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+        )
+
+    return bucketed_group_apply(
+        adj.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        _agg,
+        n_buckets=n_buckets,
+    )
+
+
+def _star_round(
+    adj: "ray.data.Dataset", *, large: bool, n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """One large-star (large=True) or small-star round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — the bounded-fan-in fix
+    for Hash-to-Min's mega-star): per node v with m = min(N(v) ∪ {v}),
+    large-star links every LARGER neighbour to m, small-star links every
+    smaller-or-equal neighbour (and v itself) to m.
+
+    The group min is attached to each edge row with a bucketed merge against
+    the pre-combined min table; keys whose degree exceeds
+    STAR_TARGET_GROUP_ROWS are salted over ceil(degree / TARGET) sub-keys
+    (min row replicated per salt), so no task ever co-locates a whole
+    neighbourhood: max task rows ≈ TARGET (capped by STAR_MAX_SALT) + the
+    uniform bucket share.  The hot-key width map is a driver collect bounded
+    by total_rows / TARGET entries — the same hot-key pattern as
+    stages/blocking.py's salted blocks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .bucketing import BUCKET_COL, add_bucket_column, default_buckets
+    from ..state.metrics import gauge_max_metric
+
+    if large:
+        # both directions so every node sees its full neighbourhood
+        view = adj.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.concat_arrays(
+                        [t["node"].combine_chunks(), t["nbr"].combine_chunks()]
+                    ),
+                    "w": pa.concat_arrays(
+                        [t["nbr"].combine_chunks(), t["node"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        # small-star keys every edge on its LARGER endpoint
+        def rekey(t: pa.Table) -> pa.Table:
+            a = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["nbr"].combine_chunks().to_numpy(zero_copy_only=False)
+            hi = np.where(a > b, a, b)
+            lo = np.where(a > b, b, a)
+            return pa.table(
+                {"k": pa.array(hi, pa.string()), "w": pa.array(lo, pa.string())}
+            )
+
+        view = adj.map_batches(rekey, batch_format="pyarrow")
+    import os
+    import time as _time
+
+    _dbg = bool(os.environ.get("UAM_CC_DEBUG"))
+    _t0 = _time.perf_counter()
+    # materialize: the view feeds BOTH the min aggregate and the tagged
+    # merge — lazy Datasets re-execute their whole upstream DAG per
+    # consumer, which compounds across rounds (measured: the round loop
+    # re-ran every prior round's shuffles once per consumer)
+    view = _coalesce_blocks(view.materialize())
+    _t1 = _time.perf_counter()
+    mins = _coalesce_blocks(
+        _group_min_table(view, "k", "w", n_buckets=n_buckets).materialize()
+    )
+    _t2 = _time.perf_counter()
+    # hot-key salt widths: a tiny driver collect (≤ total_rows / TARGET
+    # entries; empty on all but skewed graphs)
+    hot = mins.map_batches(
+        lambda t: t.filter(
+            pc.greater(t["cnt"], STAR_TARGET_GROUP_ROWS)
+        ).select(["k", "cnt"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if _dbg:
+        print(
+            f"    star(large={large}): view {_t1 - _t0:.1f}s "
+            f"(blocks={view.num_blocks()}) mins {_t2 - _t1:.1f}s "
+            f"(blocks={mins.num_blocks()}) hot {_time.perf_counter() - _t2:.1f}s",
+            flush=True,
+        )
+    width_map = {
+        r["k"]: int(min(STAR_MAX_SALT, -(-r["cnt"] // STAR_TARGET_GROUP_ROWS)))
+        for r in hot
+    }
+    width_ref = ray.put(width_map)
+    nb = n_buckets or default_buckets()
+
+    def _widths(k_np: "np.ndarray", wmap: dict) -> "np.ndarray":
+        if not wmap:
+            return np.ones(len(k_np), dtype=np.uint64)
+        return (
+            pd.Series(k_np).map(wmap).fillna(1).astype(np.uint64).to_numpy()
+        )
+
+    def _with_salt(
+        k_arr: pa.Array, w_arr: pa.Array, salt: "np.ndarray", is_min: bool
+    ) -> pa.Table:
+        out = pa.table(
+            {
+                "k": k_arr,
+                "w": w_arr,
+                "__salt": pa.array(salt.astype(np.int32), pa.int32()),
+            }
+        ).append_column(
+            "__sk",
+            pc.binary_join_element_wise(
+                k_arr, pa.array(salt.astype("U"), pa.string()), "\x1f"
+            ),
+        )
+        out = add_bucket_column(out, ["__sk"], nb)
+        return out.drop_columns(["__sk"]).append_column(
+            "__is_min",
+            pa.array(np.full(out.num_rows, is_min, dtype=bool)),
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        wmap = ray.get(width_ref)
+        k_np = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        widths = _widths(k_np, wmap)
+        salt = (
+            pd.util.hash_array(
+                t["w"].combine_chunks().to_numpy(zero_copy_only=False),
+                categorize=False,
+            )
+            % widths
+        )
+        return _with_salt(
+            t["k"].combine_chunks(), t["w"].combine_chunks(), salt, False
+        )
+
+    def tag_mins(t: pa.Table) -> pa.Table:
+        wmap = ray.get(width_ref)
+        k_np = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        m_np = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        widths = _widths(k_np, wmap).astype(np.int64)
+        rep_k = np.repeat(k_np, widths)
+        rep_m = np.repeat(m_np, widths)
+        ends = np.cumsum(widths)
+        salts = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+            ends - widths, widths
+        )
+        return _with_salt(
+            pa.array(rep_k, pa.string()), pa.array(rep_m, pa.string()), salts, True
+        )
+
+    tagged = view.map_batches(tag_edges, batch_format="pyarrow").union(
+        mins.map_batches(
+            lambda t: tag_mins(t.drop_columns(["cnt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def merge_emit(g: pa.Table) -> pa.Table:
+        gauge_max_metric("cc.max_star_bucket_rows", g.num_rows)
+        df = g.drop_columns([BUCKET_COL]).to_pandas()
+        is_min = df["__is_min"].to_numpy()
+        # exact dedup of this round's (k, w) view rows: every copy of a
+        # given (k, w) carries the same salt, so co-location is guaranteed
+        edges = df[~is_min].drop_duplicates(["k", "w"])
+        if len(edges):
+            # the fan-in bound the star/salt design guarantees: rows per
+            # (key, salt) sub-group ≈ STAR_TARGET_GROUP_ROWS regardless of
+            # degree (Hash-to-Min put the whole component here)
+            gauge_max_metric(
+                "cc.max_star_group_rows",
+                int(edges.groupby(["k", "__salt"], sort=False).size().max()),
+            )
+        mrows = df[is_min].drop_duplicates("k").rename(columns={"w": "m"})
+        if len(edges) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "nbr": pa.array([], pa.string()),
+                }
+            )
+        j = edges.merge(mrows[["k", "m"]], on="k", how="left")
+        if j["m"].isna().any():
+            raise ValueError(
+                "star merge: missing group-min row for a (key, salt) sub-bucket"
+            )
+        # min(group-min-of-w, k itself)
+        m = np.minimum(j["m"].to_numpy(dtype=object), j["k"].to_numpy(dtype=object))
+        k = j["k"].to_numpy(dtype=object)
+        w = j["w"].to_numpy(dtype=object)
+        if large:
+            keep = w > k
+            out = pd.DataFrame({"node": w[keep], "nbr": m[keep]})
+        else:
+            out = pd.concat(
+                [
+                    pd.DataFrame({"node": w, "nbr": m}),
+                    pd.DataFrame({"node": k, "nbr": m}).drop_duplicates(),
+                ],
+                ignore_index=True,
+            )
+        out = out[out["node"] != out["nbr"]].drop_duplicates()
+        return pa.table(
+            {
+                "node": pa.array(out["node"].tolist(), pa.string()),
+                "nbr": pa.array(out["nbr"].tolist(), pa.string()),
+            }
+        )
+
+    return tagged.groupby(BUCKET_COL).map_groups(merge_emit, batch_format="pyarrow")
+
+
+def _canonicalise_edges(
+    adj: "ray.data.Dataset", n_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Exact global dedup of undirected edges: canonical (hi, lo) rows,
+    bucketed on both columns (same-key rows co-locate, so the per-bucket
+    drop_duplicates is exact)."""
+    import numpy as np
+
+    from .bucketing import bucketed_group_apply
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["nbr"].combine_chunks().to_numpy(zero_copy_only=False)
+        hi = np.where(a > b, a, b)
+        lo = np.where(a > b, b, a)
+        return pa.table(
+            {"node": pa.array(hi, pa.string()), "nbr": pa.array(lo, pa.string())}
+        )
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            g.to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    return bucketed_group_apply(
+        adj.map_batches(canon, batch_format="pyarrow"),
+        ["node", "nbr"],
+        dedupe,
+        n_buckets=n_buckets,
     )
 
 
@@ -98,6 +420,7 @@ def connected_components(
     max_rounds: int = 50,
     num_partitions: int = 32,  # kept for API compat; groupby sizes itself
     driver_threshold: int = 30_000_000,
+    star_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Compute components of the undirected graph given by ``edges``.
 
@@ -158,39 +481,96 @@ def connected_components(
         # edges — a constant Amdahl term at every parallelism level.)
         return ray.data.from_arrow(_vectorised_cc(adj))
 
-    from .bucketing import bucketed_group_apply
-
-    def _precombine(t: pa.Table) -> pa.Table:
-        """Per-batch combiner before each round's shuffle: dedupe (node, nbr)
-        rows batch-locally.  Hash-to-Min re-emits both directions every
-        round, so duplicates accumulate fast; dropping them in the map side
-        shrinks the shuffle (the mega-cluster star is the worst case: the
-        min node's row set is OTHERWISE re-shipped in full every round)."""
-        import pandas as pd
-
-        df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
+    # distributed path: alternating LARGE-STAR / SMALL-STAR rounds
+    # (Kiveris et al. — same MapReduce-CC lineage as Hash-to-Min, minus its
+    # mega-star: the min node of a 10^9-edge component never receives the
+    # whole component in one task, because group mins are pre-combined
+    # aggregates and the merge is salted; see _star_round).  Each round:
+    # large-star, small-star, canonical exact dedup, checksum fixpoint.
+    # Self-loop (node, node) rows from the `nodes` union are filtered here
+    # and singletons re-added at labelling time via the label min itself.
     prev = None
     for _ in range(max_rounds):
-        adj = adj.map_batches(_precombine, batch_format="pyarrow")
-        adj = bucketed_group_apply(
-            adj, "node", _hash_to_min_round_bucket
-        ).materialize()
+        adj = _star_round(adj, large=True, n_buckets=star_buckets)
+        adj = _star_round(adj, large=False, n_buckets=star_buckets)
+        adj = _coalesce_blocks(
+            _canonicalise_edges(adj, n_buckets=star_buckets).materialize()
+        )
         cur = _checksum(adj, ("node", "nbr"))
         if cur == prev:
             break
         prev = cur
 
-    labels = adj.groupby("node").min("nbr")
-    return labels.map_batches(
+    # at the fixpoint every edge is (member, component-min); label both
+    # endpoints (the min labels itself), then union isolated nodes back in
+    both = adj.map_batches(
         lambda t: pa.table(
             {
-                "node": t["node"],
-                "cluster_id": pa.compute.min_element_wise(t["min(nbr)"], t["node"]),
+                "node": pa.concat_arrays(
+                    [t["node"].combine_chunks(), t["nbr"].combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t["nbr"].combine_chunks(), t["nbr"].combine_chunks()]
+                ),
             }
         ),
         batch_format="pyarrow",
+    )
+    if nodes is not None:
+        both = both.union(
+            nodes.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].combine_chunks().cast(pa.string()),
+                        "nbr": t["node"].combine_chunks().cast(pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    from .bucketing import bucketed_group_apply
+
+    def _min_per_node(t: pa.Table, out_col: str) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        k_arr = t["node"].combine_chunks()
+        m_arr = pc.min_element_wise(t["nbr"].combine_chunks(), k_arr)
+        dup = (
+            pd.Series(k_arr.to_numpy(zero_copy_only=False))
+            .duplicated(keep=False)
+            .to_numpy()
+        )
+        base = pa.table({"node": k_arr, out_col: m_arr})
+        if not dup.any():
+            return base
+        mask = pa.array(dup)
+        uniq = base.filter(pc.invert(mask))
+        d = (
+            base.filter(mask)
+            .to_pandas()
+            .groupby("node", sort=False)[out_col]
+            .min()
+        )
+        dt = pa.table(
+            {
+                "node": pa.array(d.index.to_numpy(dtype=object), pa.string()),
+                out_col: pa.array(d.to_numpy(dtype=object), pa.string()),
+            }
+        )
+        return pa.concat_tables([uniq, dt])
+
+    # bucketed, not ray groupby: string-keyed sort-groupby measured 20x the
+    # int32-bucket shuffle at 20M rows (see _group_min_table); per-batch
+    # partial mins shrink the shuffle to ~one row per (batch, node)
+    both = both.map_batches(
+        lambda t: _min_per_node(t, "nbr"), batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        both,
+        ["node"],
+        lambda g: _min_per_node(g, "cluster_id"),
+        n_buckets=star_buckets,
     )
 
 

@@ -25,6 +25,10 @@ class MetricsActor:
     def inc(self, key: str, value: float = 1.0) -> None:
         self._counters[key] += value
 
+    def set_max(self, key: str, value: float) -> None:
+        if value > self._counters[key]:
+            self._counters[key] = value
+
     def get_all(self) -> dict[str, float]:
         return dict(self._counters)
 
@@ -49,6 +53,14 @@ def inc_metric(key: str, value: float = 1.0) -> None:
         get_metrics_actor().inc.remote(key, value)
     except Exception:
         pass  # metrics must never fail the pipeline
+
+
+def gauge_max_metric(key: str, value: float) -> None:
+    """Fire-and-forget high-watermark gauge from any task/actor."""
+    try:
+        get_metrics_actor().set_max.remote(key, value)
+    except Exception:
+        pass
 
 
 def read_metrics() -> dict[str, float]:

@@ -1,4 +1,4 @@
-"""Connected components: distributed hash-min vs driver union-find."""
+"""Connected components: distributed star rounds vs driver union-find."""
 
 import ray.data as rd
 
@@ -20,7 +20,7 @@ def test_chain_and_triangle(ray_session):
 
 
 def test_chain_and_triangle_distributed(ray_session):
-    # force the Hash-to-Min loop (driver_threshold=0)
+    # force the distributed star loop (driver_threshold=0)
     pairs = [("b", "c"), ("a", "b"), ("d", "e"), ("e", "f"), ("f", "d")]
     out = connected_components(_edges(pairs), driver_threshold=0).materialize()
     got = {r["node"]: r["cluster_id"] for r in out.take_all()}
@@ -28,16 +28,25 @@ def test_chain_and_triangle_distributed(ray_session):
 
 
 def test_planted_mega_cluster_distributed(ray_session):
-    """One 100k-node planted cluster through the DISTRIBUTED Hash-to-Min
-    path (driver_threshold=0): the min node's star is the worst-case group;
-    must converge without OOM and label every node with the min id."""
+    """One 100k-node planted cluster through the DISTRIBUTED star path
+    (driver_threshold=0): the min node's star is the worst-case degree;
+    large-star/small-star rounds must converge and — the mega-star fix —
+    NO bucket may ever co-locate the whole component: group mins are
+    pre-combined aggregates and the merges are salted, so the observed max
+    bucket stays a small fraction of the component size regardless of the
+    center's degree (the property that holds at any scale)."""
     import pyarrow as pa
     import ray
 
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        read_metrics,
+        reset_metrics,
+    )
+
     n = 100_000
-    # a 100k-node star (the min node's group IS the whole cluster) plus a
-    # 64-node chain tail so convergence still needs multiple rounds
-    tail = 64
+    # a 100k-node star (the min node's degree IS the cluster size) plus a
+    # short chain tail so convergence still needs multiple rounds
+    tail = 16
     src = [f"n{1:06d}"] * (n - tail - 1) + [
         f"n{i:06d}" for i in range(n - tail, n - 1)
     ]
@@ -48,12 +57,25 @@ def test_planted_mega_cluster_distributed(ray_session):
     dst.append(f"n{n - tail:06d}")
     t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
     edges = rd.from_arrow_refs([ray.put(t)])
+    reset_metrics()
     out = connected_components(
         edges, driver_threshold=0, max_rounds=60
     ).materialize()
     assert out.count() == n
     labels = {r["cluster_id"] for r in out.take_all()}
     assert labels == {"n000000"}
+    # bounded fan-in: the star center's 100k-degree neighbourhood is never
+    # co-located — its min is a pre-combined aggregate and the merge salt
+    # width scales with degree, so the max (key, salt) sub-group stays
+    # ~STAR_TARGET_GROUP_ROWS regardless of component size (Hash-to-Min put
+    # the whole component in one group here)
+    from moj_analytical_services_uk_address_matcher_ray.stages.cluster import (
+        STAR_TARGET_GROUP_ROWS,
+    )
+
+    max_group = read_metrics().get("cc.max_star_group_rows", 0)
+    assert 0 < max_group <= 4 * STAR_TARGET_GROUP_ROWS
+    assert max_group < n / 3
 
 
 def test_matches_local_union_find(ray_session):
@@ -83,7 +105,7 @@ def test_isolated_nodes_are_singletons(ray_session):
 
 def test_long_path_converges(ray_session):
     # a path of 40 nodes stresses the round loop (diameter >> 1); force the
-    # distributed Hash-to-Min path
+    # distributed star path
     pairs = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
     out = connected_components(_edges(pairs), driver_threshold=0).materialize()
     got = {r["node"]: r["cluster_id"] for r in out.take_all()}
