@@ -78,7 +78,7 @@ def compute_end_token_counts(ds: "ray.data.Dataset") -> pa.Table:
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("token").sum(
         "token_count"
-    )
+    ).materialize()
     tbl = pa.concat_tables(
         [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
     )
@@ -293,7 +293,8 @@ def _tf_and_end_tokens_single_pass(
         .sum(["count", "end_count", "rows"])
     )
     tbl = pa.concat_tables(
-        [ray.get(r) for r in agg.to_arrow_refs()], promote_options="default"
+        [ray.get(r) for r in agg.materialize().to_arrow_refs()],
+        promote_options="default",
     )
     tokens = tbl["token"].to_pylist()
     counts = tbl["sum(count)"].to_pylist()
@@ -342,7 +343,7 @@ def corpus_tf_and_end_tokens(
 
     partial = _make_stats_partial(tokens_col, numeric_cols)
     parts = ray.get(
-        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     )
     pdf = (
         pa.concat_tables(parts, promote_options="default")

@@ -1467,6 +1467,12 @@ def make_fused_emit_score(
     )
 
     def bucket_fn(g: pa.Table) -> pa.Table:
+        # diagnostics for the re-execution failure mode: draining a LAZY
+        # fused-score dataset with to_arrow_refs() re-executed ~2/3 of the
+        # bucket tasks (calls > n_buckets, rows > input rows) — consumers
+        # must materialize() first.  These two counters make that visible.
+        inc_metric("blocking.bucket_calls", 1)
+        inc_metric("blocking.bucket_rows", g.num_rows)
         scorer = _fused_scorer(
             store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
         )
@@ -1537,6 +1543,7 @@ def make_fused_emit_score(
                 keep = rank_s[li] < rank_s[ri]
                 if not keep.all():
                     li, ri, rl = li[keep], ri[keep], rl[keep]
+            inc_metric("blocking.emitted_pairs", len(li))
             for off in range(0, len(li), chunk_pairs):
                 res = scorer.score_taken(
                     row_l_s[li[off : off + chunk_pairs]],

@@ -78,7 +78,9 @@ def compute_token_rel_freq(
         batch_format="pyarrow",
         fn_kwargs={"cols": cols},
     )
-    agg = partials.groupby("token").sum("count")
+    # materialize before draining: to_arrow_refs() on a lazy aggregate
+    # can re-execute upstream tasks (see stages/blocking.py bucket_fn note)
+    agg = partials.groupby("token").sum("count").materialize()
     tf = agg.to_arrow_refs()
     tables = [ray.get(r) for r in tf]
     table = pa.concat_tables([tb for tb in tables if tb.num_rows], promote_options="default") \
