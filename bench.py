@@ -122,7 +122,15 @@ def run_bench() -> dict:
     ).materialize()
     n_rows = clusters.count()
     timings["linkage_dedup"] = time.perf_counter() - t0
-    pairs_scored = int(read_metrics().get("scoring.pairs_scored", 0))
+    _m = read_metrics()
+    pairs_scored = int(_m.get("scoring.pairs_scored", 0))
+    phases = {
+        k.split(".", 1)[1]: round(v, 2) for k, v in _m.items() if k.startswith("phase.")
+    }
+    phases["tail"] = round(timings["linkage_dedup"] - sum(phases.values()), 2)
+    fused = {
+        k.split(".", 1)[1]: round(v, 2) for k, v in _m.items() if k.startswith("fused.")
+    }
 
     # --- representative operator pipelines over the sf tables --------------
     queries = entrymod.queries()
@@ -137,6 +145,8 @@ def run_bench() -> dict:
         "quality_score",
         "events_window",
     ]
+    if os.environ.get("UAM_BENCH_LINKAGE_ONLY"):
+        bench_queries = []
     for name in bench_queries:
         t0 = time.perf_counter()
         res = queries[name](SF_DIR)
@@ -190,6 +200,8 @@ def run_bench() -> dict:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "linkage_rows": n_rows,
+        "linkage_phases": phases,
+        "linkage_fused": fused,
         "pairs_scored": pairs_scored,
         "pairs_per_sec": round(pairs_scored / timings["linkage_dedup"], 1)
         if timings["linkage_dedup"]
@@ -259,6 +271,9 @@ def run_scaling() -> dict:
         "queries_2": results[2]["queries"],
         "queries_8": results[8]["queries"],
         "queries_32": results[32]["queries"],
+        "phases_2": results[2].get("linkage_phases"),
+        "phases_8": results[8].get("linkage_phases"),
+        "phases_32": results[32].get("linkage_phases"),
         "pairs_per_sec_8": results[8].get("pairs_per_sec"),
         "pairs_per_sec_32": results[32].get("pairs_per_sec"),
     }

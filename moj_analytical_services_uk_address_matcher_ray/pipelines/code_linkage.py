@@ -321,9 +321,13 @@ def dedup_code_corpus(
     + metrics sidecars; a restarted run resumes after the last complete
     phase (state/checkpoint.py — north-rule resumability).
     """
+    import time
+
     from ..state.checkpoint import checkpoint_stage
+    from ..state.metrics import inc_metric
 
     model = model or code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    _t = time.perf_counter()
     if checkpoint_dir:
         cleaned = checkpoint_stage(
             lambda d: prepare_code_dataset(d),
@@ -333,6 +337,8 @@ def dedup_code_corpus(
         )
     else:
         cleaned = prepare_code_dataset(files).materialize()
+    inc_metric("phase.clean_sec", time.perf_counter() - _t)
+    _t = time.perf_counter()
 
     # Coalesce the cleaned table to ~one block per CPU (or 64MB, whichever
     # gives more blocks).  Ray's auto read parallelism leaves small corpora
@@ -348,6 +354,8 @@ def dedup_code_corpus(
     tgt = max(default_buckets(), int((cleaned.size_bytes() or 0) // (64 << 20)))
     if cleaned.num_blocks() > 2 * tgt:
         cleaned = cleaned.repartition(tgt).materialize()
+    inc_metric("phase.coalesce_sec", time.perf_counter() - _t)
+    _t = time.perf_counter()
 
     # 1. deterministic pass: exact content-hash dedup edges (J2 on sha256).
     #    Deliberately NOT materialised — the streaming executor runs this
@@ -423,6 +431,8 @@ def dedup_code_corpus(
     # throttled to ~2 of 8 slots (measured 173s vs 78s standalone).  The
     # edge list is tiny (ids + nothing), so the materialisation is free.
     edges = scored.map_batches(_edges, batch_format="pyarrow").materialize()
+    inc_metric("phase.score_sec", time.perf_counter() - _t)
+    _t = time.perf_counter()
 
     # 3. transitive closure over exact + probabilistic edges
     nodes = cleaned.map_batches(
@@ -444,6 +454,8 @@ def dedup_code_corpus(
         batch_format="pyarrow",
     )
     comps = comps.materialize()
+    inc_metric("phase.cc_sec", time.perf_counter() - _t)
+    _t = time.perf_counter()
     if comps.count() <= broadcast_clusters_threshold:
         # broadcast fast path: both lookups are BROADCAST HASH JOINS (the
         # right sides ride plasma once as Arrow; per-batch merges are
@@ -453,6 +465,7 @@ def dedup_code_corpus(
         from ..stages.joins import inner_join
 
         out = inner_join(id_map, comps, on="node", broadcast=True).materialize()
+        inc_metric("phase.join_sec", time.perf_counter() - _t)
 
         def partial_min(t: pa.Table) -> pa.Table:
             import pandas as pd

@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from ..state.metrics import inc_metric
+from ..state.metrics import gauge_max_metric, inc_metric
 
 KEY_SEP = "\x1f"
 SALT_SEP = "\x1e"
@@ -569,8 +569,15 @@ def _build_arrow_store(
 
 @ray.remote
 def _combine_store_blocks(refs: list) -> pa.Table:
+    import time as _time
+
+    from ..state.metrics import inc_metric as _inc
+
+    _t0 = _time.perf_counter()
     blocks = [b for b in ray.get(refs) if b.num_rows] or [ray.get(refs[0])]
-    return pa.concat_tables(blocks).combine_chunks()
+    out = pa.concat_tables(blocks).combine_chunks()
+    _inc("fused.store_combine_sec", _time.perf_counter() - _t0)
+    return out
 
 
 def _max_log2_contribution(comp, tf_tables: dict) -> float:
@@ -1467,15 +1474,19 @@ def make_fused_emit_score(
     )
 
     def bucket_fn(g: pa.Table) -> pa.Table:
+        import time as _time
+
         # diagnostics for the re-execution failure mode: draining a LAZY
         # fused-score dataset with to_arrow_refs() re-executed ~2/3 of the
         # bucket tasks (calls > n_buckets, rows > input rows) — consumers
         # must materialize() first.  These two counters make that visible.
         inc_metric("blocking.bucket_calls", 1)
         inc_metric("blocking.bucket_rows", g.num_rows)
+        _t0 = _time.perf_counter()
         scorer = _fused_scorer(
             store_l_ref, store_r_ref, model_ref, tf_ref, cache_key, ctor_kwargs
         )
+        inc_metric("fused.scorer_init_sec", _time.perf_counter() - _t0)
         if g.num_rows == 0:
             return scorer.empty_scored()
         n = g.num_rows
@@ -1593,6 +1604,9 @@ def make_fused_emit_score(
             )
         if dropped:
             inc_metric("blocking.dropped_pairs", dropped)
+        _dt = _time.perf_counter() - _t0
+        inc_metric("fused.bucket_task_sec", _dt)
+        gauge_max_metric("fused.bucket_max_sec", _dt)
         if not out_tables:
             return scorer.empty_scored()
         res = pa.concat_tables(out_tables, promote_options="default")
@@ -1703,13 +1717,18 @@ def generate_and_score_pairs(
         # size — ~25M rows at a 180k corpus, ~97% discarded by the
         # threshold) never touches the object store, and there is no sort
         # barrier between emission and scoring for workers to idle on.
+        import time as _time
+
+        from ..state.metrics import inc_metric as _inc
         from .bucketing import bucketed_group_apply as _bga, default_buckets
 
         hot = None
         if hot_key_threshold and canon.count() > hot_key_threshold:
+            _t0 = _time.perf_counter()
             hot = detect_hot_keys(
                 canon, messy, parsed, hot_key_threshold=hot_key_threshold
             )
+            _inc("fused.hotkey_sec", _time.perf_counter() - _t0)
         key_kwargs = {"rules": parsed, "carry_cols": [id_col], "hot_keys": hot}
         keyed_l = canon.map_batches(
             derive_block_keys,
@@ -1721,10 +1740,12 @@ def generate_and_score_pairs(
             batch_format="pyarrow",
             fn_kwargs=dict(key_kwargs, side="r"),
         )
+        _t0 = _time.perf_counter()
         store_l_ref = _build_arrow_store(canon, carry_cols)
         store_r_ref = (
             store_l_ref if messy is canon else _build_arrow_store(messy, carry_cols)
         )
+        _inc("fused.store_drain_sec", _time.perf_counter() - _t0)
         model_ref = ray.put(model)
         tf_ref = ray.put(tf_tables or {})
         internal_emit = emit_cols
