@@ -131,6 +131,11 @@ def run_bench() -> dict:
     fused = {
         k.split(".", 1)[1]: round(v, 2) for k, v in _m.items() if k.startswith("fused.")
     }
+    cc_split = {
+        k.split(".", 1)[1]: round(v, 2)
+        for k, v in _m.items()
+        if k.startswith(("cc.", "relabel."))
+    }
 
     # --- representative operator pipelines over the sf tables --------------
     queries = entrymod.queries()
@@ -202,6 +207,7 @@ def run_bench() -> dict:
         "linkage_rows": n_rows,
         "linkage_phases": phases,
         "linkage_fused": fused,
+        "linkage_cc": cc_split,
         "pairs_scored": pairs_scored,
         "pairs_per_sec": round(pairs_scored / timings["linkage_dedup"], 1)
         if timings["linkage_dedup"]

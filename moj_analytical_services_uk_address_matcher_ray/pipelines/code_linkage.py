@@ -434,6 +434,13 @@ def dedup_code_corpus(
     inc_metric("phase.score_sec", time.perf_counter() - _t)
     _t = time.perf_counter()
 
+    # The exact-match groupby runs here (it no longer overlaps the scorer —
+    # phased execution, see the materialize above), so time it as its own
+    # phase rather than letting it hide inside the CC wall.
+    exact_edges = exact_edges.materialize()
+    inc_metric("phase.exact_sec", time.perf_counter() - _t)
+    _t = time.perf_counter()
+
     # 3. transitive closure over exact + probabilistic edges
     nodes = cleaned.map_batches(
         lambda t: pa.table({"node": t["ukam_address_id"]}), batch_format="pyarrow"
@@ -466,33 +473,47 @@ def dedup_code_corpus(
 
         out = inner_join(id_map, comps, on="node", broadcast=True).materialize()
         inc_metric("phase.join_sec", time.perf_counter() - _t)
+        _t = time.perf_counter()
 
         def partial_min(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = pd.DataFrame(
-                {
-                    "cluster_id": t["cluster_id"].to_pylist(),
-                    "min_uid": t["unique_id"].to_pylist(),
-                }
+            # min-string per group WITHOUT groupby().min(): on object dtype
+            # with ~10^5 groups that aggregate is a per-group Python fallback
+            # (measured 30 s on the driver combine below); a C-speed stable
+            # sort + first-occurrence keep is the same reduction in <1 s.
+            df = t.select(["cluster_id", "unique_id"]).to_pandas()
+            df = df.sort_values("unique_id", kind="stable").drop_duplicates(
+                "cluster_id", keep="first"
             )
-            g = df.groupby("cluster_id", sort=False)["min_uid"].min().reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(
+                df.rename(columns={"unique_id": "min_uid"}), preserve_index=False
+            )
 
-        mins = (
-            out.map_batches(partial_min, batch_format="pyarrow")
-            .groupby("cluster_id")
-            .min("min_uid")
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "cluster_id": t["cluster_id"],
-                    "final_cluster_id": t["min(min_uid)"],
-                }
-            ),
-            batch_format="pyarrow",
+        # Combine the per-block (cluster_id, min_uid) partials on the driver:
+        # this branch is gated by comps.count() <= broadcast_clusters_threshold,
+        # so the pre-reduced partials (<= one row per cluster per block) are
+        # broadcast-sized by construction — the same bytes ride plasma one
+        # line later anyway.  The previous string-keyed Ray sort-groupby cost
+        # ~17 s @ 8 cpus / 52 s @ 2 cpus for a reduce pandas does in <1 s.
+        parts = out.map_batches(partial_min, batch_format="pyarrow").materialize()
+        inc_metric("relabel.parts_sec", time.perf_counter() - _t)
+        _t2 = time.perf_counter()
+        import pandas as pd
+
+        pdf = pa.concat_tables(
+            [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+        ).to_pandas()
+        inc_metric("relabel.drain_sec", time.perf_counter() - _t2)
+        _t2 = time.perf_counter()
+        mins_df = pdf.sort_values("min_uid", kind="stable").drop_duplicates(
+            "cluster_id", keep="first"
+        )[["cluster_id", "min_uid"]]
+        mins_df.columns = ["cluster_id", "final_cluster_id"]
+        mins = ray.data.from_arrow(
+            pa.Table.from_pandas(mins_df, preserve_index=False)
         )
+        inc_metric("relabel.reduce_sec", time.perf_counter() - _t2)
         relabelled = inner_join(out, mins, on="cluster_id", broadcast=True)
+        inc_metric("phase.relabel_sec", time.perf_counter() - _t)
         return relabelled.map_batches(
             lambda t: pa.table(
                 {

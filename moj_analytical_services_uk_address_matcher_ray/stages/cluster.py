@@ -459,8 +459,14 @@ def connected_components(
                 batch_format="pyarrow",
             )
         )
+    import time as _time
+
+    from ..state.metrics import inc_metric as _inc
+
+    _t0 = _time.perf_counter()
     adj = adj.materialize()
     n_adj = adj.count()
+    _inc("cc.adj_materialize_sec", _time.perf_counter() - _t0)
     if n_adj == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -479,7 +485,10 @@ def connected_components(
         # O(E) C-speed work per round, O(log n) rounds.  (The previous
         # per-edge Python union-find was ~10s of driver-serial time at 1.7M
         # edges — a constant Amdahl term at every parallelism level.)
-        return ray.data.from_arrow(_vectorised_cc(adj))
+        _t0 = _time.perf_counter()
+        res = _vectorised_cc(adj)
+        _inc("cc.driver_solve_sec", _time.perf_counter() - _t0)
+        return ray.data.from_arrow(res)
 
     # distributed path: alternating LARGE-STAR / SMALL-STAR rounds
     # (Kiveris et al. — same MapReduce-CC lineage as Hash-to-Min, minus its

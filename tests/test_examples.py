@@ -60,3 +60,12 @@ def test_match_forks_to_canonical_example(ray_session):
     assert m["n_messy"] > m["n_canonical"]
     # >=95% of messy rows resolve to their true canonical on the small corpus
     assert m["correct"] / m["n_messy"] >= 0.95
+
+
+def test_stage_stats_profile_example(ray_session):
+    from examples.stage_stats_profile import main
+
+    reports = main(n=200, verbose=False)
+    assert len(reports) == 12  # every pre-TF stage reported separately
+    assert all(r.stats for r in reports)  # capture_stats populated
+    assert all(r.rows == 200 for r in reports)
