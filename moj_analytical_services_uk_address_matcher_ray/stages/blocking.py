@@ -739,8 +739,11 @@ class _BroadcastScorer:
         emit_cols: list[str] | None,
         warm_ref=None,
     ):
+        import time as _time
+
         from .scoring import _ComparisonEvaluator, hist_to_dict
 
+        _t0 = _time.perf_counter()
         self._warm_ref = warm_ref
         self.tab_l: pa.Table = ray.get(store_l_ref)
         self.tab_r: pa.Table = (
@@ -752,6 +755,8 @@ class _BroadcastScorer:
             if self.tab_r is self.tab_l
             else pd.Index(self.tab_r[id_col].to_pandas())
         )
+        inc_metric("fused.init_store_sec", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         model = ray.get(model_ref)
         tf = ray.get(tf_ref)
         self.tf_tables = tf or {}
@@ -839,24 +844,82 @@ class _BroadcastScorer:
         self._hist_to_dict = hist_to_dict
         self._ready_l: dict[str, np.ndarray] = {}
         self._ready_r: dict[str, np.ndarray] = {}
+        inc_metric("fused.init_plan_sec", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
+        self._warm_refs: dict | None = None
+        self._warm_adopted: set = set()
         if warm_ref is not None:
-            # adopt precomputed lazy-cache state from plasma: the packed
-            # stores / code dictionaries cost ~seconds per process to build
-            # (numpy payloads deserialise zero-copy), so sharing ONE build
-            # makes per-task scorer setup ~free and lets the fused path use
-            # many small buckets without paying setup per bucket task
-            state = ray.get(warm_ref)
-            self._packed_cache = dict(state["packed"])
-            self._split_cache = dict(state["split"])
-            self._code_cache = dict(state["codes"])
-            self._tf_cache = dict(state["tf"])
-            self._isnull_cache = dict(state["isnull"])
-            self._ready_l = dict(state["ready_l"])
-            self._ready_r = (
-                self._ready_l
-                if self.tab_r is self.tab_l
-                else dict(state["ready_r"])
-            )
+            if isinstance(warm_ref, dict):
+                # per-cache ObjectRefs: adopt LAZILY on first use
+                # (_adopt_warm), so a worker deserialises only the caches
+                # its buckets actually touch.  The numpy-payload caches
+                # (packed/codes/tf/isnull) come out of plasma zero-copy;
+                # the ready/split caches hold OBJECT arrays (strings, hist
+                # dicts, frozensets) that unpickle at Python speed —
+                # eagerly adopting those cost ~9 s per worker process at a
+                # 540k-row store (measured: 459 of 547 cpu-seconds of init).
+                self._warm_refs = warm_ref
+            else:
+                # legacy single-ref form: adopt everything eagerly
+                state = ray.get(warm_ref)
+                self._packed_cache = dict(state["packed"])
+                self._split_cache = dict(state["split"])
+                self._code_cache = dict(state["codes"])
+                self._tf_cache = dict(state["tf"])
+                self._isnull_cache = dict(state["isnull"])
+                self._ready_l = dict(state["ready_l"])
+                self._ready_r = (
+                    self._ready_l
+                    if self.tab_r is self.tab_l
+                    else dict(state["ready_r"])
+                )
+            inc_metric("fused.init_warm_adopt_sec", _time.perf_counter() - _t0)
+
+    def _adopt_warm(self, name: str) -> None:
+        """First-use adoption of one shared warm-cache shard from plasma.
+
+        NON-BLOCKING: if the async warm build hasn't finished yet, skip —
+        the getter builds the entry locally (sub-seconds) instead of every
+        worker stalling on the build's completion (measured: the first
+        bucket per worker blocked ~14-17 s inside ray.get while the warm
+        combine sat queued behind emission tasks; a local postcode/packed
+        build is 0.3-3.4 s)."""
+        refs = self._warm_refs
+        if refs is None or name in self._warm_adopted:
+            return
+        ref = refs.get(name)
+        if ref is None:
+            self._warm_adopted.add(name)
+            return
+        # bounded wait: a shard that lands within 2 s beats rebuilding it
+        # locally (a packed-store build is ~3.4 s); one that doesn't is
+        # skipped and built locally rather than stalling the bucket task
+        ready, _ = ray.wait([ref], timeout=2.0)
+        if not ready:
+            inc_metric(f"fused.warm_notready_{name}", 1)
+            return
+        self._warm_adopted.add(name)
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        part = ray.get(ref)
+        if name == "packed":
+            self._packed_cache.update(part)
+        elif name == "split":
+            self._split_cache.update(part)
+        elif name == "codes":
+            self._code_cache.update(part)
+        elif name == "tf":
+            self._tf_cache.update(part)
+        elif name == "isnull":
+            self._isnull_cache.update(part)
+        elif name == "ready_l":
+            self._ready_l.update(part)
+            if self.tab_r is self.tab_l:
+                self._ready_r.update(part)
+        elif name == "ready_r":
+            self._ready_r.update(part)
+        inc_metric(f"fused.warm_adopt_{name}_sec", _time.perf_counter() - _t0)
 
     def warm_and_export(self) -> dict:
         """Build every lazy cache (by scoring a tiny threshold-free batch)
@@ -883,6 +946,9 @@ class _BroadcastScorer:
         }
 
     def _ready_col(self, side: str, c: str) -> np.ndarray:
+        self._adopt_warm(
+            "ready_l" if side == "l" or self.tab_r is self.tab_l else "ready_r"
+        )
         cache = self._ready_l if side == "l" else self._ready_r
         got = cache.get(c)
         if got is not None:
@@ -912,6 +978,7 @@ class _BroadcastScorer:
         shared between sides in self-dedup mode."""
         from .packed import pack_hists, pack_sets
 
+        self._adopt_warm("packed")
         tab = self.tab_l if side == "l" else self.tab_r
         if side == "r" and self.tab_r is self.tab_l:
             side = "l"
@@ -924,6 +991,8 @@ class _BroadcastScorer:
 
     def _split_arr(self, side: str, c: str, part: int) -> np.ndarray:
         from .packed import split_parts
+
+        self._adopt_warm("split")
 
         tab = self.tab_l if side == "l" else self.tab_r
         if side == "r" and self.tab_r is self.tab_l:
@@ -948,6 +1017,7 @@ class _BroadcastScorer:
         Returns {(col, side): int64 codes} with -1 for null."""
         import pyarrow.compute as pc
 
+        self._adopt_warm("codes")
         key = ("dig" if digits else "raw", cols)
         got = self._code_cache.get(key)
         if got is not None:
@@ -984,6 +1054,7 @@ class _BroadcastScorer:
         """Per-record TF values for a TF-adjustment key col, resolved once
         per actor through the shared code dictionary (NaN = no tf entry or
         null value); per-pair lookup is then a float gather."""
+        self._adopt_warm("tf")
         got = self._tf_cache.get(c)
         if got is not None:
             return got
@@ -1012,6 +1083,7 @@ class _BroadcastScorer:
         return self._tf_cache[c]
 
     def _isnull_arrays(self, c: str) -> tuple[np.ndarray, np.ndarray]:
+        self._adopt_warm("isnull")
         got = self._isnull_cache.get(c)
         if got is not None:
             return got
@@ -1312,10 +1384,15 @@ def _build_warm_scorer_state(refs: tuple, ctor_kwargs: dict) -> dict:
 _WARM_EXPORT_KEYS = ("packed", "split", "codes", "tf", "isnull", "ready_l", "ready_r")
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _warm_part(refs: tuple, ctor_kwargs: dict, jobs: list) -> dict:
     """Build a SUBSET of the scorer's lazy caches (one parallel shard of
-    the warm build)."""
+    the warm build).
+
+    ``num_cpus=0``: these seconds-long builds must not queue behind the
+    saturating emission map tasks — a late warm build stalls every bucket
+    task's first adoption (or, with non-blocking adopt, wastes the build).
+    The brief oversubscription is bounded by the shard count."""
     store_l_ref, store_r_ref, model_ref, tf_ref = refs
     sc = _BroadcastScorer(store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs)
     for kind, args in jobs:
@@ -1344,13 +1421,17 @@ def _warm_part(refs: tuple, ctor_kwargs: dict, jobs: list) -> dict:
     }
 
 
-@ray.remote
-def _combine_warm(*parts) -> dict:
+@ray.remote(num_cpus=0)
+def _combine_warm(*parts) -> tuple:
+    """Merge the warm shards and return ONE object per cache name
+    (``num_returns``), so scorers can adopt each cache lazily and
+    independently — a worker that never takes a per-row fallback never
+    unpickles the object-array ``ready``/``split`` caches."""
     out: dict = {k: {} for k in _WARM_EXPORT_KEYS}
     for p in parts:
         for k in _WARM_EXPORT_KEYS:
             out[k].update(p[k])
-    return out
+    return tuple(out[k] for k in _WARM_EXPORT_KEYS)
 
 
 def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
@@ -1390,7 +1471,10 @@ def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
     parts = [_warm_part.remote(refs, ctor_kwargs, jobs) for jobs in heavy]
     if not parts:
         return _build_warm_scorer_state.remote(refs, ctor_kwargs)
-    return _combine_warm.remote(*parts)
+    cache_refs = _combine_warm.options(num_returns=len(_WARM_EXPORT_KEYS)).remote(
+        *parts
+    )
+    return dict(zip(_WARM_EXPORT_KEYS, cache_refs))
 
 
 def _fused_scorer(
