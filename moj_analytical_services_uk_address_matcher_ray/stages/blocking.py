@@ -848,6 +848,7 @@ class _BroadcastScorer:
         _t0 = _time.perf_counter()
         self._warm_refs: dict | None = None
         self._warm_adopted: set = set()
+        self._warm_waited: set = set()
         if warm_ref is not None:
             if isinstance(warm_ref, dict):
                 # per-cache ObjectRefs: adopt LAZILY on first use
@@ -875,50 +876,59 @@ class _BroadcastScorer:
                 )
             inc_metric("fused.init_warm_adopt_sec", _time.perf_counter() - _t0)
 
-    def _adopt_warm(self, name: str) -> None:
-        """First-use adoption of one shared warm-cache shard from plasma.
+    # caches that are EXPENSIVE to rebuild locally (pack_hists/pack_sets /
+    # dictionary-encodes over the whole store — tens of seconds at 540k
+    # rows) block until their shards land; the object-array ready/split
+    # caches are cheap to rebuild (scalar to_pylist / split_parts), so a
+    # late shard is skipped rather than stalling the bucket task.
+    _WARM_BLOCKING = frozenset({"packed", "codes", "tf", "isnull"})
 
-        NON-BLOCKING: if the async warm build hasn't finished yet, skip —
-        the getter builds the entry locally (sub-seconds) instead of every
-        worker stalling on the build's completion (measured: the first
-        bucket per worker blocked ~14-17 s inside ray.get while the warm
-        combine sat queued behind emission tasks; a local postcode/packed
-        build is 0.3-3.4 s)."""
-        refs = self._warm_refs
-        if refs is None or name in self._warm_adopted:
+    def _adopt_warm(self, name: str) -> None:
+        """First-use adoption of one warm-cache's shards from plasma.
+
+        Per-cache shard lists (no combine barrier): adopting ``packed``
+        waits only on the packed shards.  Measured failure modes this
+        replaces: one monolithic warm object made every worker's first
+        bucket block 14-17 s on the WHOLE build; a 2 s-timeout skip made
+        all 32 workers rebuild pack_hists locally (~5000 cpu-seconds)."""
+        index = self._warm_refs
+        if index is None or name in self._warm_adopted:
             return
-        ref = refs.get(name)
-        if ref is None:
+        refs = index.get(name)
+        if not refs:
             self._warm_adopted.add(name)
             return
-        # bounded wait: a shard that lands within 2 s beats rebuilding it
-        # locally (a packed-store build is ~3.4 s); one that doesn't is
-        # skipped and built locally rather than stalling the bucket task
-        ready, _ = ray.wait([ref], timeout=2.0)
-        if not ready:
-            inc_metric(f"fused.warm_notready_{name}", 1)
-            return
-        self._warm_adopted.add(name)
         import time as _time
 
         _t0 = _time.perf_counter()
-        part = ray.get(ref)
-        if name == "packed":
-            self._packed_cache.update(part)
-        elif name == "split":
-            self._split_cache.update(part)
-        elif name == "codes":
-            self._code_cache.update(part)
-        elif name == "tf":
-            self._tf_cache.update(part)
-        elif name == "isnull":
-            self._isnull_cache.update(part)
-        elif name == "ready_l":
-            self._ready_l.update(part)
-            if self.tab_r is self.tab_l:
-                self._ready_r.update(part)
-        elif name == "ready_r":
-            self._ready_r.update(part)
+        if name in self._WARM_BLOCKING:
+            done, pending = refs, []
+        else:
+            timeout = 2.0 if name not in self._warm_waited else 0.0
+            self._warm_waited.add(name)
+            done, pending = ray.wait(
+                list(refs), num_returns=len(refs), timeout=timeout
+            )
+            if pending:
+                inc_metric(f"fused.warm_notready_{name}", 1)
+                index[name] = pending  # retry the stragglers next call
+            if not done:
+                return
+        target = {
+            "packed": self._packed_cache,
+            "split": self._split_cache,
+            "codes": self._code_cache,
+            "tf": self._tf_cache,
+            "isnull": self._isnull_cache,
+            "ready_l": self._ready_l,
+            "ready_r": self._ready_r,
+        }[name]
+        for part in ray.get(list(done)):
+            target.update(part.get(name, {}))
+        if name == "ready_l" and self.tab_r is self.tab_l:
+            self._ready_r.update(self._ready_l)
+        if not pending:
+            self._warm_adopted.add(name)
         inc_metric(f"fused.warm_adopt_{name}_sec", _time.perf_counter() - _t0)
 
     def warm_and_export(self) -> dict:
@@ -1421,19 +1431,6 @@ def _warm_part(refs: tuple, ctor_kwargs: dict, jobs: list) -> dict:
     }
 
 
-@ray.remote(num_cpus=0)
-def _combine_warm(*parts) -> tuple:
-    """Merge the warm shards and return ONE object per cache name
-    (``num_returns``), so scorers can adopt each cache lazily and
-    independently — a worker that never takes a per-row fallback never
-    unpickles the object-array ``ready``/``split`` caches."""
-    out: dict = {k: {} for k in _WARM_EXPORT_KEYS}
-    for p in parts:
-        for k in _WARM_EXPORT_KEYS:
-            out[k].update(p[k])
-    return tuple(out[k] for k in _WARM_EXPORT_KEYS)
-
-
 def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
     """PARALLEL warm build: the single-task form serialises ~all the packed
     conversions (8s+ at a 335k-row store) on one core while the rest of the
@@ -1468,13 +1465,31 @@ def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
         light.append(("isnull", c))
     if light:
         heavy.append(light)
-    parts = [_warm_part.remote(refs, ctor_kwargs, jobs) for jobs in heavy]
-    if not parts:
+    part_refs = [_warm_part.remote(refs, ctor_kwargs, jobs) for jobs in heavy]
+    if not part_refs:
         return _build_warm_scorer_state.remote(refs, ctor_kwargs)
-    cache_refs = _combine_warm.options(num_returns=len(_WARM_EXPORT_KEYS)).remote(
-        *parts
-    )
-    return dict(zip(_WARM_EXPORT_KEYS, cache_refs))
+    # per-cache index of part refs — NO combine barrier: a scorer adopting
+    # the packed cache waits only on the packed shards, never on the
+    # object-array ready/split shards (and vice versa)
+    index: dict[str, list] = {}
+    for jobs, ref in zip(heavy, part_refs):
+        names = set()
+        for kind, args in jobs:
+            if kind == "packed":
+                names.add("packed")
+            elif kind in ("codes", "codes_dig"):
+                names.add("codes")
+            elif kind == "split":
+                names.add("split")
+            elif kind == "tf":
+                names.add("tf")
+            elif kind == "isnull":
+                names.add("isnull")
+            elif kind == "ready":
+                names.add("ready_l" if args[0] == "l" else "ready_r")
+        for n in names:
+            index.setdefault(n, []).append(ref)
+    return index
 
 
 def _fused_scorer(
