@@ -589,20 +589,26 @@ def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
     component's lexicographically smallest node id (identical semantics to
     ``connected_components_local`` and the distributed Hash-to-Min path)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow.compute as pc
 
     blocks = [b for b in ray.get(adj.to_arrow_refs()) if b.num_rows]
-    tbl = pa.concat_tables(blocks).combine_chunks()
-    node = tbl["node"].combine_chunks().to_numpy(zero_copy_only=False)
-    nbr = tbl["nbr"].combine_chunks().to_numpy(zero_copy_only=False)
-    codes, uniques = pd.factorize(np.concatenate([node, nbr]))
+    tbl = pa.concat_tables(blocks)
+    # factorize WITHOUT Python objects: dictionary-encode one CONTIGUOUS
+    # Arrow array (contiguous is the fast path — 0.75 s vs 6.8 s chunked
+    # vs 3.0 s via object-array pandas factorize at 9.5M values)
+    n_edges = len(tbl["node"])
+    enc = pa.concat_arrays(
+        list(tbl["node"].chunks) + list(tbl["nbr"].chunks)
+    ).dictionary_encode()
+    uniques = enc.dictionary
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     n = len(uniques)
     # rank nodes lexicographically: min RANK == min STRING id
-    order = np.argsort(uniques, kind="stable")
+    order = pc.sort_indices(uniques).to_numpy().astype(np.int64, copy=False)
     rank = np.empty(n, dtype=np.int64)
     rank[order] = np.arange(n, dtype=np.int64)
-    e1 = rank[codes[: len(node)]]
-    e2 = rank[codes[len(node) :]]
+    e1 = rank[codes[:n_edges]]
+    e2 = rank[codes[n_edges:]]
     labels = np.arange(n, dtype=np.int64)
     while True:
         before = labels.copy()
@@ -616,11 +622,11 @@ def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
             labels = jumped
         if np.array_equal(labels, before):
             break
-    sorted_ids = uniques[order]  # string id of each rank
+    sorted_ids = pc.take(uniques, pa.array(order))  # string id of each rank
     return pa.table(
         {
-            "node": pa.array(sorted_ids, pa.string()),
-            "cluster_id": pa.array(sorted_ids[labels], pa.string()),
+            "node": sorted_ids,
+            "cluster_id": pc.take(sorted_ids, pa.array(labels)),
         }
     )
 
