@@ -374,27 +374,6 @@ def dedup_code_corpus(
         batch_format="pyarrow",
     )
 
-    # Materialise the exact edges on a DRIVER THREAD, overlapped with the
-    # score phase below: the pass is a small bucketed groupby whose wall is
-    # mostly per-task fixed cost (measured 2.8-3.5 s at 180k rows, nearly
-    # flat 2->32 cpus), so serialising it after scoring was a pure Amdahl
-    # term.  Unlike the round-2 mega-DAG (where ONE streaming executor
-    # split CPU slots between the scorer and everything else for the whole
-    # run), this is a separate short-lived execution whose demand ends
-    # seconds into the minutes-long score phase.
-    import threading
-
-    _exact_out: dict = {}
-
-    def _mat_exact():
-        try:
-            _exact_out["ds"] = exact_edges.materialize()
-        except BaseException as e:  # re-raised on join below
-            _exact_out["err"] = e
-
-    _exact_th = threading.Thread(target=_mat_exact, daemon=True)
-    _exact_th.start()
-
     # 2. probabilistic pass: fused blocked pair generation + scoring (narrow
     #    pair shuffles; the wide pair table never hits the object store).
     #    Without the rescore pass only edge candidates are needed, so the
@@ -455,12 +434,10 @@ def dedup_code_corpus(
     inc_metric("phase.score_sec", time.perf_counter() - _t)
     _t = time.perf_counter()
 
-    # Join the overlapped exact-edge materialisation; phase.exact_sec now
-    # records only the RESIDUAL wall not hidden behind the score phase.
-    _exact_th.join()
-    if "err" in _exact_out:
-        raise _exact_out["err"]
-    exact_edges = _exact_out["ds"]
+    # The exact-match groupby runs here (it no longer overlaps the scorer —
+    # phased execution, see the materialize above), so time it as its own
+    # phase rather than letting it hide inside the CC wall.
+    exact_edges = exact_edges.materialize()
     inc_metric("phase.exact_sec", time.perf_counter() - _t)
     _t = time.perf_counter()
 
