@@ -601,16 +601,27 @@ def _q_ivf_topk(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    index_dir = f"/tmp/uam_ivf_index/{tag}"
+    # quantizer="first_k" (centroids = the 16 smallest vec_ids, fp64):
+    # quantiser choice only affects recall, and this one is deterministic
+    # and SQL-expressible, so the WHOLE indexed path — cell assignment,
+    # partition-pruned probe reads, ranking — value-hash-matches the
+    # DuckDB oracle.  The k-means quantiser stays the production default
+    # (recall-gated in tests/test_dedup_similarity.py).
+    index_dir = f"/tmp/uam_ivf_index/{tag}_fk"
     if not os.path.exists(os.path.join(index_dir, "_INDEX_DONE")):
         os.makedirs(index_dir, exist_ok=True)
-        build_ivf_index(ds, index_dir, n_centroids=16)
+        build_ivf_index(ds, index_dir, n_centroids=16, quantizer="first_k")
     qrows = sorted(
         (r for r in ds.take(64) if r["vec_id"] < 3), key=lambda r: r["vec_id"]
     )
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     out, io_stats = ivf_topk_indexed(
-        index_dir, Q, k=5, n_probe=4, query_ids=[r["vec_id"] for r in qrows]
+        index_dir,
+        Q,
+        k=5,
+        n_probe=4,
+        query_ids=[r["vec_id"] for r in qrows],
+        precise=True,
     )
     from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
         inc_metric,
@@ -618,7 +629,7 @@ def _q_ivf_topk(sf_dir: str):
 
     inc_metric("ivf.probed_bytes", io_stats["probed_bytes"])
     inc_metric("ivf.total_bytes", io_stats["total_bytes"])
-    return out
+    return out.select(["query_id", "vec_id", "rank"])
 
 
 def _q_quality(sf_dir: str):
@@ -1698,6 +1709,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'recall', CAST(1.0 AS DOUBLE)
             UNION ALL SELECT 'f1', CAST(1.0 AS DOUBLE)
         """,
-        # no oracle (rows-only): ivf_topk — iterative kmeans quantiser that
-        # ANSI SQL can't express faithfully.
+        # IVF with the deterministic first_k quantiser (centroids = the 16
+        # smallest vec_ids; fp64): assignment = argmax cosine with ties to
+        # the lowest cell, probe = top-4 cells per query, then exact top-5
+        # within the probed cells — the identical arithmetic the Ray path
+        # runs against the cell-partitioned index, minus the pruned IO.
+        "ivf_topk": """
+            WITH cents AS (
+                SELECT vec_id AS cell, embedding AS cv
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+                SELECT vec_id, embedding, cell FROM (
+                    SELECT e.vec_id, e.embedding, c.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM embeddings e CROSS JOIN cents c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            probes AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.query_id, c.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, c.cv)
+                                        DESC, c.cell ASC) AS pr
+                    FROM q CROSS JOIN cents c
+                ) WHERE pr <= 4
+            ),
+            cand AS (
+                SELECT q.query_id, a.vec_id,
+                       list_cosine_similarity(q.qv, a.embedding) AS cos
+                FROM q
+                JOIN probes p ON p.query_id = q.query_id
+                JOIN assign a ON a.cell = p.cell
+            )
+            SELECT query_id, vec_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, CAST(vec_id AS VARCHAR) ASC) AS INTEGER)
+                       AS rank
+            FROM cand
+            QUALIFY rank <= 5
+        """,
     }

@@ -119,6 +119,23 @@ def train_centroids(
     return C
 
 
+def first_k_centroids(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> np.ndarray:
+    """Deterministic SQL-expressible quantiser: the centroids are the
+    normalised embeddings of the ``n_centroids`` smallest ids, float64.
+    Quantiser CHOICE only affects recall, never correctness, so this mode
+    lets the whole IVF path (assignment, partition pruning, probe, rank)
+    be value-hash-checked against a DuckDB oracle; the k-means quantiser
+    remains the recall-tuned production default."""
+    rows = ds.sort(id_col).limit(n_centroids).take_all()
+    return _normalize(np.asarray([r[vec_col] for r in rows], dtype=np.float64))
+
+
 def build_ivf_index(
     ds: "ray.data.Dataset",
     index_dir: str,
@@ -126,6 +143,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
+    quantizer: str = "kmeans",  # "kmeans" | "first_k" (oracle-exact, fp64)
 ) -> np.ndarray:
     """Materialise the corpus PARTITIONED BY CENTROID CELL (hive layout,
     one directory per cell) — the IO half of an IVF index: a probe then
@@ -134,12 +152,20 @@ def build_ivf_index(
     (also persisted to ``<index_dir>/centroids.npy``)."""
     import os
 
-    C = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
+    if quantizer == "first_k":
+        C = first_k_centroids(
+            ds, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+        )
+    else:
+        C = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
     c_ref = ray.put(C)
+    dt = np.float64 if quantizer == "first_k" else np.float32
 
     def assign(t: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=dt))
+        # argmax takes the LOWEST cell index on ties — the oracle orders
+        # by (similarity DESC, cell ASC)
         cells = np.argmax(V @ Cm.T, axis=1).astype(np.int32)
         return t.append_column("cell", pa.array(cells, pa.int32()))
 
@@ -170,6 +196,7 @@ def ivf_topk_indexed(
     k: int = 10,
     n_probe: int = 4,
     query_ids: list | None = None,
+    precise: bool = False,  # fp64 math, matches the DuckDB double oracle
 ) -> tuple[pa.Table, dict]:
     """Probe a persisted IVF index: reads ONLY the probed cell partitions.
     Returns (top-k table, io_stats) where io_stats reports the probed vs
@@ -179,8 +206,10 @@ def ivf_topk_indexed(
     import ray.data as rd
 
     C = np.load(os.path.join(index_dir, "centroids.npy"))
-    Q = _normalize(np.asarray(queries, dtype=np.float32))
-    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    _dt = np.float64 if precise else np.float32
+    Q = _normalize(np.asarray(queries, dtype=_dt))
+    # stable: ties pick the LOWEST cell index (oracle: similarity DESC, cell ASC)
+    probe_cells = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :n_probe]
     qids = query_ids if query_ids is not None else list(range(len(Q)))
     needed = sorted({int(c) for row in probe_cells for c in row})
     cell_dirs = [
@@ -230,7 +259,7 @@ def ivf_topk_indexed(
 
     def partial(t: pa.Table) -> pa.Table:
         Qm, probes = ray.get(probe_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=_dt))
         ids = t[id_col].to_pylist()
         cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
@@ -307,7 +336,8 @@ def ivf_topk(
     ``brute_force_topk`` (plus approximate recall semantics)."""
     C = train_centroids(ds, vec_col=vec_col, n_centroids=n_centroids)
     Q = _normalize(np.asarray(queries, dtype=np.float32))
-    probe_cells = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # stable: ties pick the LOWEST cell index (oracle: similarity DESC, cell ASC)
+    probe_cells = np.argsort(-(Q @ C.T), axis=1, kind="stable")[:, :n_probe]  # (nq, n_probe)
     c_ref = ray.put((C, Q, probe_cells))
     qids = query_ids if query_ids is not None else list(range(len(Q)))
 

@@ -140,3 +140,26 @@ def test_ivf_indexed_partition_pruning(ray_session, tmp_path):
     # the pruning claim: probed bytes are a strict fraction of the index
     assert 0 < io["probed_bytes"] < io["total_bytes"]
     assert io["probed_bytes"] / io["total_bytes"] <= (io["probed_cells"] + 1) / io["total_cells"] + 0.25
+
+
+def test_ivf_first_k_quantizer_deterministic(ray_session, tmp_path):
+    """The oracle-exact quantizer (centroids = n smallest vec_ids, fp64)
+    must be deterministic across rebuilds and still prune partitions; the
+    driver oracle (__ray_entry__.oracle_sql()['ivf_topk']) re-derives the
+    same assignment/probe/rank arithmetic in DuckDB."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    ds, base = _emb_ds(n=160)
+    q = base[:2]
+    outs = []
+    for d in ("a", "b"):
+        index_dir = str(tmp_path / d)
+        C = build_ivf_index(ds, index_dir, n_centroids=8, quantizer="first_k")
+        assert C.dtype == np.float64
+        out, io = ivf_topk_indexed(index_dir, q, k=5, n_probe=3, precise=True)
+        assert 0 < io["probed_bytes"] < io["total_bytes"]
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]  # bit-identical across rebuilds
