@@ -69,3 +69,15 @@ def test_stage_stats_profile_example(ray_session):
     assert len(reports) == 12  # every pre-TF stage reported separately
     assert all(r.stats for r in reports)  # capture_stats populated
     assert all(r.rows == 200 for r in reports)
+
+
+def test_incremental_matching_example(ray_session, tmp_path):
+    from examples.incremental_matching import main
+
+    m = main(
+        n_canonical=100,
+        delta_sizes=(25,),
+        state_dir=str(tmp_path / "state"),
+        verbose=False,
+    )
+    assert m["deltas"][0]["correct"] >= 20  # >=80% of the planted matches
