@@ -51,6 +51,29 @@ def read_small_csv(path: str) -> pa.Table:
     return pacsv.read_csv(path)
 
 
+def read_jsonl(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """S2 (JSONL variant): newline-delimited JSON read.
+
+    JSON has no columnar pushdown, so ``columns`` projects immediately
+    after parse — blocks shed unused fields before anything downstream
+    touches them (the closest JSONL gets to a pruned read)."""
+    ds = ray.data.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    if rename:
+        ds = ds.map_batches(
+            lambda t: t.rename_columns([rename.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
 @dataclass
 class SourceConfig:
     """S3: per-source projection config (reference SourceConfig analogue).
@@ -65,9 +88,17 @@ class SourceConfig:
     select: dict[str, "str | Callable[[pa.Table], pa.Array]"] = field(
         default_factory=dict
     )
+    format: str = "parquet"  # "parquet" | "jsonl" | "csv"
 
     def load(self) -> "ray.data.Dataset":
-        ds = read_parquet(self.path, columns=self.columns)
+        if self.format == "jsonl":
+            ds = read_jsonl(self.path, columns=self.columns)
+        elif self.format == "csv":
+            ds = read_csv(self.path)
+            if self.columns:
+                ds = ds.select_columns(self.columns)
+        else:
+            ds = read_parquet(self.path, columns=self.columns)
 
         def project(t: pa.Table) -> pa.Table:
             data = {}
