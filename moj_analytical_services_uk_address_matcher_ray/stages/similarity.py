@@ -24,6 +24,48 @@ def _normalize(V: np.ndarray) -> np.ndarray:
     return V / norms[:, None]
 
 
+def _vectors(t: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
+    """Zero-copy-ish (n, d) matrix from a list<float> / fixed_size_list
+    column: flatten the values buffer and reshape — ~30x faster than
+    ``to_pylist`` on wide embedding columns.  Falls back to to_pylist for
+    ragged lists (invalid as embeddings anyway)."""
+    arr = t[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks edge
+        return np.asarray(t[col].to_pylist(), dtype=dtype).reshape(t.num_rows, -1)
+    try:
+        if pa.types.is_fixed_size_list(arr.type):
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.reshape(len(arr), arr.type.list_size), dtype=dtype
+            )
+        offs = arr.offsets.to_numpy()
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            # respect a non-zero start offset from slicing
+            flat = flat[offs[0] : offs[-1]]
+            return np.ascontiguousarray(
+                flat.reshape(len(arr), int(widths[0])), dtype=dtype
+            )
+    except (AttributeError, ValueError):
+        pass
+    return np.asarray(t[col].to_pylist(), dtype=dtype)
+
+
+#: symmetric int8 scalar quantisation scale for unit-norm components
+_SQ8_SCALE = 127.0
+
+
+def _sq8_encode(V: np.ndarray) -> np.ndarray:
+    """Unit-norm float components in [-1, 1] -> int8 codes (1 byte/dim —
+    8x smaller than the float64 parquet lists the corpus ships with)."""
+    return np.clip(np.rint(V * _SQ8_SCALE), -127, 127).astype(np.int8)
+
+
+def _sq8_decode(codes: np.ndarray) -> np.ndarray:
+    return codes.astype(np.float32) / _SQ8_SCALE
+
+
 def brute_force_topk(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
@@ -44,7 +86,7 @@ def brute_force_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         Qm = ray.get(q_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        V = _normalize(_vectors(t, vec_col, dtype=np.float32))
         ids = t[id_col].to_pylist()
         sims = Qm @ V.T  # (nq, nb)
         nq, nb = sims.shape
@@ -144,12 +186,20 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     quantizer: str = "kmeans",  # "kmeans" | "first_k" (oracle-exact, fp64)
+    quantization: str | None = None,  # None (full floats) | "sq8" (int8 codes)
 ) -> np.ndarray:
     """Materialise the corpus PARTITIONED BY CENTROID CELL (hive layout,
     one directory per cell) — the IO half of an IVF index: a probe then
     reads only its ``n_probe`` cell directories, so scan bytes scale with
     n_probe/n_centroids instead of corpus size.  Returns the centroids
-    (also persisted to ``<index_dir>/centroids.npy``)."""
+    (also persisted to ``<index_dir>/centroids.npy``).
+
+    ``quantization="sq8"`` stores symmetric int8 codes of the unit-norm
+    vectors instead of the float lists (1 byte/dim vs 8): probe bytes drop
+    ~8x again on top of cell pruning, at an approximate-score cost bounded
+    by the quantisation step (recall-tested).  Cell assignment always uses
+    full-precision floats."""
+    import json
     import os
 
     if quantizer == "first_k":
@@ -163,16 +213,42 @@ def build_ivf_index(
 
     def assign(t: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=dt))
+        V = _normalize(_vectors(t, vec_col, dtype=dt))
         # argmax takes the LOWEST cell index on ties — the oracle orders
         # by (similarity DESC, cell ASC)
         cells = np.argmax(V @ Cm.T, axis=1).astype(np.int32)
+        if quantization == "sq8":
+            codes = _sq8_encode(V)
+            d = codes.shape[1]
+            sq8 = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.int8()), d
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "embedding_sq8": sq8,
+                    "cell": pa.array(cells, pa.int32()),
+                }
+            )
         return t.append_column("cell", pa.array(cells, pa.int32()))
 
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
+    # cluster rows by cell BEFORE the hive write: the writer emits one file
+    # per (block x cell), so unclustered input produces num_blocks x
+    # n_centroids tiny files whose parquet footers dominate both index
+    # bytes and probe IO (measured: 3000 rows -> 1382 files, 1.9 MB of
+    # which ~1.7 MB was footer).  Repartition to a size-derived block
+    # count, then range-sort by cell: ~num_cells + num_blocks files total.
+    in_bytes = ds.size_bytes() or 0
+    target = int(max(n_centroids, min(512, max(1, in_bytes // (64 << 20)))))
+    assigned = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .repartition(target)
+        .sort("cell")
     )
+    assigned.write_parquet(index_dir, partition_cols=["cell"])
     np.save(os.path.join(index_dir, "centroids.npy"), C)
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump({"quantization": quantization, "id_col": id_col}, fh)
     with open(os.path.join(index_dir, "_INDEX_DONE"), "w") as fh:
         fh.write("ok")
     return C
@@ -200,12 +276,22 @@ def ivf_topk_indexed(
 ) -> tuple[pa.Table, dict]:
     """Probe a persisted IVF index: reads ONLY the probed cell partitions.
     Returns (top-k table, io_stats) where io_stats reports the probed vs
-    total index bytes — the partition-pruning evidence."""
+    total index bytes — the partition-pruning evidence.  A ``sq8``-quantised
+    index (see ``build_ivf_index``) is detected from ``meta.json``: codes
+    are decoded per batch and scores are approximate within the
+    quantisation step."""
+    import json
     import os
 
     import ray.data as rd
 
     C = np.load(os.path.join(index_dir, "centroids.npy"))
+    quantization = None
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            quantization = json.load(fh).get("quantization")
+    read_col = "embedding_sq8" if quantization == "sq8" else vec_col
     _dt = np.float64 if precise else np.float32
     Q = _normalize(np.asarray(queries, dtype=_dt))
     # stable: ties pick the LOWEST cell index (oracle: similarity DESC, cell ASC)
@@ -243,7 +329,7 @@ def ivf_topk_indexed(
     # partition SUBDIR does not restore the hive column on all paths)
     per_cell = []
     for c, d in zip(needed, cell_dirs):
-        sub = rd.read_parquet(d, columns=[id_col, vec_col])
+        sub = rd.read_parquet(d, columns=[id_col, read_col])
         per_cell.append(
             sub.map_batches(
                 lambda t, cc=c: t.append_column(
@@ -259,7 +345,10 @@ def ivf_topk_indexed(
 
     def partial(t: pa.Table) -> pa.Table:
         Qm, probes = ray.get(probe_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=_dt))
+        if quantization == "sq8":
+            V = _normalize(_sq8_decode(_vectors(t, read_col, dtype=np.int8)))
+        else:
+            V = _normalize(_vectors(t, read_col, dtype=_dt))
         ids = t[id_col].to_pylist()
         cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
         out_q, out_v, out_s = [], [], []
@@ -343,7 +432,7 @@ def ivf_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         Cm, Qm, probes = ray.get(c_ref)
-        V = _normalize(np.asarray(t[vec_col].to_pylist(), dtype=np.float32))
+        V = _normalize(_vectors(t, vec_col, dtype=np.float32))
         ids = t[id_col].to_pylist()
         cells = np.argmax(V @ Cm.T, axis=1)
         out_q, out_v, out_s = [], [], []

@@ -163,3 +163,34 @@ def test_ivf_first_k_quantizer_deterministic(ray_session, tmp_path):
         assert 0 < io["probed_bytes"] < io["total_bytes"]
         outs.append(out.to_pylist())
     assert outs[0] == outs[1]  # bit-identical across rebuilds
+
+
+def test_ivf_sq8_quantized_index(ray_session, tmp_path):
+    """The sq8 index stores int8 codes (1 byte/dim vs 8 for the float64
+    lists): per-cell bytes must shrink severalfold AND recall vs brute
+    force must hold — the second byte-reduction lever on top of cell
+    pruning at 100-TB scale."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    # big enough that data bytes dwarf per-file parquet footer overhead
+    ds, base = _emb_ds(n=3000, dim=64)
+    q = base[:2]
+    full_dir, sq8_dir = str(tmp_path / "full"), str(tmp_path / "sq8")
+    build_ivf_index(ds, full_dir, n_centroids=8, quantizer="first_k")
+    build_ivf_index(
+        ds, sq8_dir, n_centroids=8, quantizer="first_k", quantization="sq8"
+    )
+    exact = brute_force_topk(ds, q, k=5)
+    approx, io_sq8 = ivf_topk_indexed(sq8_dir, q, k=5, n_probe=3)
+    _, io_full = ivf_topk_indexed(full_dir, q, k=5, n_probe=3)
+    for qi in range(2):
+        e = {r["vec_id"] for r in exact.to_pylist() if r["query_id"] == qi}
+        a = {r["vec_id"] for r in approx.to_pylist() if r["query_id"] == qi}
+        assert len(e & a) >= 3  # recall holds through quantisation
+    # same quantizer => same cell layout => byte ratio is pure code-width
+    assert io_sq8["total_cells"] == io_full["total_cells"]
+    assert io_sq8["total_bytes"] < 0.5 * io_full["total_bytes"]
+    assert 0 < io_sq8["probed_bytes"] < io_sq8["total_bytes"]
