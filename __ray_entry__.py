@@ -684,6 +684,43 @@ def _q_doc_sha(sf_dir: str):
     )
 
 
+def _q_split_assign(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        split_by_hash,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    # weights with exact binary representations so the cumulative bounds
+    # (0.75, 0.875) are bit-identical between Python and the SQL literal
+    return split_by_hash(
+        ds, id_col="doc_id", splits={"train": 0.75, "val": 0.125, "test": 0.125}
+    )
+
+
+def _q_redact(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        redact,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: redact(t).select(["doc_id", "redacted_text", "n_redacted"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_chunk_tokens(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        chunk_tokens,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_tokens(t, chunk_size=32, overlap=8),
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_window(sf_dir: str):
     import pandas as pd
 
@@ -1148,6 +1185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "lang_id": _q_langid,
+        "split_assign": _q_split_assign,
+        "redact_text": _q_redact,
+        "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1398,6 +1438,78 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS doc_sha256 FROM documents",
+        # deterministic md5-fraction split (stages/sampling.py): fraction =
+        # first 8 md5 hex digits of "<id>:<salt>" / 2^32; cumulative bounds
+        # 0.75 / 0.875 are exact in binary so the comparison is bit-stable
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN frac < 0.75 THEN 'train'
+                        WHEN frac < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id || ':'), 1, 8))::UBIGINT
+                           / 4294967296.0 AS frac
+                FROM documents
+            )
+        """,
+        # sequential RE2 redaction chain, same pattern order as
+        # REDACT_PATTERNS (stages/text_analysis.py): counts taken BEFORE
+        # each replacement, later patterns see earlier replacements
+        "redact_text": """
+            WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS c1,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM s0
+            ),
+            s2 AS (
+                SELECT doc_id, c1,
+                       len(regexp_extract_all(t,
+                           '\\+?[0-9][0-9 ().-]{7,}[0-9]')) AS c2,
+                       regexp_replace(t, '\\+?[0-9][0-9 ().-]{7,}[0-9]',
+                           '<PHONE>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, c1, c2,
+                       len(regexp_extract_all(t, '[0-9]{6,}')) AS c3,
+                       regexp_replace(t, '[0-9]{6,}', '<NUM>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, t AS redacted_text,
+                   CAST(c1 + c2 + c3 AS BIGINT) AS n_redacted
+            FROM s3
+        """,
+        # overlapping token windows (stages/text_analysis.py:chunk_tokens):
+        # size 32, overlap 8 => step 24; n_chunks = ceil(max(n-8,1)/24);
+        # DuckDB list slices are 1-based inclusive, hence the +1
+        "chunk_tokens": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS tl
+                FROM documents
+            ),
+            b AS (SELECT doc_id, tl, len(tl) AS n FROM tk),
+            c AS (
+                SELECT doc_id, tl,
+                       CAST(unnest(range(0,
+                           CAST(ceil(greatest(n - 8, 1) / 24.0) AS BIGINT)))
+                           AS INTEGER) AS i
+                FROM b
+            )
+            SELECT doc_id,
+                   i AS chunk_id,
+                   array_to_string(tl[i*24+1 : i*24+32], ' ') AS chunk_text,
+                   CAST(len(tl[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
+            FROM c
+        """,
         # language-ID heuristic re-derived in SQL: CJK-codepoint share
         # decides 'zh'; otherwise the language with the most stopword hits
         # wins, first-language-wins tie-break in (en, es, de, fr) order —

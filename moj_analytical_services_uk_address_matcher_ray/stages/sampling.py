@@ -1,0 +1,91 @@
+"""Deterministic dataset splitting and sampling for training-data pipelines.
+
+Every assignment is a pure function of (id, salt) — no RNG state, no
+coordination — so any worker can assign any row independently, reruns are
+stable, and the exact rule is re-derivable in ANSI SQL for the driver's
+value-hash oracle (DuckDB: ``('0x' || substr(md5(s), 1, 8))::UBIGINT``).
+
+Scale notes: both operators are embarrassingly parallel ``map_batches``
+stages — zero shuffle, zero driver state.  md5 is used (rather than a
+vectorised polynomial hash) because the split rule must be bit-identical
+across engines and languages; at ~1M short hashes/s/core it prices at
+<0.1% of a typical clean+score pipeline, and the same tradeoff is already
+made by the MinHash/SimHash stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+#: denominator for the md5-prefix fraction: first 8 hex digits -> [0, 2^32)
+_HASH_SPACE = float(1 << 32)
+
+
+def _hash_fraction(ids: list, salt: str) -> list[float]:
+    return [
+        int(
+            hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8], 16
+        )
+        / _HASH_SPACE
+        for v in ids
+    ]
+
+
+def split_by_hash(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Assign every row to a named split by the md5 fraction of its id.
+
+    ``splits`` maps name -> weight (normalised internally); assignment is by
+    cumulative range in the given order, so ``{"train": .9, "val": .05,
+    "test": .05}`` puts fraction < 0.9 in train, [0.9, 0.95) in val, the
+    rest in test.  Deterministic across runs, workers, and engines; change
+    ``salt`` to draw an independent split without touching the data.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    names, bounds, acc = [], [], 0.0
+    for name, w in splits.items():
+        acc += w / total
+        names.append(name)
+        bounds.append(acc)
+    bounds[-1] = 1.0 + 1e-9  # the last range absorbs fp rounding
+
+    def assign(t: pa.Table) -> pa.Table:
+        fr = _hash_fraction(t[id_col].to_pylist(), salt)
+        out = []
+        for f in fr:
+            for name, b in zip(names, bounds):
+                if f < b:
+                    out.append(name)
+                    break
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_by_hash(
+    ds: "ray.data.Dataset",
+    rate: float,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Keep a deterministic ``rate`` fraction of rows: md5 fraction of the
+    id < rate.  Unlike ``Dataset.random_sample`` the choice is stable
+    across runs and resumable shards — the sampling analogue of the split
+    rule above."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        fr = _hash_fraction(t[id_col].to_pylist(), salt)
+        mask = pa.array([f < rate for f in fr], pa.bool_())
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

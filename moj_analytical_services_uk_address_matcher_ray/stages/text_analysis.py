@@ -187,3 +187,89 @@ def fingerprint(
     t = t.append_column("doc_sha256", pa.array(full, pa.string()))
     t = t.append_column("doc_min_fingerprint", pa.array(mins, pa.string()))
     return t
+
+
+#: (pattern, replacement) pairs applied IN ORDER — RE2 syntax, identical
+#: semantics under pyarrow.compute and DuckDB regexp_replace(..., 'g'), so
+#: the driver oracle re-applies the same chain in SQL.  Order matters: the
+#: email rule runs before the digit-run rule so addresses with digits are
+#: tagged <EMAIL>, not chopped by <NUM>.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9 ().-]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact(
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str = "redacted_text",
+) -> pa.Table:
+    """Sequential vectorised regex redaction (emails, phone-ish runs, long
+    digit runs by default) + a per-pattern match count.  One
+    ``pc.replace_substring_regex`` kernel per pattern — no Python in the
+    per-row path."""
+    patterns = patterns if patterns is not None else REDACT_PATTERNS
+    arr = t[text_col].combine_chunks()
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    cur = pc.coalesce(arr, "")
+    total = None
+    for pat, repl in patterns:
+        n = pc.count_substring_regex(cur, pattern=pat)
+        total = n if total is None else pc.add(total, n)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+    t = t.append_column(out_col, cur)
+    t = t.append_column("n_redacted", total.cast(pa.int64()))
+    return t
+
+
+def chunk_tokens(
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> pa.Table:
+    """Split each document into overlapping whitespace-token windows — the
+    sequence-packing precursor of a training pipeline.  Emits one row per
+    chunk: (id, chunk_id, chunk_text, n_tokens).
+
+    Deterministic chunk rule (SQL-oracle contract): tokens = non-empty
+    splits on ``\\s+``; step = chunk_size - overlap; n_chunks =
+    ceil(max(n_tokens - overlap, 1) / step); chunk i covers tokens
+    [i*step, i*step + chunk_size).  Runs as a flat map over batches — no
+    shuffle; output rows stay within the input block.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    arr = t[text_col].combine_chunks()
+    if pa.types.is_null(arr.type):
+        arr = arr.cast(pa.string())
+    toks = pc.split_pattern_regex(pc.coalesce(arr, ""), pattern=_WS)
+    ids = t[id_col].to_pylist()
+    tok_lists = toks.to_pylist()
+    out_id, out_chunk, out_text, out_n = [], [], [], []
+    for rid, tl in zip(ids, tok_lists):
+        tl = [x for x in (tl or []) if x]
+        n = len(tl)
+        n_chunks = -(-max(n - overlap, 1) // step)
+        for i in range(n_chunks):
+            piece = tl[i * step : i * step + chunk_size]
+            out_id.append(rid)
+            out_chunk.append(i)
+            out_text.append(" ".join(piece))
+            out_n.append(len(piece))
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "chunk_id": pa.array(out_chunk, pa.int32()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        }
+    )

@@ -1,0 +1,112 @@
+"""Deterministic split/sample (stages/sampling.py) and the redact /
+chunk_tokens text operators (stages/text_analysis.py)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+    sample_by_hash,
+    split_by_hash,
+)
+from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+    chunk_tokens,
+    redact,
+)
+
+
+def _ids_ds(n=2000):
+    return rd.from_items([{"doc_id": i} for i in range(n)])
+
+
+def test_split_by_hash_proportions_and_determinism(ray_session):
+    out = split_by_hash(
+        _ids_ds(), splits={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).materialize()
+    counts = {}
+    for r in out.take_all():
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert sum(counts.values()) == 2000
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    assert counts["val"] > 0 and counts["test"] > 0
+    # identical rerun -> identical assignment (pure function of id)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            _ids_ds(), splits={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).take_all()
+    }
+    for r in out.take_all():
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_split_salt_gives_independent_split(ray_session):
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(_ids_ds(500)).take_all()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(_ids_ds(500), salt="other").take_all()
+    }
+    assert any(a[k] != b[k] for k in a)  # different draw
+
+
+def test_sample_by_hash_stable_subset(ray_session):
+    kept = sorted(
+        r["doc_id"] for r in sample_by_hash(_ids_ds(), 0.2).take_all()
+    )
+    assert 0.15 * 2000 <= len(kept) <= 0.25 * 2000
+    again = sorted(r["doc_id"] for r in sample_by_hash(_ids_ds(), 0.2).take_all())
+    assert kept == again
+    # rate monotonicity: a 0.1 sample is a subset of the 0.2 sample
+    small = set(r["doc_id"] for r in sample_by_hash(_ids_ds(), 0.1).take_all())
+    assert small <= set(kept)
+
+
+def test_redact_patterns():
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact bob.smith+x@example.co.uk today",
+                "call +44 (0)20 7946-0958 now",
+                "order 123456 shipped",  # 6 digits: too short for the
+                # phone rule (needs >=9 phone-ish chars), caught by <NUM>
+                "nothing to hide",
+            ],
+        }
+    )
+    out = redact(t)
+    got = out["redacted_text"].to_pylist()
+    assert got[0] == "contact <EMAIL> today"
+    assert "<PHONE>" in got[1] and "7946" not in got[1]
+    assert got[2] == "order <NUM> shipped"
+    assert got[3] == "nothing to hide"
+    assert out["n_redacted"].to_pylist() == [1, 1, 1, 0]
+
+
+def test_redact_email_beats_num_order():
+    # digits inside an email must be swallowed by <EMAIL>, not <NUM>
+    t = pa.table({"doc_id": [1], "text": ["mail 1234567@host.com please"]})
+    assert redact(t)["redacted_text"].to_pylist() == ["mail <EMAIL> please"]
+
+
+def test_chunk_tokens_rule():
+    words = " ".join(f"w{i}" for i in range(10))
+    t = pa.table({"doc_id": [7, 8], "text": [words, ""]})
+    out = chunk_tokens(t, chunk_size=8, overlap=4)
+    rows = [
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in out.to_pylist()
+    ]
+    # n=10, step=4 -> ceil(6/4)=2 chunks: [0..7], [4..9]; no fully-contained
+    # tail chunk
+    assert rows[0] == (7, 0, " ".join(f"w{i}" for i in range(8)), 8)
+    assert rows[1] == (7, 1, " ".join(f"w{i}" for i in range(4, 10)), 6)
+    # empty doc -> exactly one empty chunk (stable cardinality contract)
+    assert rows[2] == (8, 0, "", 0)
+    assert len(rows) == 3
+
+
+def test_chunk_tokens_overlap_validation():
+    t = pa.table({"doc_id": [1], "text": ["a b"]})
+    with pytest.raises(ValueError):
+        chunk_tokens(t, chunk_size=4, overlap=4)
