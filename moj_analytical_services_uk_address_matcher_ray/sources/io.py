@@ -225,8 +225,17 @@ def register_default_datasets(
 def write_parquet_with_manifest(
     ds: "ray.data.Dataset", out_dir: str, *, min_rows_per_file: int | None = None
 ) -> dict:
-    """S4: partitioned parquet sink + manifest (rows, files, timestamp).
-    Pre-existing complete manifest -> skip (resumable output)."""
+    """S4: partitioned parquet sink + per-partition lineage manifest
+    (per-file rows/bytes from parquet footers, pipeline metrics snapshot,
+    timestamp).  Pre-existing complete manifest -> skip (resumable output).
+
+    Lineage is read from the parquet FOOTERS (O(files) metadata reads) —
+    not by re-scanning the written data, which would double the sink's IO
+    at corpus scale."""
+    import pyarrow.parquet as pq
+
+    from ..state.metrics import read_metrics
+
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -237,10 +246,18 @@ def write_parquet_with_manifest(
         kwargs["min_rows_per_file"] = min_rows_per_file
     ds.write_parquet(out_dir, **kwargs)
     files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
-    rows = ray.data.read_parquet(out_dir).count()
+    partitions = []
+    rows = 0
+    for f in files:
+        p = os.path.join(out_dir, f)
+        n = pq.read_metadata(p).num_rows
+        rows += n
+        partitions.append({"file": f, "rows": n, "bytes": os.path.getsize(p)})
     manifest = {
         "rows": rows,
         "files": files,
+        "partitions": partitions,
+        "metrics": {k: v for k, v in sorted(read_metrics().items())},
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     with open(manifest_path, "w") as f:

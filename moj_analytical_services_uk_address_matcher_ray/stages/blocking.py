@@ -1357,6 +1357,11 @@ def _broadcast_score(
     # On tiny clusters the MINIMUM matters: a floor of 2 actors on 2 CPUs
     # reserves the whole machine and deadlocks the upstream tasks.
     pool = (max(1, min(2, cpus // 4)), max(2, cpus - 2))
+    # <=2-CPU clusters: a 1-CPU actor would reserve the machine and
+    # deadlock the upstream map tasks (Ray schedules by resource, and the
+    # pool's floor actor never releases its slot).  Zero-CPU actors
+    # oversubscribe slightly but keep the pipeline live.
+    actor_cpus = 1 if cpus > 2 else 0
     return pairs.map_batches(
         _BroadcastScorer,
         fn_constructor_args=(store_l_ref, store_r_ref, model_ref, tf_ref),
@@ -1369,7 +1374,7 @@ def _broadcast_score(
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=actor_cpus,
     )
 
 
