@@ -697,6 +697,15 @@ def _q_split_assign(sf_dir: str):
     )
 
 
+def _q_cap_per_group(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        cap_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return cap_per_group(ds, group_col="source", k=20, id_col="doc_id")
+
+
 def _q_redact(sf_dir: str):
     from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
         redact,
@@ -1186,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "lang_id": _q_langid,
         "split_assign": _q_split_assign,
+        "cap_per_group": _q_cap_per_group,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
@@ -1452,6 +1462,20 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967296.0 AS frac
                 FROM documents
             )
+        """,
+        # per-group quota (stages/sampling.py:cap_per_group): keep the k=20
+        # rows per source with the smallest md5 fraction, ties by doc_id —
+        # the same stable-lottery rule as split_assign
+        "cap_per_group": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(doc_id || ':'), 1, 8))
+                                        ::UBIGINT,
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         # sequential RE2 redaction chain, same pattern order as
         # REDACT_PATTERNS (stages/text_analysis.py): counts taken BEFORE

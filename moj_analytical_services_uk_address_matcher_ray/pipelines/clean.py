@@ -413,12 +413,13 @@ def derive_adjacent_distinguishing_tokens(
     """
 
     def add_sort_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # codepoint-wise reverse, identical to Python s[::-1] on valid
+        # UTF-8; vectorised (the prior list comprehension was a per-row
+        # Python loop in a sort-prep stage)
         return t.append_column(
-            "__rev",
-            pa.array(
-                [s[::-1] if s is not None else None for s in t["address_concat"].to_pylist()],
-                pa.string(),
-            ),
+            "__rev", pc.utf8_reverse(t["address_concat"].combine_chunks())
         )
 
     if not presorted:

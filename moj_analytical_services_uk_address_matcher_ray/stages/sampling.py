@@ -89,3 +89,37 @@ def sample_by_hash(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cap_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Deterministic per-group quota — the "at most k documents per domain"
+    operator of a corpus-balancing pipeline.  Within each group the k
+    keepers are chosen by md5 fraction of the id (a stable lottery:
+    rerun-identical, engine-identical, and unbiased w.r.t. input order).
+
+    ONE hash-bucketed shuffle on the group key; inside each bucket the cap
+    is a vectorised sort + cumcount over all groups at once (no per-group
+    Ray tasks, no per-group Python).  Hot groups cost O(group) within one
+    bucket — cap k is applied before anything leaves the bucket, so the
+    output is at most k rows per group regardless of skew.
+    """
+    from .bucketing import bucketed_group_apply
+
+    def per_bucket(df):
+        if not len(df):
+            return df
+        fr = _hash_fraction(df[id_col].tolist(), salt)
+        out = df.assign(__fr=fr).sort_values(
+            [group_col, "__fr", id_col], kind="mergesort"
+        )
+        keep = out.groupby(group_col, sort=False).cumcount() < k
+        return out[keep].drop(columns="__fr")
+
+    return bucketed_group_apply(ds, [group_col], per_bucket, batch_format="pandas")

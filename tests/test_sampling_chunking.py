@@ -110,3 +110,31 @@ def test_chunk_tokens_overlap_validation():
     t = pa.table({"doc_id": [1], "text": ["a b"]})
     with pytest.raises(ValueError):
         chunk_tokens(t, chunk_size=4, overlap=4)
+
+
+def test_cap_per_group(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        cap_per_group,
+    )
+
+    rows = [
+        {"doc_id": i, "grp": "hot" if i < 900 else f"g{i % 7}"}
+        for i in range(1000)
+    ]
+    out = cap_per_group(
+        rd.from_items(rows), group_col="grp", k=5, id_col="doc_id"
+    ).materialize()
+    counts = {}
+    for r in out.take_all():
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert counts["hot"] == 5  # skewed group capped
+    assert all(v <= 5 for v in counts.values())
+    # stable lottery: identical rerun keeps identical ids
+    a = sorted(r["doc_id"] for r in out.take_all())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(
+            rd.from_items(rows), group_col="grp", k=5, id_col="doc_id"
+        ).take_all()
+    )
+    assert a == b
