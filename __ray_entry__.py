@@ -730,6 +730,29 @@ def _q_chunk_tokens(sf_dir: str):
     )
 
 
+def _q_asof_join(sf_dir: str):
+    """Click->latest-earlier-view attribution per user: the as-of join."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
+
+    def _of_type(tp):
+        ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+        return ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], tp)).drop_columns(
+                ["event_type"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    return asof_join(
+        _of_type("click"),
+        _of_type("view"),
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "value"],
+        how="inner",
+    )
+
+
 def _q_events_window(sf_dir: str):
     import pandas as pd
 
@@ -1196,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_langid,
         "split_assign": _q_split_assign,
         "cap_per_group": _q_cap_per_group,
+        "asof_join": _q_asof_join,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
@@ -1462,6 +1486,19 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967296.0 AS frac
                 FROM documents
             )
+        """,
+        # as-of backward join (stages/joins.py:asof_join): for each click,
+        # the latest view with view.ts <= click.ts by the same user
+        # (inclusive ties, inner) — DuckDB's native ASOF JOIN has the same
+        # greatest-lower-bound semantics as the bucketed pandas merge_asof
+        "asof_join": """
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.event_id AS event_id_r, r.value AS value_r
+            FROM (SELECT event_id, ts, user_id, value
+                  FROM events WHERE event_type = 'click') l
+            ASOF JOIN (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # per-group quota (stages/sampling.py:cap_per_group): keep the k=20
         # rows per source with the smallest md5 fraction, ties by doc_id —

@@ -415,3 +415,129 @@ def broadcast_semi_filter(
         return t.filter(mask if keep else pc.invert(mask))
 
     return left.map_batches(_filter, batch_format="pyarrow")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    on: str,
+    by: str | list[str],
+    right_cols: list[str],
+    direction: str = "backward",
+    how: str = "inner",
+    suffix: str = "_r",
+    tolerance=None,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """As-of join: for each left row, the single right row with the nearest
+    ``on`` value (<= for ``backward``, >= for ``forward``) within the same
+    ``by`` key — the event-attribution / time-series-alignment operator the
+    Dataset API lacks.
+
+    Composition (no raw actors): both sides ride ONE tagged-union hash
+    shuffle on the ``by`` key, then each bucket runs a vectorised
+    ``pandas.merge_asof`` over all of its keys at once.  Right rows carry
+    only ``by + on + right_cols`` — the narrow side of the exchange.  A hot
+    ``by`` key concentrates in one bucket (same property as any keyed
+    join); per-bucket cost is O(bucket log bucket).
+
+    ``how="inner"`` drops unmatched left rows and preserves right column
+    dtypes exactly; ``how="left"`` keeps them (integer right columns
+    promote to float64 with NaN, the pandas left-merge convention).
+    Exact-tie right rows are ordered deterministically by their value
+    tuple, so reruns pick the same winner.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .bucketing import bucketed_group_apply
+
+    by = [by] if isinstance(by, str) else list(by)
+    l_schema, r_schema = left.schema(), right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    renamed = [c + suffix for c in right_cols]
+    clash = set(renamed) & set(l_schema.names)
+    if clash:
+        raise ValueError(f"suffixed right columns collide with left: {clash}")
+
+    fields = list(zip(l_schema.names, l_schema.types)) + [
+        (rc, r_types[c]) for c, rc in zip(right_cols, renamed)
+    ]
+    fields.append(("__side", pa.string()))
+
+    def _pad(side: str, keep: list[str], rename: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            present = {rename.get(c, c): c for c in keep if c in t.column_names}
+            for name, typ in fields:
+                if name == "__side":
+                    arr = pa.nulls(t.num_rows, pa.string()).fill_null(side)
+                elif name in present:
+                    arr = t[present[name]].combine_chunks()
+                    if arr.type != typ:
+                        arr = arr.cast(typ)
+                else:
+                    arr = pa.nulls(t.num_rows, typ)
+                cols[name] = arr
+            return pa.table(cols)
+
+        return fn
+
+    l_tagged = left.map_batches(
+        _pad("l", list(l_schema.names), {}), batch_format="pyarrow"
+    )
+    r_tagged = right.map_batches(
+        _pad("r", by + [on] + right_cols, dict(zip(right_cols, renamed))),
+        batch_format="pyarrow",
+    )
+    both = l_tagged.union(r_tagged)
+    left_cols = [n for n in l_schema.names]
+    out_cols = left_cols + renamed
+
+    l_pd_types = {
+        n: t.to_pandas_dtype() for n, t in zip(l_schema.names, l_schema.types)
+        if not pa.types.is_nested(t)
+    }
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        l = df[df["__side"] == "l"][left_cols].copy()
+        # the right rows' null padding promoted non-null left int columns
+        # to float64 in the bucket frame — restore the exact left dtypes
+        for n, t in l_pd_types.items():
+            if l[n].dtype != t and not l[n].isna().any():
+                try:
+                    l[n] = l[n].astype(t, copy=False)
+                except (TypeError, ValueError):
+                    pass
+        r = df[df["__side"] == "r"][by + [on] + renamed]
+        if not len(l):
+            return df.head(0)[out_cols]
+        if not len(r):
+            if how == "inner":
+                return df.head(0)[out_cols]
+            out = l.copy()
+            for c in renamed:
+                out[c] = np.nan
+            return out
+        l = l.sort_values(on, kind="mergesort")
+        r = r.sort_values([on] + renamed, kind="mergesort")
+        # match marker: a right row whose value columns are ALL null must
+        # still count as matched under how="inner"
+        r = r.assign(__m=1.0)
+        merged = pd.merge_asof(
+            l, r, on=on, by=by if len(by) > 1 else by[0],
+            direction=direction, tolerance=tolerance,
+        )
+        if how == "inner":
+            merged = merged.dropna(subset=["__m"])
+            # restore exact right dtypes (left-merge promoted ints)
+            for c, rc in zip(right_cols, renamed):
+                merged[rc] = merged[rc].astype(
+                    r_types[c].to_pandas_dtype(), copy=False
+                )
+        return merged[out_cols]
+
+    return bucketed_group_apply(
+        both, by, per_bucket, n_buckets=n_buckets, batch_format="pandas"
+    )

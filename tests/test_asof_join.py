@@ -1,0 +1,92 @@
+"""As-of join (stages/joins.py:asof_join): backward/forward, inner/left,
+tolerance, exact-tie determinism, hot-key skew."""
+
+import pandas as pd
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
+
+
+def _sides():
+    left = rd.from_items(
+        [
+            {"lid": 1, "k": "a", "t": 10},
+            {"lid": 2, "k": "a", "t": 25},
+            {"lid": 3, "k": "b", "t": 7},
+            {"lid": 4, "k": "c", "t": 5},  # no right rows for c
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"rid": 100, "k": "a", "t": 8, "v": 1.0},
+            {"rid": 101, "k": "a", "t": 20, "v": 2.0},
+            {"rid": 102, "k": "a", "t": 30, "v": 3.0},
+            {"rid": 103, "k": "b", "t": 7, "v": 4.0},  # exact tie with lid 3
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_inner(ray_session):
+    left, right = _sides()
+    out = asof_join(
+        left, right, on="t", by="k", right_cols=["rid", "v"], how="inner"
+    ).to_pandas().sort_values("lid")
+    got = {int(r.lid): (int(r.rid_r), r.v_r) for r in out.itertuples()}
+    assert got == {1: (100, 1.0), 2: (101, 2.0), 3: (103, 4.0)}  # tie inclusive
+    assert out["rid_r"].dtype == "int64"  # exact right dtype preserved
+
+
+def test_asof_backward_left(ray_session):
+    left, right = _sides()
+    out = asof_join(
+        left, right, on="t", by="k", right_cols=["rid"], how="left"
+    ).to_pandas()
+    assert len(out) == 4
+    unmatched = out[out["lid"] == 4]
+    assert unmatched["rid_r"].isna().all()
+
+
+def test_asof_forward(ray_session):
+    left, right = _sides()
+    out = asof_join(
+        left, right, on="t", by="k", right_cols=["rid"],
+        direction="forward", how="inner",
+    ).to_pandas()
+    got = {int(r.lid): int(r.rid_r) for r in out.itertuples()}
+    assert got == {1: (101), 2: (102), 3: (103)}
+
+
+def test_asof_tolerance(ray_session):
+    left, right = _sides()
+    out = asof_join(
+        left, right, on="t", by="k", right_cols=["rid"],
+        how="inner", tolerance=3,
+    ).to_pandas()
+    # lid1 t=10 vs rid100 t=8 (gap 2, ok); lid2 t=25 vs t=20 (gap 5, out)
+    got = {int(r.lid): int(r.rid_r) for r in out.itertuples()}
+    assert got == {1: 100, 3: 103}
+
+
+def test_asof_hot_key_and_determinism(ray_session):
+    # one hot key with many rows both sides; rerun-identical output
+    left = rd.from_items([{"lid": i, "k": "h", "t": i * 10} for i in range(200)])
+    right = rd.from_items(
+        [{"rid": i, "k": "h", "t": i * 10 + 5, "v": float(i)} for i in range(200)]
+    )
+    a = (
+        asof_join(left, right, on="t", by="k", right_cols=["rid"], how="inner")
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # left t=i*10 matches right t=(i-1)*10+5 -> rid i-1; lid 0 unmatched
+    assert len(a) == 199
+    assert (a["rid_r"] == a["lid"] - 1).all()
+    b = (
+        asof_join(left, right, on="t", by="k", right_cols=["rid"], how="inner")
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
