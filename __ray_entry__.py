@@ -753,6 +753,24 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        sessionize,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = sessionize(
+        ds, key_col="user_id", ts_col="ts", gap=pd.Timedelta(minutes=30),
+        id_col="event_id",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "session_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_window(sf_dir: str):
     import pandas as pd
 
@@ -1220,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "cap_per_group": _q_cap_per_group,
         "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
@@ -1499,6 +1518,24 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT event_id, ts, user_id, value
                        FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # gap-based sessionization (stages/sessions.py): new session at the
+        # key's first event or when the gap STRICTLY exceeds 30 minutes;
+        # 0-based per key, exact-ts ties broken by event_id
+        "sessionize": """
+            WITH x AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(new_sess) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM x
         """,
         # per-group quota (stages/sampling.py:cap_per_group): keep the k=20
         # rows per source with the smallest md5 fraction, ties by doc_id —

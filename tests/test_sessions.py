@@ -1,0 +1,47 @@
+"""Gap-based sessionization (stages/sessions.py)."""
+
+import pandas as pd
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+    session_summary,
+    sessionize,
+)
+
+
+def _events():
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: two sessions (gap of 45m between event 2 and 3)
+    for i, mins in enumerate([0, 10, 20, 65, 70]):
+        rows.append({"event_id": i, "user_id": 1, "ts": base + pd.Timedelta(minutes=mins)})
+    # user 2: one session, includes a gap of EXACTLY 30m (stays in-session)
+    for i, mins in enumerate([0, 30, 59]):
+        rows.append({"event_id": 100 + i, "user_id": 2, "ts": base + pd.Timedelta(minutes=mins)})
+    return rd.from_items(rows)
+
+
+def test_sessionize_gap_rule(ray_session):
+    out = sessionize(
+        _events(), key_col="user_id", ts_col="ts",
+        gap=pd.Timedelta(minutes=30), id_col="event_id",
+    ).to_pandas().sort_values("event_id")
+    sess = dict(zip(out["event_id"], out["session_id"]))
+    assert [sess[i] for i in range(5)] == [0, 0, 0, 1, 1]
+    # exact-gap boundary is inclusive: all of user 2 in one session
+    assert [sess[100 + i] for i in range(3)] == [0, 0, 0]
+
+
+def test_session_summary(ray_session):
+    labelled = sessionize(
+        _events(), key_col="user_id", ts_col="ts",
+        gap=pd.Timedelta(minutes=30), id_col="event_id",
+    )
+    out = session_summary(labelled).to_pandas()
+    rows = {
+        (int(r.user_id), int(r.session_id)): int(r.n_events)
+        for r in out.itertuples()
+    }
+    assert rows == {(1, 0): 3, (1, 1): 2, (2, 0): 3}
+    u1s1 = out[(out["user_id"] == 1) & (out["session_id"] == 1)].iloc[0]
+    assert (u1s1["session_end"] - u1s1["session_start"]) == pd.Timedelta(minutes=5)
