@@ -753,6 +753,44 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_range_join(sf_dir: str):
+    """Every view within the 12 hours before each click (same user)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import range_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .drop_columns(["event_type", "value"])
+        .append_column(
+            "lo",
+            pc.subtract(
+                t.filter(pc.equal(t["event_type"], "click"))["ts"],
+                pa.scalar(43_200_000_000, pa.duration("us")),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    views = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = range_join(
+        clicks,
+        views,
+        by="user_id",
+        left_lo="lo",
+        left_hi="ts",
+        right_val="ts",
+        right_cols=["event_id", "value"],
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "event_id_r", "value_r"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -1239,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_group": _q_cap_per_group,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
+        "range_join": _q_range_join,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
@@ -1518,6 +1557,20 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT event_id, ts, user_id, value
                        FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # inclusive range join (stages/joins.py:range_join): every view in
+        # [click.ts - 12h, click.ts], same user — DuckDB runs the
+        # inequality pair as an IEJoin
+        "range_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS event_id_r, r.value AS value_r
+            FROM (SELECT event_id, ts, user_id
+                  FROM events WHERE event_type = 'click') l
+            JOIN (SELECT event_id, ts, user_id, value
+                  FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts - INTERVAL '12 hours'
+             AND r.ts <= l.ts
         """,
         # gap-based sessionization (stages/sessions.py): new session at the
         # key's first event or when the gap STRICTLY exceeds 30 minutes;

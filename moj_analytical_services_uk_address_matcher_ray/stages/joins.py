@@ -541,3 +541,127 @@ def asof_join(
     return bucketed_group_apply(
         both, by, per_bucket, n_buckets=n_buckets, batch_format="pandas"
     )
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    left_lo: str,
+    left_hi: str,
+    right_val: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Range (interval) join: pair each left row with EVERY right row whose
+    ``right_val`` falls in the left row's inclusive ``[left_lo, left_hi]``
+    window, within the same ``by`` key — the windowed-attribution /
+    interval-overlap operator (inner semantics; a left row with no match
+    emits nothing).
+
+    Same single tagged-union shuffle as ``asof_join``; inside each bucket
+    the right side is sorted once per key and every key's matches come from
+    two vectorised ``searchsorted`` calls + a repeat/arange pair expansion
+    — per-bucket cost O((l + r) log r + output).  One-to-many output: rows
+    multiply, so cap the window width at the caller when fan-out matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .bucketing import bucketed_group_apply
+
+    l_schema, r_schema = left.schema(), right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    renamed = [c + suffix for c in right_cols]
+    clash = set(renamed) & set(l_schema.names)
+    if clash:
+        raise ValueError(f"suffixed right columns collide with left: {clash}")
+    fields = list(zip(l_schema.names, l_schema.types)) + [
+        ("__rv", r_types[right_val])
+    ] + [(rc, r_types[c]) for c, rc in zip(right_cols, renamed)]
+    fields.append(("__side", pa.string()))
+    left_cols = list(l_schema.names)
+    out_cols = left_cols + renamed
+
+    def _pad(side: str, rename: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            present = {rename.get(c, c): c for c in t.column_names}
+            cols = {}
+            for name, typ in fields:
+                if name == "__side":
+                    cols[name] = pa.nulls(t.num_rows, pa.string()).fill_null(side)
+                elif name in present:
+                    arr = t[present[name]].combine_chunks()
+                    cols[name] = arr if arr.type == typ else arr.cast(typ)
+                else:
+                    cols[name] = pa.nulls(t.num_rows, typ)
+            return pa.table(cols)
+
+        return fn
+
+    r_rename = {right_val: "__rv", **dict(zip(right_cols, renamed))}
+    l_tagged = left.map_batches(_pad("l", {}), batch_format="pyarrow")
+    r_tagged = right.map_batches(
+        _pad("r", r_rename), batch_format="pyarrow"
+    )
+    both = l_tagged.union(r_tagged)
+
+    # the union's null padding promotes the other side's int columns to
+    # float64 in the bucket frame — restore exact dtypes on output
+    pd_types = {
+        n: t.to_pandas_dtype() for n, t in zip(l_schema.names, l_schema.types)
+        if not pa.types.is_nested(t)
+    }
+    pd_types.update(
+        {
+            rc: r_types[c].to_pandas_dtype()
+            for c, rc in zip(right_cols, renamed)
+            if not pa.types.is_nested(r_types[c])
+        }
+    )
+
+    def _restore(out: "pd.DataFrame") -> "pd.DataFrame":
+        for n, t in pd_types.items():
+            if out[n].dtype != t and not out[n].isna().any():
+                try:
+                    out[n] = out[n].astype(t, copy=False)
+                except (TypeError, ValueError):
+                    pass
+        return out
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        l = df[df["__side"] == "l"]
+        r = df[df["__side"] == "r"][[by, "__rv"] + renamed]
+        if not len(l) or not len(r):
+            return df.head(0)[out_cols]
+        r = r.sort_values([by, "__rv"] + renamed, kind="mergesort")
+        r_groups = {k: g for k, g in r.groupby(by, sort=False)}
+        pieces = []
+        for k, lg in l.groupby(by, sort=False):
+            rg = r_groups.get(k)
+            if rg is None:
+                continue
+            vals = rg["__rv"].to_numpy()
+            lo = np.searchsorted(vals, lg[left_lo].to_numpy(), side="left")
+            hi = np.searchsorted(vals, lg[left_hi].to_numpy(), side="right")
+            counts = hi - lo
+            keep = counts > 0
+            if not keep.any():
+                continue
+            lo, counts = lo[keep], counts[keep]
+            l_idx = np.repeat(np.arange(len(lg))[keep], counts)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            r_idx = lo.repeat(counts) + (
+                np.arange(counts.sum()) - offs.repeat(counts)
+            )
+            lhs = lg.iloc[l_idx][left_cols].reset_index(drop=True)
+            rhs = rg.iloc[r_idx][renamed].reset_index(drop=True)
+            pieces.append(pd.concat([lhs, rhs], axis=1))
+        if not pieces:
+            return df.head(0)[out_cols]
+        return _restore(pd.concat(pieces, ignore_index=True))
+
+    return bucketed_group_apply(both, [by], per_bucket, n_buckets=n_buckets,
+                                batch_format="pandas")

@@ -90,3 +90,45 @@ def test_asof_hot_key_and_determinism(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_join_basic(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import range_join
+
+    left = rd.from_items(
+        [
+            {"lid": 1, "k": "a", "lo": 5, "hi": 15},
+            {"lid": 2, "k": "a", "lo": 100, "hi": 110},  # no matches
+            {"lid": 3, "k": "b", "lo": 0, "hi": 50},
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"rid": 10, "k": "a", "t": 5, "v": 1.0},   # inclusive lower bound
+            {"rid": 11, "k": "a", "t": 15, "v": 2.0},  # inclusive upper bound
+            {"rid": 12, "k": "a", "t": 16, "v": 3.0},  # out
+            {"rid": 13, "k": "b", "t": 25, "v": 4.0},
+            {"rid": 14, "k": "c", "t": 25, "v": 5.0},  # wrong key
+        ]
+    )
+    out = range_join(
+        left, right, by="k", left_lo="lo", left_hi="hi",
+        right_val="t", right_cols=["rid", "v"],
+    ).to_pandas()
+    pairs = sorted(zip(out["lid"], out["rid_r"]))
+    assert pairs == [(1, 10), (1, 11), (3, 13)]
+    assert out["rid_r"].dtype == "int64"
+
+
+def test_range_join_one_to_many_fanout(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import range_join
+
+    left = rd.from_items([{"lid": 1, "k": "h", "lo": 0, "hi": 99}])
+    right = rd.from_items(
+        [{"rid": i, "k": "h", "t": i} for i in range(200)]
+    )
+    out = range_join(
+        left, right, by="k", left_lo="lo", left_hi="hi",
+        right_val="t", right_cols=["rid"],
+    ).to_pandas()
+    assert sorted(out["rid_r"]) == list(range(100))
