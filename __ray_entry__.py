@@ -791,6 +791,30 @@ def _q_range_join(sf_dir: str):
     )
 
 
+def _q_group_quantiles(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        group_quantiles,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles(
+        ds, group_col="event_type", value_col="value",
+        quantiles=(0.5, 0.9, 0.99),
+    )
+
+
+def _q_pivot_counts(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        pivot_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ds, group_col="user_id", category_col="event_type",
+        categories=["click", "view", "error", "purchase", "signup"],
+    )
+
+
 def _q_sessionize(sf_dir: str):
     import pandas as pd
 
@@ -1278,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "range_join": _q_range_join,
+        "group_quantiles": _q_group_quantiles,
+        "pivot_counts": _q_pivot_counts,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
         "doc_sha256": _q_doc_sha,
@@ -1557,6 +1583,27 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT event_id, ts, user_id, value
                        FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # exact per-group continuous quantiles (stages/aggregates.py):
+        # quantile_cont's linear interpolation at q*(n-1); both sides
+        # rounded to 6 dp so the hash is arithmetic-order stable
+        "group_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        # pivoted category counts (stages/aggregates.py:pivot_counts):
+        # per-batch indicator partials, then one small groupby sum
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+            FROM events GROUP BY user_id
         """,
         # inclusive range join (stages/joins.py:range_join): every view in
         # [click.ts - 12h, click.ts], same user — DuckDB runs the

@@ -1,0 +1,51 @@
+"""Per-group exact quantiles and pivoted category counts
+(stages/aggregates.py)."""
+
+import numpy as np
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+    _quantile_cont,
+    group_quantiles,
+    pivot_counts,
+)
+
+
+def test_quantile_cont_formula():
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    assert _quantile_cont(v, 0.5) == 2.5  # interpolated midpoint
+    assert _quantile_cont(v, 0.0) == 1.0
+    assert _quantile_cont(v, 1.0) == 4.0
+    assert _quantile_cont(np.array([7.0]), 0.9) == 7.0
+
+
+def test_group_quantiles(ray_session):
+    rows = [{"g": "a", "v": float(i)} for i in range(101)] + [
+        {"g": "b", "v": 10.0},
+        {"g": "b", "v": 20.0},
+    ]
+    out = group_quantiles(
+        rd.from_items(rows), group_col="g", value_col="v"
+    ).to_pandas().set_index("g")
+    assert out.loc["a", "p50"] == 50.0
+    assert out.loc["a", "p90"] == 90.0
+    assert out.loc["a", "p99"] == 99.0
+    assert out.loc["b", "p50"] == 15.0  # interpolated between the two values
+
+
+def test_pivot_counts(ray_session):
+    rows = (
+        [{"u": 1, "c": "x"}] * 3
+        + [{"u": 1, "c": "y"}] * 2
+        + [{"u": 2, "c": "y"}]
+        + [{"u": 2, "c": "z"}]  # unlisted category: ignored
+        + [{"u": 3, "c": None}]  # null category: counts nowhere
+    )
+    out = pivot_counts(
+        rd.from_items(rows), group_col="u", category_col="c",
+        categories=["x", "y"],
+    ).to_pandas().set_index("u").sort_index()
+    assert out.loc[1].tolist() == [3, 2]
+    assert out.loc[2].tolist() == [0, 1]
+    assert out.loc[3].tolist() == [0, 0]
+    assert str(out["n_x"].dtype) == "int64"
