@@ -81,3 +81,26 @@ def test_incremental_matching_example(ray_session, tmp_path):
         verbose=False,
     )
     assert m["deltas"][0]["correct"] >= 20  # >=80% of the planted matches
+
+
+def test_training_data_prep_example(ray_session, tmp_path):
+    from examples.training_data_prep import main
+
+    out = main(
+        "/root/testdata/sf0.001", str(tmp_path / "prep"), verbose=False
+    )
+    assert out["input_docs"] == 500
+    splits = out["rows_per_split"]
+    # val/test are raw docs: together they cannot exceed the gated corpus
+    assert 0 < splits["val"] + splits["test"] <= out["after_gate_dedup_quota"]
+    # train is chunk-expanded: at least one chunk per train doc
+    assert splits["train"] > 0
+    # resumable sinks: per-partition lineage manifests on disk
+    import json
+    import os
+
+    for name in ("train", "val", "test"):
+        with open(tmp_path / "prep" / name / "_MANIFEST.json") as fh:
+            m = json.load(fh)
+        assert m["rows"] == splits[name]
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
