@@ -562,3 +562,159 @@ def dedup_code_corpus(
         )
 
     return bucketed_group_apply(out, "cluster_id", relabel_bucket)
+
+
+def match_code_corpora(
+    messy: "ray.data.Dataset",
+    canon: "ray.data.Dataset",
+    *,
+    model: FSModel | None = None,
+    predict_threshold: float = -50.0,
+    max_pairs_per_block: int = 20_000,
+    n_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Two-table match: best canonical record per messy record.
+
+    The reference's gazetteer flow (examples/match_epc_to_os.py:60-119:
+    clean canonical once with its own term frequencies, clean the messy
+    side against those precomputed frequencies, deterministic exact pass,
+    Splink predict at ``threshold_match_weight``, keep top-1) re-expressed
+    Ray-Data-first:
+
+    * canonical TF statistics come from ONE fused aggregate over the
+      cleaned canonical table and are broadcast (``ray.put``) — the messy
+      clean is then a pure map chain with no shuffle at all;
+    * the deterministic pass is a zero-shuffle broadcast sha256 merge;
+      resolved rows leave the probabilistic input (reference
+      splink_model.py:49-54);
+    * FS scoring rides the fused emit+score bucket tasks with per-bucket
+      partial top-1 (``partial_top1_per_r``), so ~one row per (messy
+      record, touched bucket) reaches the final reduce;
+    * the global winner per messy record is ONE bucketed shuffle (max
+      weight, ties -> lexicographically smallest canonical id — the
+      reference's deterministic ORDER BY tie-break).
+
+    Returns Dataset ``(ukam_address_id, canonical_ukam_address_id,
+    match_weight, match_reason)`` — one row per matched messy record;
+    ``match_weight`` is null for deterministic (exact-sha) matches.
+    """
+    import numpy as np
+
+    from ..stages.blocking import generate_and_score_pairs
+    from ..stages.bucketing import bucketed_group_apply, default_buckets
+    from ..stages.exact import annotate_exact_matches_broadcast
+    from .clean import apply_post_tf, apply_pre_tf, corpus_tf_and_end_tokens
+
+    def _coalesce(ds):
+        tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
+        if ds.num_blocks() > 2 * tgt:
+            ds = ds.repartition(tgt).materialize()
+        return ds
+
+    from ..state.checkpoint import checkpoint_stage
+
+    def _clean_canon(c):
+        return apply_pre_tf(
+            c.map_batches(derive_code_features, batch_format="pyarrow")
+        )
+
+    if checkpoint_dir:
+        canon_pre = checkpoint_stage(
+            _clean_canon, canon, f"{checkpoint_dir}/01_canon_pre",
+            stage_name="canon_pre",
+        ).materialize()
+    else:
+        canon_pre = _clean_canon(canon).materialize()
+    canon_pre = _coalesce(canon_pre)
+    tf_dict, end_tokens, tf_default = corpus_tf_and_end_tokens(canon_pre)
+    tf_ref = ray.put(tf_dict)
+    canon_c = apply_post_tf(
+        canon_pre, tf_ref, end_tokens, tf_default=tf_default
+    ).materialize()
+
+    def _clean_messy(m):
+        return prepare_code_dataset(
+            m, rel_tok_freq=tf_dict, end_tokens=end_tokens, tf_default=tf_default
+        )
+
+    if checkpoint_dir:
+        messy_c = checkpoint_stage(
+            _clean_messy, messy, f"{checkpoint_dir}/02_messy_clean",
+            stage_name="messy_clean",
+        ).materialize()
+    else:
+        messy_c = _clean_messy(messy).materialize()
+    messy_c = _coalesce(messy_c)
+
+    # deterministic pass (zero shuffle): resolved rows leave the
+    # probabilistic input
+    annotated = annotate_exact_matches_broadcast(
+        messy_c, canon_c, match_cols=("content_sha256",)
+    )
+    def _det_rows(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.is_valid(t["match_reason"]))
+        return pa.table(
+            {
+                "ukam_address_id": hit["ukam_address_id"],
+                "canonical_ukam_address_id": hit["canonical_ukam_address_id"],
+                "match_weight": pa.nulls(hit.num_rows, pa.float64()),
+                "match_reason": pa.array(
+                    ["exact_sha256"] * hit.num_rows, pa.string()
+                ),
+            }
+        )
+
+    det = annotated.map_batches(_det_rows, batch_format="pyarrow")
+    unresolved = annotated.map_batches(
+        lambda t: t.filter(pc.is_null(t["match_reason"])).drop_columns(
+            ["canonical_ukam_address_id", "resolved_canonical_id", "match_reason"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # probabilistic pass: sha_prefix blocks only pair identical content,
+    # which the exact pass just removed from the messy side — dead weight
+    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
+    mdl = model or code_model(blocking_rules=rules)
+    scored = generate_and_score_pairs(
+        canon_c,
+        unresolved,
+        mdl,
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=predict_threshold,
+        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+        max_pairs_per_block=max_pairs_per_block,
+        hot_key_threshold=None,
+        dedupe_output=False,
+        partial_top1_per_r=True,
+        n_buckets=n_buckets or 48,
+    ).materialize()
+
+    # global top-1 per messy record: ONE bucketed shuffle over the sparse
+    # partial-top1 stream (~rows = messy x touched buckets, not pairs)
+    def top1_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df.sort_values(
+            ["match_weight", "ukam_address_id_l"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).drop_duplicates("ukam_address_id_r", keep="first")
+        n = len(df)
+        return pa.table(
+            {
+                "ukam_address_id": pa.array(
+                    df["ukam_address_id_r"].tolist(), pa.string()
+                ),
+                "canonical_ukam_address_id": pa.array(
+                    df["ukam_address_id_l"].tolist(), pa.string()
+                ),
+                "match_weight": pa.array(
+                    np.asarray(df["match_weight"], dtype=np.float64), pa.float64()
+                ),
+                "match_reason": pa.array(["fs_top1"] * n, pa.string()),
+            }
+        )
+
+    top1 = bucketed_group_apply(scored, "ukam_address_id_r", top1_bucket)
+    return det.union(top1)

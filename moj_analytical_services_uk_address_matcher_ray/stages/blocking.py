@@ -26,6 +26,7 @@ replicated into every salt bucket, so no single task sees the whole block.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from dataclasses import dataclass
 
@@ -1528,7 +1529,7 @@ def make_fused_emit_score(
     max_pairs_per_block: int,
     ordered_self_pairs: bool,
     symmetric_rules: frozenset[int] = frozenset(),
-    chunk_pairs: int = 262_144,
+    chunk_pairs: int | None = None,
     warm_ref=None,
     partial_top1_per_r: bool = False,
 ):
@@ -1563,6 +1564,12 @@ def make_fused_emit_score(
     the id-order filter applied after.  Cap semantics and the dropped-pairs
     metric match the unfused emitter.
     """
+    if chunk_pairs is None:
+        # default slice: large enough to amortise the per-slice fixed costs
+        # (pandas view build, evaluator dispatch), overridable for cache-
+        # residency experiments via UAM_CHUNK_PAIRS (see BASELINE.md round-3
+        # DRAM analysis — slice size bounds the kernel-temporary working set)
+        chunk_pairs = int(os.environ.get("UAM_CHUNK_PAIRS", "262144"))
     ctor_kwargs = dict(
         payload_cols=payload_cols,
         id_col=id_col,
