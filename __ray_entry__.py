@@ -730,6 +730,65 @@ def _q_chunk_tokens(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: benchmark set = docs with
+    ``doc_id % 50 == 0``; n=3 (non-vacuous on the short small-vocabulary
+    synthetic docs — 13 is the published default for web text).  The
+    benchmark array is built once (broadcast small side) and the corpus is
+    scanned in ONE zero-shuffle actor-pool pass."""
+    import ray as _ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        NgramDecontaminator,
+        build_benchmark_ngrams,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 50), 50),
+                ),
+                0,
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    bench_ref = _ray.put(build_benchmark_ngrams(bench_ds, n=3))
+    return ds.map_batches(
+        NgramDecontaminator,
+        fn_constructor_args=(bench_ref,),
+        fn_constructor_kwargs={"n": 3},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "n_contaminated_ngrams", "contaminated"])
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition counts (integer outputs only —
+    the fraction columns are derived and float-free hashing is cleaner)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        repetition_stats,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_stats(t).select(
+            [
+                "doc_id",
+                "rep_n_tokens",
+                "rep_distinct_tokens",
+                "rep_top_token_count",
+                "rep_n_bigrams",
+                "rep_distinct_bigrams",
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1306,6 +1365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "redact_text": _q_redact,
         "chunk_tokens": _q_chunk_tokens,
+        "decontaminate": _q_decontaminate,
+        "doc_repetition": _q_doc_repetition,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1707,6 +1768,73 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tl[i*24+1 : i*24+32], ' ') AS chunk_text,
                    CAST(len(tl[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
             FROM c
+        """,
+        # benchmark n-gram decontamination (stages/text_analysis.py:
+        # NgramDecontaminator): token rule = regexp_split_to_array(
+        # trim(lower(text)), '\s+'); benchmark = distinct 3-grams of docs
+        # with doc_id % 50 = 0; hits count n-gram POSITIONS (duplicates
+        # included).  DuckDB list slices are 1-based inclusive.
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                FROM documents
+            ),
+            ng AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(tk) - 2, 0) + 1),
+                           i -> array_to_string(tk[i:i+2], ' '))) AS g
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT ng.doc_id, count(*) AS n_contaminated_ngrams
+                FROM ng JOIN bench USING (g) GROUP BY ng.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+                   coalesce(h.n_contaminated_ngrams, 0) > 0 AS contaminated
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+        """,
+        # Gopher-style repetition counts (stages/text_analysis.py:
+        # repetition_stats): same token rule as decontaminate; bigrams are
+        # adjacent token pairs within a document
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+            tc AS (
+                SELECT doc_id, count(*) AS rep_n_tokens,
+                       count(DISTINCT tok) AS rep_distinct_tokens
+                FROM tok GROUP BY doc_id
+            ),
+            topc AS (
+                SELECT doc_id, max(c) AS rep_top_token_count
+                FROM (SELECT doc_id, tok, count(*) AS c
+                      FROM tok GROUP BY doc_id, tok)
+                GROUP BY doc_id
+            ),
+            big AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(tk) - 1, 0) + 1),
+                           i -> array_to_string(tk[i:i+1], ' '))) AS g
+                FROM toks
+            ),
+            bc AS (
+                SELECT doc_id, count(*) AS rep_n_bigrams,
+                       count(DISTINCT g) AS rep_distinct_bigrams
+                FROM big GROUP BY doc_id
+            )
+            SELECT tc.doc_id, rep_n_tokens, rep_distinct_tokens,
+                   rep_top_token_count,
+                   coalesce(rep_n_bigrams, 0) AS rep_n_bigrams,
+                   coalesce(rep_distinct_bigrams, 0) AS rep_distinct_bigrams
+            FROM tc JOIN topc USING (doc_id) LEFT JOIN bc USING (doc_id)
         """,
         # language-ID heuristic re-derived in SQL: CJK-codepoint share
         # decides 'zh'; otherwise the language with the most stopword hits

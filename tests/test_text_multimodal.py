@@ -157,3 +157,65 @@ def test_media_decode_auto_mode_falls_back():
     )
     out = dec(t)
     assert out["shape"].to_pylist()[0] == [50, 100, 3]
+
+
+def test_repetition_stats_hand_computed():
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        repetition_stats,
+    )
+
+    out = repetition_stats(
+        _t(["a b a b a", "x y z", "  A  a   A ", ""])
+    )
+    # doc0: tokens [a b a b a] -> 5 tokens, 2 distinct, top=3 (a);
+    #       bigrams [a b, b a, a b, b a] -> 4, 2 distinct
+    # doc1: all distinct; doc2: lowercased+trimmed -> [a a a];
+    # doc3: empty text -> the single empty token (DuckDB split parity)
+    assert out["rep_n_tokens"].to_pylist() == [5, 3, 3, 1]
+    assert out["rep_distinct_tokens"].to_pylist() == [2, 3, 1, 1]
+    assert out["rep_top_token_count"].to_pylist() == [3, 1, 3, 1]
+    assert out["rep_n_bigrams"].to_pylist() == [4, 2, 2, 0]
+    assert out["rep_distinct_bigrams"].to_pylist() == [2, 2, 1, 0]
+    assert out["dup_token_frac"].to_pylist() == pytest.approx(
+        [0.6, 0.0, 2 / 3, 0.0]
+    )
+    assert out["dup_bigram_frac"].to_pylist() == pytest.approx(
+        [0.5, 0.0, 0.5, 0.0]
+    )
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        NgramDecontaminator,
+        build_benchmark_ngrams,
+    )
+
+    bench_ds = rd.from_arrow(
+        _t(["the secret benchmark passage lives here", "another held out row"])
+    )
+    bench = build_benchmark_ngrams(bench_ds, n=3)
+    # every consecutive 3-gram of both benchmark docs, no cross-doc windows
+    assert len(bench) == (6 - 3 + 1) + (4 - 3 + 1)
+    corpus = _t(
+        [
+            "contains the secret benchmark passage lives here verbatim",
+            "totally clean document with fresh words",
+            "ends with the secret benchmark",  # one 3-gram hit
+            "benchmark passage",  # shorter than n -> no window
+        ]
+    )
+    out = NgramDecontaminator(ray.put(bench), n=3)(corpus)
+    assert out["contaminated"].to_pylist() == [True, False, True, False]
+    assert out["n_contaminated_ngrams"].to_pylist() == [4, 0, 1, 0]
+    # stage shape: actor-pool map_batches over a Dataset
+    ds = rd.from_arrow(corpus).map_batches(
+        NgramDecontaminator,
+        fn_constructor_args=(ray.put(bench),),
+        fn_constructor_kwargs={"n": 3},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    got = ds.to_pandas().sort_values("text").reset_index(drop=True)
+    assert int(got["n_contaminated_ngrams"].sum()) == 5
