@@ -3,6 +3,9 @@ composition the extension operators exist for:
 
   read -> redact (PII-style regex chain)
        -> quality gate (length / punctuation / token-count thresholds)
+       -> repetition gate (Gopher-style duplicate-token/bigram fractions)
+       -> benchmark decontamination (n-gram overlap vs a broadcast
+          held-out set, dropped before training data is cut)
        -> exact dedup (sha256 hash-partition, keep first)
        -> per-source quota (cap_per_group, stable md5 lottery)
        -> deterministic train/val/test split (split_by_hash)
@@ -46,9 +49,12 @@ def main(
         split_by_hash,
     )
     from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        NgramDecontaminator,
+        build_benchmark_ngrams,
         chunk_tokens,
         quality_score,
         redact,
+        repetition_stats,
     )
     from moj_analytical_services_uk_address_matcher_ray.sources.io import (
         write_parquet_with_manifest,
@@ -60,20 +66,49 @@ def main(
     )
     n_in = docs.count()
 
-    # 1. redact, then quality-gate on the REDACTED text (fused map chain)
+    # 1. redact, then quality- and repetition-gate on the REDACTED text
+    #    (one fused map chain — no shuffle)
     def prep(t):
         t = redact(t)
         t = t.drop_columns(["text"]).rename_columns(
             ["doc_id", "source", "text", "n_redacted"]
         )
         t = quality_score(t)
+        t = repetition_stats(t)
         keep = pc.and_(
-            pc.greater_equal(t["n_tokens"], 5),
-            pc.less_equal(t["punct_ratio"], 0.2),
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], 5),
+                pc.less_equal(t["punct_ratio"], 0.2),
+            ),
+            pc.less_equal(t["dup_bigram_frac"], 0.5),
         )
         return t.filter(keep).select(["doc_id", "source", "text"])
 
     gated = docs.map_batches(prep, batch_format="pyarrow")
+
+    # 1b. benchmark decontamination: the held-out eval set (stand-in: every
+    #     50th doc) contributes a broadcast n-gram array built once; the
+    #     corpus is scanned in ONE zero-shuffle actor-pool pass and
+    #     benchmark-overlapping docs are dropped before any split is cut
+    bench_ds = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 50), 50)), 0)
+        ).select(["text"]),
+        batch_format="pyarrow",
+    )
+    bench_ref = ray.put(build_benchmark_ngrams(bench_ds, n=5))
+    gated = gated.map_batches(
+        NgramDecontaminator,
+        fn_constructor_args=(bench_ref,),
+        fn_constructor_kwargs={"n": 5},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"])).select(
+            ["doc_id", "source", "text"]
+        ),
+        batch_format="pyarrow",
+    )
 
     # 2. exact dedup on content hash (one bucketed shuffle, keep min doc_id);
     #    winners flow back through a distributed semi join — never through
