@@ -595,9 +595,14 @@ def match_code_corpora(
       weight, ties -> lexicographically smallest canonical id — the
       reference's deterministic ORDER BY tie-break).
 
-    Returns Dataset ``(ukam_address_id, canonical_ukam_address_id,
-    match_weight, match_reason)`` — one row per matched messy record;
-    ``match_weight`` is null for deterministic (exact-sha) matches.
+    Returns Dataset ``(ukam_address_id, unique_id,
+    canonical_ukam_address_id, canonical_unique_id, match_weight,
+    match_reason)`` — one row per matched messy record; ``match_weight``
+    is null for deterministic (exact-sha) matches.  The user-meaningful
+    ``unique_id`` columns (``repo::path@commit``) cost no extra shuffle:
+    the messy side's rides the fused-score emit payload and the canonical
+    side's comes from the broadcast exact index / the scorer's carry
+    columns.
     """
     import numpy as np
 
@@ -657,7 +662,11 @@ def match_code_corpora(
         return pa.table(
             {
                 "ukam_address_id": hit["ukam_address_id"],
+                "unique_id": hit["unique_id"],
                 "canonical_ukam_address_id": hit["canonical_ukam_address_id"],
+                # the broadcast exact index resolves the canonical row's
+                # unique_id alongside its ukam id — no join needed
+                "canonical_unique_id": hit["resolved_canonical_id"],
                 "match_weight": pa.nulls(hit.num_rows, pa.float64()),
                 "match_reason": pa.array(
                     ["exact_sha256"] * hit.num_rows, pa.string()
@@ -683,7 +692,13 @@ def match_code_corpora(
         mdl,
         carry_cols=DEDUP_CARRY_COLS,
         threshold_match_weight=predict_threshold,
-        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+        emit_cols=[
+            "ukam_address_id_l",
+            "ukam_address_id_r",
+            "unique_id_l",
+            "unique_id_r",
+            "match_weight",
+        ],
         max_pairs_per_block=max_pairs_per_block,
         hot_key_threshold=None,
         dedupe_output=False,
@@ -706,8 +721,12 @@ def match_code_corpora(
                 "ukam_address_id": pa.array(
                     df["ukam_address_id_r"].tolist(), pa.string()
                 ),
+                "unique_id": pa.array(df["unique_id_r"].tolist(), pa.string()),
                 "canonical_ukam_address_id": pa.array(
                     df["ukam_address_id_l"].tolist(), pa.string()
+                ),
+                "canonical_unique_id": pa.array(
+                    df["unique_id_l"].tolist(), pa.string()
                 ),
                 "match_weight": pa.array(
                     np.asarray(df["match_weight"], dtype=np.float64), pa.float64()

@@ -114,11 +114,12 @@ def test_job_match_two_table(ray_session, tmp_path):
         got.columns
     )
     # accuracy on the planted clusters: a matched pair is correct when the
-    # canonical record's cluster equals the messy record's cluster
+    # canonical record's cluster equals the messy record's cluster (the
+    # output's unique_id columns are the repo::path@commit keys the labels
+    # table uses — ukam_address_id is an opaque surrogate hash)
     assert result["rows"] >= int(messy_tbl.num_rows * 0.9)
-    correct = sum(
-        1
-        for m, c in zip(got["ukam_address_id"], got["canonical_ukam_address_id"])
-        if cl.get(m) == cl.get(c)
+    assert got["unique_id"].map(cl).notna().all()
+    correct = int(
+        (got["unique_id"].map(cl) == got["canonical_unique_id"].map(cl)).sum()
     )
     assert correct >= int(result["rows"] * 0.95)
