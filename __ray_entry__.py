@@ -1777,7 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tk
                 FROM documents
             ),
             ng AS (
@@ -1803,7 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": """
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tk
                 FROM documents
             ),
             tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),

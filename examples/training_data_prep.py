@@ -89,11 +89,21 @@ def main(
     # 1b. benchmark decontamination: the held-out eval set (stand-in: every
     #     50th doc) contributes a broadcast n-gram array built once; the
     #     corpus is scanned in ONE zero-shuffle actor-pool pass and
-    #     benchmark-overlapping docs are dropped before any split is cut
+    #     benchmark-overlapping docs are dropped before any split is cut.
+    #     The benchmark text goes through the SAME redaction as the scanned
+    #     stream — n-grams must be compared in the same normalisation or a
+    #     redacted overlap region would slip through.
     bench_ds = docs.map_batches(
-        lambda t: t.filter(
-            pc.equal(pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 50), 50)), 0)
-        ).select(["text"]),
+        lambda t: redact(
+            t.filter(
+                pc.equal(
+                    pc.subtract(
+                        t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 50), 50)
+                    ),
+                    0,
+                )
+            )
+        ).select(["redacted_text"]).rename_columns(["text"]),
         batch_format="pyarrow",
     )
     bench_ref = ray.put(build_benchmark_ngrams(bench_ds, n=5))

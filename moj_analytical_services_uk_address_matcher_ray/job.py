@@ -162,15 +162,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="python -m moj_analytical_services_uk_address_matcher_ray.job",
         description=__doc__.split("\n\n")[0],
     )
-    p.add_argument(
+    sub = p.add_subparsers(dest="command", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    # on the COMMON parser (not the root) so the natural flag position —
+    # after the subcommand, like every other flag — parses
+    common.add_argument(
         "--num-cpus",
         type=int,
         default=None,
         help="local-session CPU cap (ignored when RAY_ADDRESS points at a cluster)",
     )
-    sub = p.add_subparsers(dest="command", required=True)
-
-    common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--input", required=True, help="input parquet path/dir")
     common.add_argument("--output", required=True, help="output parquet dir")
     common.add_argument(

@@ -180,11 +180,9 @@ def clean_dataset(
         # partial-aggregate here, exact/blocking shuffles later) spawns one
         # reduce task per input block, and per-task fixed cost dominates at
         # sub-MB blocks (see pipelines/code_linkage.py).  No-op at scale.
-        from ..stages.bucketing import default_buckets
+        from ..stages.bucketing import coalesce_blocks
 
-        tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
-        if ds.num_blocks() > 2 * tgt:
-            ds = ds.repartition(tgt).materialize()
+        ds = coalesce_blocks(ds)
     if rel_tok_freq is None and end_tokens is None:
         # fused single pass: token counts AND end-token counts from one
         # partial-aggregate shuffle (saves a full corpus scan)

@@ -348,12 +348,10 @@ def dedup_code_corpus(
     # cost (~0.1-0.3s) exceeded their UDF time by 10-100x (measured: 84.5s
     # wall for 1.2s of exact-match UDF).  At 10^12-row scale blocks are
     # naturally >=64MB and this is a no-op.
-    from ..stages.bucketing import default_buckets
+    from ..stages.bucketing import coalesce_blocks
 
     cleaned = cleaned.materialize()  # no-op unless resuming from checkpoint
-    tgt = max(default_buckets(), int((cleaned.size_bytes() or 0) // (64 << 20)))
-    if cleaned.num_blocks() > 2 * tgt:
-        cleaned = cleaned.repartition(tgt).materialize()
+    cleaned = coalesce_blocks(cleaned)
     inc_metric("phase.coalesce_sec", time.perf_counter() - _t)
     _t = time.perf_counter()
 
@@ -607,16 +605,9 @@ def match_code_corpora(
     import numpy as np
 
     from ..stages.blocking import generate_and_score_pairs
-    from ..stages.bucketing import bucketed_group_apply, default_buckets
+    from ..stages.bucketing import bucketed_group_apply, coalesce_blocks
     from ..stages.exact import annotate_exact_matches_broadcast
     from .clean import apply_post_tf, apply_pre_tf, corpus_tf_and_end_tokens
-
-    def _coalesce(ds):
-        tgt = max(default_buckets(), int((ds.size_bytes() or 0) // (64 << 20)))
-        if ds.num_blocks() > 2 * tgt:
-            ds = ds.repartition(tgt).materialize()
-        return ds
-
     from ..state.checkpoint import checkpoint_stage
 
     def _clean_canon(c):
@@ -631,7 +622,7 @@ def match_code_corpora(
         ).materialize()
     else:
         canon_pre = _clean_canon(canon).materialize()
-    canon_pre = _coalesce(canon_pre)
+    canon_pre = coalesce_blocks(canon_pre)
     tf_dict, end_tokens, tf_default = corpus_tf_and_end_tokens(canon_pre)
     tf_ref = ray.put(tf_dict)
     canon_c = apply_post_tf(
@@ -639,8 +630,14 @@ def match_code_corpora(
     ).materialize()
 
     def _clean_messy(m):
-        return prepare_code_dataset(
-            m, rel_tok_freq=tf_dict, end_tokens=end_tokens, tf_default=tf_default
+        # same pre-TF map chain, then annotate against the canonical TF via
+        # the ALREADY-broadcast tf_ref — routing through prepare_code_dataset
+        # would ray.put a second identical copy of the TF dict
+        return apply_post_tf(
+            apply_pre_tf(m.map_batches(derive_code_features, batch_format="pyarrow")),
+            tf_ref,
+            end_tokens,
+            tf_default=tf_default,
         )
 
     if checkpoint_dir:
@@ -650,13 +647,15 @@ def match_code_corpora(
         ).materialize()
     else:
         messy_c = _clean_messy(messy).materialize()
-    messy_c = _coalesce(messy_c)
+    messy_c = coalesce_blocks(messy_c)
 
     # deterministic pass (zero shuffle): resolved rows leave the
     # probabilistic input
     annotated = annotate_exact_matches_broadcast(
         messy_c, canon_c, match_cols=("content_sha256",)
-    )
+    ).materialize()  # consumed by BOTH branches below — lazy would re-run
+    # the broadcast hash-merge map over every messy row per consumer
+
     def _det_rows(t: pa.Table) -> pa.Table:
         hit = t.filter(pc.is_valid(t["match_reason"]))
         return pa.table(

@@ -19,6 +19,28 @@ import pyarrow as pa
 import ray
 
 
+def fs_for(path: str):
+    """(pyarrow filesystem, filesystem-local path) for a plain local path or
+    any pyarrow-supported URI (``s3://``, ``gcs://``, ``file://``, …).
+
+    The sink/checkpoint layers use this for their metadata operations
+    (manifest read/write, footer scans, completion markers) so the
+    resumable-output contract holds on object stores, not just the local
+    disk; the bulk data moves through Ray's own ``write_parquet`` /
+    ``read_parquet`` which resolve the same URIs internally."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _fs_exists(fs, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fs.get_file_info(path).type != pafs.FileType.NotFound
+
+
 def read_parquet(
     path: str,
     *,
@@ -231,28 +253,37 @@ def write_parquet_with_manifest(
 
     Lineage is read from the parquet FOOTERS (O(files) metadata reads) —
     not by re-scanning the written data, which would double the sink's IO
-    at corpus scale."""
+    at corpus scale.  All metadata operations go through ``fs_for``, so the
+    sink works identically on a local directory or an object-store URI
+    (the advertised cluster contract)."""
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
     from ..state.metrics import read_metrics
 
-    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            return json.load(f)
-    os.makedirs(out_dir, exist_ok=True)
+    fs, root = fs_for(out_dir)
+    root = root.rstrip("/")
+    manifest_path = f"{root}/_MANIFEST.json"
+    if _fs_exists(fs, manifest_path):
+        with fs.open_input_stream(manifest_path) as f:
+            return json.loads(f.read().decode())
+    fs.create_dir(root, recursive=True)
     kwargs = {}
     if min_rows_per_file:
         kwargs["min_rows_per_file"] = min_rows_per_file
     ds.write_parquet(out_dir, **kwargs)
-    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    infos = {
+        i.base_name: i
+        for i in fs.get_file_info(pafs.FileSelector(root))
+        if i.base_name.endswith(".parquet")
+    }
+    files = sorted(infos)
     partitions = []
     rows = 0
     for f in files:
-        p = os.path.join(out_dir, f)
-        n = pq.read_metadata(p).num_rows
+        n = pq.read_metadata(f"{root}/{f}", filesystem=fs).num_rows
         rows += n
-        partitions.append({"file": f, "rows": n, "bytes": os.path.getsize(p)})
+        partitions.append({"file": f, "rows": n, "bytes": infos[f].size})
     manifest = {
         "rows": rows,
         "files": files,
@@ -260,6 +291,6 @@ def write_parquet_with_manifest(
         "metrics": {k: v for k, v in sorted(read_metrics().items())},
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=1)
+    with fs.open_output_stream(manifest_path) as f:
+        f.write(json.dumps(manifest, indent=1).encode())
     return manifest

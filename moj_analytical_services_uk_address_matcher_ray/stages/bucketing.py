@@ -31,6 +31,23 @@ def default_buckets() -> int:
     return max(8, cpus)
 
 
+def coalesce_blocks(
+    ds: "ray.data.Dataset", *, target_block_bytes: int = 64 << 20
+) -> "ray.data.Dataset":
+    """Coalesce a many-tiny-blocks dataset to ~one block per CPU (or per
+    ``target_block_bytes``, whichever is more) and materialize.
+
+    Every sort-based groupby downstream spawns one reduce task per input
+    block, and per-task fixed cost dominates at sub-MB blocks (measured in
+    pipelines/code_linkage.py).  No-op — returned unchanged, not
+    materialized — when the block count is already within 2x of the
+    target, so it is safe to call unconditionally between phases."""
+    tgt = max(default_buckets(), int((ds.size_bytes() or 0) // target_block_bytes))
+    if ds.num_blocks() > 2 * tgt:
+        ds = ds.repartition(tgt).materialize()
+    return ds
+
+
 def _combine_keys(t: pa.Table, keys: list[str]) -> pa.Array:
     """Vectorised key concat (arrow cast + element-wise join); NULLs fold to
     '' so every row gets a bucket."""

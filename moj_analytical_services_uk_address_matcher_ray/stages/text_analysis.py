@@ -278,13 +278,16 @@ def chunk_tokens(
 def _token_stream(arr, *, lower: bool = True) -> tuple[pa.Array, np.ndarray]:
     """Whitespace-token stream of a string column: (flat token values,
     int64 list offsets).  Token rule shared verbatim with the DuckDB
-    oracles: ``regexp_split_to_array(trim(lower(text)), '\\s+')`` — an
-    empty or null text yields the single empty token on both engines."""
+    oracles: ``regexp_split_to_array(trim(lower(coalesce(text, ''))),
+    '\\s+')``.  Parity details: DuckDB ``trim()`` strips SPACES only (hence
+    ``utf8_trim(characters=" ")``, not the all-Unicode-whitespace kernel),
+    null text is coalesced to ``''`` on both engines, and an empty/
+    all-space text yields the single empty token."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_null(arr.type):
         arr = arr.cast(pa.string())
-    s = pc.utf8_trim_whitespace(pc.coalesce(arr, ""))
+    s = pc.utf8_trim(pc.coalesce(arr, ""), characters=" ")
     if lower:
         s = pc.utf8_lower(s)
     toks = pc.split_pattern_regex(s, pattern=_WS)

@@ -25,6 +25,7 @@ from typing import Callable
 
 import ray
 
+from ..sources.io import _fs_exists, fs_for
 from .metrics import read_metrics
 
 SUCCESS = "_SUCCESS"
@@ -32,7 +33,8 @@ METRICS = "_METRICS.json"
 
 
 def is_complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, SUCCESS))
+    fs, root = fs_for(path)
+    return _fs_exists(fs, f"{root.rstrip('/')}/{SUCCESS}")
 
 
 def checkpoint_stage(
@@ -43,15 +45,21 @@ def checkpoint_stage(
     stage_name: str | None = None,
 ) -> "ray.data.Dataset":
     """Apply ``fn`` and persist its output at ``path`` — or, if a complete
-    checkpoint already exists there, skip the work and read it back."""
+    checkpoint already exists there, skip the work and read it back.
+
+    ``path`` may be a local directory or any pyarrow-filesystem URI
+    (``s3://…``) — metadata operations go through ``fs_for`` so a job
+    pre-empted on one node resumes from the object store on another."""
+    from pyarrow import fs as pafs
+
+    fs, root = fs_for(path)
+    root = root.rstrip("/")
     if is_complete(path):
         return ray.data.read_parquet(path)
-    if os.path.exists(path):
+    if _fs_exists(fs, root):
         # incomplete checkpoint from a crashed run: wipe and redo
-        import shutil
-
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
+        fs.delete_dir(root)
+    fs.create_dir(root, recursive=True)
     t0 = time.perf_counter()
     metrics_before = read_metrics()
     out = fn(ds)
@@ -65,26 +73,32 @@ def checkpoint_stage(
         for k in metrics_after
         if metrics_after.get(k, 0) != metrics_before.get(k, 0)
     }
-    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-    with open(os.path.join(path, METRICS), "w") as f:
-        json.dump(
-            {
-                "stage": stage_name or os.path.basename(path),
-                "rows": n_rows,
-                "wall_sec": round(wall, 4),
-                "partitions": files,
-                "metrics": delta,
-                "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            },
-            f,
-            indent=1,
+    files = sorted(
+        i.base_name
+        for i in fs.get_file_info(pafs.FileSelector(root))
+        if i.base_name.endswith(".parquet")
+    )
+    with fs.open_output_stream(f"{root}/{METRICS}") as f:
+        f.write(
+            json.dumps(
+                {
+                    "stage": stage_name or os.path.basename(root),
+                    "rows": n_rows,
+                    "wall_sec": round(wall, 4),
+                    "partitions": files,
+                    "metrics": delta,
+                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                },
+                indent=1,
+            ).encode()
         )
     # marker written LAST -> a crash mid-write leaves an incomplete (retried) dir
-    with open(os.path.join(path, SUCCESS), "w") as f:
-        f.write("ok\n")
+    with fs.open_output_stream(f"{root}/{SUCCESS}") as f:
+        f.write(b"ok\n")
     return result
 
 
 def read_stage_metrics(path: str) -> dict:
-    with open(os.path.join(path, METRICS)) as f:
-        return json.load(f)
+    fs, root = fs_for(path)
+    with fs.open_input_stream(f"{root.rstrip('/')}/{METRICS}") as f:
+        return json.loads(f.read().decode())

@@ -153,3 +153,49 @@ def test_dedup_code_corpus_checkpointed_resume(ray_session, tmp_path):
     c1 = {r["unique_id"]: r["cluster_id"] for r in out1.take_all()}
     c2 = {r["unique_id"]: r["cluster_id"] for r in out2.take_all()}
     assert c1 == c2
+
+
+def test_sink_and_checkpoint_accept_filesystem_uris(ray_session, tmp_path):
+    """The cluster contract: output/checkpoint paths may be pyarrow-fs URIs
+    (s3://, gcs://, file://...).  Exercised here with file:// — the same
+    FileSystem.from_uri dispatch an object-store URI takes."""
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.sources.io import (
+        write_parquet_with_manifest,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.checkpoint import (
+        checkpoint_stage,
+        is_complete,
+        read_stage_metrics,
+    )
+
+    ds = rd.range(64).map_batches(lambda b: b)
+    out_uri = f"file://{tmp_path}/sink_out"
+    m = write_parquet_with_manifest(ds, out_uri)
+    assert m["rows"] == 64 and len(m["files"]) >= 1
+    assert all(p["bytes"] > 0 for p in m["partitions"])
+    # pre-existing manifest short-circuits: parquet files not rewritten
+    local = str(tmp_path / "sink_out")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(local, f)) for f in m["files"]
+    }
+    m2 = write_parquet_with_manifest(ds, out_uri)
+    assert m2["rows"] == 64
+    assert {
+        f: os.path.getmtime(os.path.join(local, f)) for f in m["files"]
+    } == mtimes
+
+    ck_uri = f"file://{tmp_path}/ckpt_uri"
+    calls = {"n": 0}
+
+    def stage(d):
+        calls["n"] += 1
+        return d.map_batches(lambda b: b)
+
+    r1 = checkpoint_stage(stage, ds, ck_uri, stage_name="uri_stage")
+    assert r1.count() == 64 and is_complete(ck_uri)
+    assert read_stage_metrics(ck_uri)["rows"] == 64
+    r2 = checkpoint_stage(stage, ds, ck_uri, stage_name="uri_stage")
+    assert r2.count() == 64
+    assert calls["n"] == 1  # second call resumed from the checkpoint

@@ -46,10 +46,21 @@ def test_job_dedup_end_to_end_and_resume(ray_session, tmp_path):
     assert manifest["rows"] == result["rows"]
     assert all(p["rows"] >= 0 and p["bytes"] > 0 for p in manifest["partitions"])
     assert "metrics" in manifest
-    # second invocation resumes: manifest short-circuits the sink
+    # second invocation resumes: manifest short-circuits the sink — the
+    # output files must NOT be rewritten (deterministic check; a wall-clock
+    # comparison would flake on a fast box)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
     again = args.fn(args)
     assert again["rows"] == result["rows"]
-    assert again["wall_sec"] < result["wall_sec"]
+    assert {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    } == mtimes
 
 
 def test_job_clean_prunes_and_writes(ray_session, tmp_path):

@@ -219,3 +219,79 @@ def test_decontaminate_flags_benchmark_overlap(ray_session):
     )
     got = ds.to_pandas().sort_values("text").reset_index(drop=True)
     assert int(got["n_contaminated_ngrams"].sum()) == 5
+
+
+def test_token_rule_duckdb_parity_edge_cases():
+    """The decontaminate/doc_repetition oracle contract on the awkward
+    inputs: null text, all-space text, non-space edge whitespace (DuckDB
+    trim() strips spaces ONLY), repeated separators, uppercase."""
+    import duckdb
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        repetition_stats,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [None, "", "   ", "\nhello world", "A  a\t a", "x y x y"],
+                pa.string(),
+            ),
+        }
+    )
+    mine = repetition_stats(t).select(
+        [
+            "doc_id",
+            "rep_n_tokens",
+            "rep_distinct_tokens",
+            "rep_top_token_count",
+            "rep_n_bigrams",
+            "rep_distinct_bigrams",
+        ]
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    oracle = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS tk
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        tc AS (
+            SELECT doc_id, count(*) AS rep_n_tokens,
+                   count(DISTINCT tok) AS rep_distinct_tokens
+            FROM tok GROUP BY doc_id
+        ),
+        topc AS (
+            SELECT doc_id, max(c) AS rep_top_token_count
+            FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok)
+            GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> array_to_string(tk[i:i+1], ' '))) AS g
+            FROM toks
+        ),
+        bc AS (
+            SELECT doc_id, count(*) AS rep_n_bigrams,
+                   count(DISTINCT g) AS rep_distinct_bigrams
+            FROM big GROUP BY doc_id
+        )
+        SELECT tc.doc_id, rep_n_tokens, rep_distinct_tokens, rep_top_token_count,
+               coalesce(rep_n_bigrams, 0) AS rep_n_bigrams,
+               coalesce(rep_distinct_bigrams, 0) AS rep_distinct_bigrams
+        FROM tc JOIN topc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        ORDER BY doc_id
+        """
+    ).arrow()
+    assert oracle.num_rows == mine.num_rows  # null text must not drop a row
+    for c in mine.column_names:
+        assert (
+            mine[c].to_pylist() == oracle[c].to_pylist()
+        ), f"column {c} diverges from DuckDB"
+    # the '\nhello world' doc keeps its leading empty token on BOTH engines
+    assert mine["rep_n_tokens"].to_pylist()[3] == 3
