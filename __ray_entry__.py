@@ -789,6 +789,45 @@ def _q_doc_repetition(sf_dir: str):
     )
 
 
+#: BM25 driver-query terms — present in the synthetic documents vocabulary
+#: so scores are non-vacuous; sorted, matching BM25Scorer's deterministic
+#: accumulation order
+_BM25_QUERY = ["fast", "row", "table", "window"]
+
+
+def _q_bm25(sf_dir: str):
+    """Okapi BM25 scores for a fixed query over the documents corpus: ONE
+    partial-aggregate DF pass (driver combine is O(vocabulary)), broadcast
+    stats, then a zero-shuffle actor-pool scoring scan.  Scores emitted
+    rounded to 1e-6 (the repo's float-hash convention)."""
+    import ray as _ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        BM25Scorer,
+        corpus_df_stats,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats_ref = _ray.put(corpus_df_stats(ds))
+
+    def fin(t: pa.Table) -> pa.Table:
+        arr = t["bm25_score"].combine_chunks()
+        scaled = pc.floor(
+            pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "bm25_x1e6": scaled})
+
+    return (
+        ds.map_batches(
+            BM25Scorer,
+            fn_constructor_args=(stats_ref, _BM25_QUERY),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1367,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_tokens": _q_chunk_tokens,
         "decontaminate": _q_decontaminate,
         "doc_repetition": _q_doc_repetition,
+        "bm25_score": _q_bm25,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1835,6 +1875,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rep_n_bigrams, 0) AS rep_n_bigrams,
                    coalesce(rep_distinct_bigrams, 0) AS rep_distinct_bigrams
             FROM tc JOIN topc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        """,
+        # Okapi BM25 (stages/text_analysis.py:BM25Scorer): same token rule;
+        # idf = ln((N - df + .5)/(df + .5) + 1), k1=1.2, b=0.75; docs with
+        # no query terms score 0; x1e6 floor(x+0.5) rounding both sides
+        "bm25_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tk
+                FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM toks),
+            q AS (SELECT unnest(['fast', 'row', 'table', 'window']) AS term),
+            dfreq AS (
+                SELECT tok AS term, count(DISTINCT doc_id) AS df
+                FROM tok WHERE tok IN ('fast', 'row', 'table', 'window')
+                GROUP BY tok
+            ),
+            idf AS (
+                SELECT q.term,
+                       ln((s.n_docs - coalesce(d.df, 0) + 0.5)
+                          / (coalesce(d.df, 0) + 0.5) + 1) AS idf
+                FROM q CROSS JOIN stats s LEFT JOIN dfreq d USING (term)
+            ),
+            tfs AS (
+                SELECT doc_id, tok AS term, count(*) AS tf
+                FROM tok WHERE tok IN ('fast', 'row', 'table', 'window')
+                GROUP BY doc_id, tok
+            ),
+            contrib AS (
+                SELECT t.doc_id,
+                       sum(i.idf * f.tf * (1.2 + 1.0)
+                           / (f.tf + 1.2 * (1 - 0.75 + 0.75 * len(t.tk) / s.avg_len))
+                       ) AS score
+                FROM toks t
+                JOIN tfs f USING (doc_id)
+                JOIN idf i USING (term)
+                CROSS JOIN stats s
+                GROUP BY t.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(floor(coalesce(c.score, 0) * 1e6 + 0.5) AS BIGINT)
+                       AS bm25_x1e6
+            FROM toks t LEFT JOIN contrib c USING (doc_id)
         """,
         # language-ID heuristic re-derived in SQL: CJK-codepoint share
         # decides 'zh'; otherwise the language with the most stopword hits

@@ -463,3 +463,137 @@ def repetition_stats(t: pa.Table, *, text_col: str = "text") -> pa.Table:
         ),
     )
     return t
+
+
+def corpus_df_stats(ds, *, text_col: str = "text") -> tuple[dict, int, float]:
+    """Corpus statistics for BM25: ``(document frequency per token, n_docs,
+    average doc length in tokens)`` in ONE partial-aggregate pass — each
+    batch emits its local per-token DF (distinct-per-doc, so a token counts
+    once per document) plus a (n_docs, len_sum) sidecar on its first row;
+    the driver combine is O(vocabulary), never O(corpus).  The returned
+    tuple is meant to be ``ray.put`` once and read by every
+    :class:`BM25Scorer` actor."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _token_stream(t[text_col])
+        ndocs = t.num_rows
+        if len(values) == 0:
+            tok = pa.array([], pa.string())
+            dfc = np.empty(0, dtype=np.int64)
+        else:
+            doc_of_tok = np.repeat(
+                np.arange(ndocs, dtype=np.int64), np.diff(offsets)
+            )
+            enc = pc.dictionary_encode(values)
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            K = max(len(enc.dictionary), 1)
+            uniq = np.unique(doc_of_tok * K + codes)
+            dfc = np.bincount(uniq % K, minlength=K).astype(np.int64)
+            keep = dfc > 0
+            tok = enc.dictionary.filter(pa.array(keep))
+            dfc = dfc[keep]
+        n = len(tok)
+        n_docs = np.zeros(max(n, 1), dtype=np.int64)
+        len_sum = np.zeros(max(n, 1), dtype=np.int64)
+        n_docs[0] = ndocs
+        len_sum[0] = int(offsets[-1]) if len(offsets) else 0
+        if n == 0:  # batch with no tokens still contributes its doc count
+            tok = pa.array([""], pa.string())
+            dfc = np.zeros(1, dtype=np.int64)
+        return pa.table(
+            {
+                "token": tok,
+                "df": pa.array(dfc, pa.int64()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "len_sum": pa.array(len_sum, pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tbls = [p for p in parts if p.num_rows > 0]
+    if not tbls:
+        return {}, 0, 0.0
+    allp = pa.concat_tables(tbls, promote_options="default")
+    import pandas as pd
+
+    dfs = (
+        pd.Series(
+            np.asarray(allp["df"].to_numpy(zero_copy_only=False)),
+            index=allp["token"].to_pandas(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    dfs = dfs[dfs > 0]
+    n_docs = int(pc.sum(allp["n_docs"]).as_py() or 0)
+    len_sum = int(pc.sum(allp["len_sum"]).as_py() or 0)
+    avg_len = (len_sum / n_docs) if n_docs else 0.0
+    return dfs.to_dict(), n_docs, avg_len
+
+
+class BM25Scorer:
+    """Okapi BM25 document scoring against a fixed query — the ranked
+    retrieval / query-relevance filter of a training-data pipeline.
+
+    Formula (the standard Robertson/Sparck-Jones form with the +1 idf
+    floor, so unseen terms score 0 rather than negative):
+
+      idf(q)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+      s(d)    = sum_q idf(q) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avg_len))
+
+    Actor-pool stage: corpus stats (``corpus_df_stats``'s ray.put tuple)
+    are fetched once per actor in ``__init__``; per batch, each query
+    term's tf per document is ONE vectorised equality + bincount over the
+    flat token stream (query terms are few; docs are many).  Appends
+    ``bm25_score``."""
+
+    def __init__(
+        self,
+        stats,
+        query: list[str],
+        *,
+        text_col: str = "text",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ):
+        if not isinstance(stats, tuple):
+            stats = ray.get(stats)
+        df, n_docs, avg_len = stats
+        self.text_col = text_col
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.avg_len = float(avg_len) if avg_len else 1.0
+        # per-term idf precomputed once per actor; terms sorted so the
+        # accumulation order (and thus float rounding) is deterministic and
+        # matches the SQL oracle's ORDER BY term
+        self.terms = sorted(set(query))
+        self.idf = {
+            q: float(
+                np.log((n_docs - df.get(q, 0) + 0.5) / (df.get(q, 0) + 0.5) + 1.0)
+            )
+            for q in self.terms
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        values, offsets = _token_stream(t[self.text_col])
+        ndocs = t.num_rows
+        lens = np.diff(offsets).astype(np.float64)
+        denom_norm = self.k1 * (1.0 - self.b + self.b * lens / self.avg_len)
+        score = np.zeros(ndocs, dtype=np.float64)
+        if len(values):
+            doc_of_tok = np.repeat(
+                np.arange(ndocs, dtype=np.int64), np.diff(offsets)
+            )
+            for q in self.terms:
+                mask = pc.equal(values, q).to_numpy(zero_copy_only=False)
+                if not mask.any():
+                    continue
+                tf = np.bincount(doc_of_tok[mask], minlength=ndocs).astype(
+                    np.float64
+                )
+                score += self.idf[q] * tf * (self.k1 + 1.0) / (tf + denom_norm)
+        return t.append_column("bm25_score", pa.array(score, pa.float64()))

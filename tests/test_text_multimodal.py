@@ -295,3 +295,50 @@ def test_token_rule_duckdb_parity_edge_cases():
         ), f"column {c} diverges from DuckDB"
     # the '\nhello world' doc keeps its leading empty token on BOTH engines
     assert mine["rep_n_tokens"].to_pylist()[3] == 3
+
+
+def test_bm25_formula_and_stats(ray_session):
+    import math
+
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        BM25Scorer,
+        corpus_df_stats,
+    )
+
+    corpus = _t(
+        [
+            "fast fast table",      # tf(fast)=2
+            "fast row row row",     # tf(fast)=1, longer doc
+            "slow merge scan",      # no query terms
+            "table",                # short doc, rare term
+        ]
+    )
+    ds = rd.from_arrow(corpus)
+    df, n_docs, avg_len = corpus_df_stats(ds)
+    assert n_docs == 4
+    assert df["fast"] == 2 and df["table"] == 2 and df["row"] == 1
+    assert avg_len == pytest.approx((3 + 4 + 3 + 1) / 4)
+
+    out = BM25Scorer((df, n_docs, avg_len), ["fast", "table"])(corpus)
+    s = out["bm25_score"].to_pylist()
+    assert s[2] == 0.0  # no query terms
+    assert s[0] > s[1] > 0  # higher tf + shorter doc outranks single hit
+    # exact formula on doc 3 ('table'): tf=1, len=1
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+    expect = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 1 / avg_len))
+    assert s[3] == pytest.approx(expect)
+    # actor-pool stage shape with a broadcast stats ref
+    ref = ray.put((df, n_docs, avg_len))
+    got = (
+        rd.from_arrow(corpus)
+        .map_batches(
+            BM25Scorer,
+            fn_constructor_args=(ref, ["fast", "table"]),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert sorted(got["bm25_score"]) == sorted(s)
