@@ -275,19 +275,30 @@ def chunk_tokens(
     )
 
 
+#: the exact character set DuckDB's ``trim()`` strips — Unicode category Zs
+#: (space separators), probed empirically: \t/\n/​/  are NOT
+#: stripped, every Zs codepoint is.  Arrow's ``utf8_trim_whitespace`` would
+#: strip control whitespace too and break oracle parity on edge inputs.
+_DUCKDB_TRIM_CHARS = (
+    " \u00a0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u202f\u205f\u3000"
+)
+
+
 def _token_stream(arr, *, lower: bool = True) -> tuple[pa.Array, np.ndarray]:
     """Whitespace-token stream of a string column: (flat token values,
     int64 list offsets).  Token rule shared verbatim with the DuckDB
     oracles: ``regexp_split_to_array(trim(lower(coalesce(text, ''))),
-    '\\s+')``.  Parity details: DuckDB ``trim()`` strips SPACES only (hence
-    ``utf8_trim(characters=" ")``, not the all-Unicode-whitespace kernel),
-    null text is coalesced to ``''`` on both engines, and an empty/
-    all-space text yields the single empty token."""
+    '\\s+')``.  Parity details: DuckDB ``trim()`` strips exactly Unicode
+    Zs (``_DUCKDB_TRIM_CHARS``), null text is coalesced to ``''`` on both
+    engines, and an empty/all-space text yields the single empty token;
+    pinned by a hypothesis property test against live DuckDB."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_null(arr.type):
         arr = arr.cast(pa.string())
-    s = pc.utf8_trim(pc.coalesce(arr, ""), characters=" ")
+    s = pc.utf8_trim(pc.coalesce(arr, ""), characters=_DUCKDB_TRIM_CHARS)
     if lower:
         s = pc.utf8_lower(s)
     toks = pc.split_pattern_regex(s, pattern=_WS)

@@ -342,3 +342,54 @@ def test_bm25_formula_and_stats(ray_session):
         .to_pandas()
     )
     assert sorted(got["bm25_score"]) == sorted(s)
+
+
+def test_token_rule_duckdb_parity_property():
+    """Property-based parity pin for the oracle token rule: random strings
+    over an adversarial alphabet (Zs spaces, control whitespace, zero-width,
+    case-folding letters) must tokenise identically in the Arrow kernel and
+    DuckDB's `regexp_split_to_array(trim(lower(coalesce(text,''))), '\\s+')`
+    (DuckDB trim() strips exactly Unicode Zs — probed empirically)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        _token_stream,
+    )
+
+    alphabet = st.sampled_from(
+        list("ab zİIßÅ  　\t\n​0.")
+    )
+    texts = st.lists(
+        st.one_of(st.none(), st.text(alphabet, max_size=12)),
+        min_size=1,
+        max_size=8,
+    )
+    con = duckdb.connect()
+
+    @settings(deadline=None, max_examples=150)
+    @given(texts)
+    def check(docs):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        values, offsets = _token_stream(t["text"])
+        mine = [
+            values.slice(offsets[i], offsets[i + 1] - offsets[i]).to_pylist()
+            for i in range(len(docs))
+        ]
+        con.register("d", t)
+        oracle = [
+            row[0]
+            for row in con.execute(
+                r"SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))),"
+                r" '\s+') FROM d ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert mine == oracle
+
+    check()
