@@ -697,6 +697,23 @@ def _q_split_assign(sf_dir: str):
     )
 
 
+def _q_sample_per_group(sf_dir: str):
+    """Stratified downsampling: per-source keep rates with exact binary
+    representations (0.5 / 0.25 / default 1.0) so the md5-fraction
+    comparison is bit-identical between Python and the SQL literal."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        sample_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return sample_per_group(
+        ds,
+        {"src0": 0.5, "src1": 0.25, "src2": 0.0},
+        group_col="source",
+        id_col="doc_id",
+    )
+
+
 def _q_cap_per_group(sf_dir: str):
     from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
         cap_per_group,
@@ -1397,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_langid,
         "split_assign": _q_split_assign,
         "cap_per_group": _q_cap_per_group,
+        "sample_per_group": _q_sample_per_group,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
         "range_join": _q_range_join,
@@ -1671,6 +1689,24 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967296.0 AS frac
                 FROM documents
             )
+        """,
+        # stratified per-group downsampling (stages/sampling.py:
+        # sample_per_group): same md5-fraction lottery as split_assign,
+        # keyed on the id alone; per-source keep rates 0.5/0.25/0.0,
+        # unlisted sources keep everything
+        "sample_per_group": """
+            SELECT doc_id, source
+            FROM (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id || ':'), 1, 8))::UBIGINT
+                           / 4294967296.0 AS frac
+                FROM documents
+            )
+            WHERE frac < CASE source
+                             WHEN 'src0' THEN 0.5
+                             WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.0
+                             ELSE 1.0 END
         """,
         # as-of backward join (stages/joins.py:asof_join): for each click,
         # the latest view with view.ts <= click.ts by the same user

@@ -123,3 +123,38 @@ def cap_per_group(
         return out[keep].drop(columns="__fr")
 
     return bucketed_group_apply(ds, [group_col], per_bucket, batch_format="pandas")
+
+
+def sample_per_group(
+    ds: "ray.data.Dataset",
+    fractions: dict,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Stratified downsampling: keep a per-group deterministic fraction of
+    rows (``fractions`` maps group value -> keep rate; unlisted groups keep
+    ``default_rate``).  The tool for reshaping a corpus's source mix —
+    e.g. down-weighting a crawl that dominates the token count.
+
+    Same md5-lottery as ``sample_by_hash`` (bit-identical in SQL), keyed on
+    the id alone so a row's fate is independent of which group rule applies
+    — changing one group's rate never reshuffles another's sample.  Zero
+    shuffle: the fractions dict rides the task closure (broadcast-small);
+    assignment is embarrassingly parallel."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        fr = _hash_fraction(t[id_col].to_pylist(), salt)
+        groups = t[group_col].to_pylist()
+        mask = pa.array(
+            [
+                f < fractions.get(g, default_rate)
+                for f, g in zip(fr, groups)
+            ],
+            pa.bool_(),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

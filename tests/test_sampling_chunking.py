@@ -138,3 +138,52 @@ def test_cap_per_group(ray_session):
         ).take_all()
     )
     assert a == b
+
+
+def test_sample_per_group_stratified(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        sample_by_hash,
+        sample_per_group,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "source": pa.array(
+                ["a", "b", "c", "d"] * 500, pa.string()
+            ),
+        }
+    )
+    out = (
+        sample_per_group(
+            rd.from_arrow(t),
+            {"a": 0.5, "b": 0.0},
+            group_col="source",
+            id_col="doc_id",
+        )
+        .to_pandas()
+    )
+    counts = out["source"].value_counts().to_dict()
+    assert counts.get("b", 0) == 0  # zero-rate group fully dropped
+    assert counts["c"] == 500 and counts["d"] == 500  # default rate 1.0
+    assert 180 < counts["a"] < 320  # ~half of 500, md5-lottery spread
+    # per-row fate depends on the id alone: group 'a' survivors are exactly
+    # the rows sample_by_hash(rate=0.5) would keep
+    import pyarrow.compute as pc
+
+    solo = sample_by_hash(
+        rd.from_arrow(t.filter(pc.equal(t["source"], "a"))), 0.5,
+        id_col="doc_id",
+    ).to_pandas()
+    assert sorted(out[out["source"] == "a"]["doc_id"]) == sorted(solo["doc_id"])
+    # determinism across runs
+    again = (
+        sample_per_group(
+            rd.from_arrow(t), {"a": 0.5, "b": 0.0},
+            group_col="source", id_col="doc_id",
+        )
+        .to_pandas()
+    )
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])
