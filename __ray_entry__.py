@@ -845,6 +845,40 @@ def _q_bm25(sf_dir: str):
     )
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM cross-entropy per document: two O(vocab)
+    partial-aggregate training passes (max_vocab=20 forces the <unk> path
+    on this ~31-token vocabulary), broadcast stats, ONE zero-shuffle
+    scoring scan.  Emitted x1e6-rounded (float-hash convention)."""
+    import numpy as np
+    import ray as _ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        LMScorer,
+        corpus_lm_stats,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats_ref = _ray.put(corpus_lm_stats(ds, max_vocab=20))
+
+    def fin(t: pa.Table) -> pa.Table:
+        arr = t["lm_cross_entropy"].combine_chunks()
+        scaled = pc.floor(
+            pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "lm_ce_x1e6": scaled})
+
+    return (
+        ds.map_batches(
+            LMScorer,
+            fn_constructor_args=(stats_ref,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1425,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "doc_repetition": _q_doc_repetition,
         "bm25_score": _q_bm25,
+        "lm_perplexity": _q_lm_perplexity,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1955,6 +1990,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(coalesce(c.score, 0) * 1e6 + 0.5) AS BIGINT)
                        AS bm25_x1e6
             FROM toks t LEFT JOIN contrib c USING (doc_id)
+        """,
+        # bigram-LM cross-entropy (stages/text_analysis.py:LMScorer):
+        # add-0.5 smoothing, top-20 vocab (count desc, token asc), OOV ->
+        # '<unk>'; ce = -sum ln((c(w1,w2)+.5)/(c(w1)+.5*V)) / n_bigrams,
+        # 0 for <2-token docs; x1e6 floor(x+0.5) rounding both sides
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tk
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(tk) AS w,
+                       unnest(range(1, len(tk) + 1)) AS pos
+                FROM toks
+            ),
+            uni_raw AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+            vocab AS (SELECT w FROM uni_raw ORDER BY c DESC, w ASC LIMIT 20),
+            tok_m AS (
+                SELECT doc_id, pos,
+                       CASE WHEN v.w IS NULL THEN '<unk>' ELSE tok.w END AS w
+                FROM tok LEFT JOIN vocab v USING (w)
+            ),
+            uni AS (SELECT w, count(*) AS c FROM tok_m GROUP BY w),
+            vsize AS (SELECT count(*) AS V FROM uni),
+            big AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM tok_m a
+                JOIN tok_m b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            bic AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            lp AS (
+                SELECT big.doc_id,
+                       sum(ln((coalesce(bic.c, 0) + 0.5)
+                              / (uni.c + 0.5 * vsize.V))) AS logp,
+                       count(*) AS n_big
+                FROM big LEFT JOIN bic USING (w1, w2)
+                JOIN uni ON uni.w = big.w1
+                CROSS JOIN vsize
+                GROUP BY big.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(floor(coalesce(-lp.logp / lp.n_big, 0) * 1e6 + 0.5)
+                        AS BIGINT) AS lm_ce_x1e6
+            FROM toks t LEFT JOIN lp USING (doc_id)
         """,
         # language-ID heuristic re-derived in SQL: CJK-codepoint share
         # decides 'zh'; otherwise the language with the most stopword hits

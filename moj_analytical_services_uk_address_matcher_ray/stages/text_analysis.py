@@ -608,3 +608,166 @@ class BM25Scorer:
                 )
                 score += self.idf[q] * tf * (self.k1 + 1.0) / (tf + denom_norm)
         return t.append_column("bm25_score", pa.array(score, pa.float64()))
+
+
+def corpus_lm_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+    k: float = 0.5,
+) -> tuple:
+    """Train an add-k-smoothed bigram language model over a corpus — the
+    statistics behind CCNet-style LM quality filtering (Wenzek et al. 2020
+    lineage: score documents by cross-entropy under a reference LM).
+
+    Two partial-aggregate passes over the TRAINING set (which, like CCNet's
+    Wikipedia LM, is normally a ``sample_by_hash`` subset, not the corpus
+    being scored): pass A counts unigrams and picks the top-``max_vocab``
+    vocabulary (ties: count desc, token asc — deterministic); pass B counts
+    bigrams with out-of-vocabulary tokens folded to ``<unk>``.  Driver
+    combines are O(vocabulary) / O(observed bigrams).  Returns a plain
+    tuple ``(vocab, uni_counts, bi_keys, bi_counts, V, k)`` meant for ONE
+    ``ray.put`` read by every :class:`LMScorer` actor."""
+    import pandas as pd
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        values, _ = _token_stream(t[text_col])
+        if len(values) == 0:
+            return pa.table(
+                {"w": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(values)
+        return pa.table(
+            {"w": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+        )
+
+    parts = ray.get(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tbls = [p for p in parts if p.num_rows > 0]
+    if not tbls:
+        return [], np.zeros(1, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0, k
+    allu = pa.concat_tables(tbls, promote_options="default")
+    uni_raw = (
+        pd.Series(
+            np.asarray(allu["c"].to_numpy(zero_copy_only=False)),
+            index=allu["w"].to_pandas(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    vocab = sorted(uni_raw.index, key=lambda w: (-uni_raw[w], w))[:max_vocab]
+    vocab_arr = pa.array(vocab, pa.string())
+    nv = len(vocab)
+    uni_counts = np.zeros(nv + 1, dtype=np.int64)
+    uni_counts[:nv] = uni_raw[vocab].to_numpy()
+    uni_counts[nv] = int(uni_raw.sum()) - int(uni_counts[:nv].sum())  # <unk>
+    V = nv + (1 if uni_counts[nv] > 0 else 0)
+
+    vocab_ref = ray.put(vocab_arr)
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        va = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
+        values, offsets = _token_stream(t[text_col])
+        if len(values) < 2:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        codes = np.asarray(
+            pc.fill_null(pc.index_in(values, value_set=va), nv).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        ndocs = len(offsets) - 1
+        m = len(codes) - 1
+        doc_of_pos = np.repeat(
+            np.arange(ndocs, dtype=np.int64), np.diff(offsets)
+        )[:m]
+        valid = (np.arange(m, dtype=np.int64) + 2) <= offsets[doc_of_pos + 1]
+        keys = codes[:-1][valid] * (nv + 1) + codes[1:][valid]
+        uk, uc = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uk, pa.int64()), "c": pa.array(uc, pa.int64())}
+        )
+
+    bparts = ray.get(
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    btbls = [p for p in bparts if p.num_rows > 0]
+    if btbls:
+        allb = pa.concat_tables(btbls, promote_options="default")
+        bs = (
+            pd.Series(
+                np.asarray(allb["c"].to_numpy(zero_copy_only=False)),
+                index=np.asarray(allb["key"].to_numpy(zero_copy_only=False)),
+            )
+            .groupby(level=0)
+            .sum()
+        )
+        bi_keys = bs.index.to_numpy(dtype=np.int64)
+        bi_counts = bs.to_numpy(dtype=np.int64)
+    else:
+        bi_keys = np.empty(0, dtype=np.int64)
+        bi_counts = np.empty(0, dtype=np.int64)
+    return vocab, uni_counts, bi_keys, bi_counts, V, k
+
+
+class LMScorer:
+    """Bigram-LM cross-entropy per document (lower = more like the training
+    corpus) — the CCNet-style LM quality filter.  Appends
+    ``lm_cross_entropy`` (natural-log; 0 for docs with < 2 tokens).
+
+    Actor-pool stage: the stats tuple is fetched once per actor; per batch,
+    token->code is ONE ``index_in`` against the broadcast vocabulary and
+    bigram-count lookup is ONE ``searchsorted`` against the sorted key
+    array — no per-token Python."""
+
+    def __init__(self, stats, *, text_col: str = "text"):
+        if not isinstance(stats, tuple):
+            stats = ray.get(stats)
+        vocab, self.uni_counts, self.bi_keys, self.bi_counts, self.V, self.k = stats
+        self.vocab_arr = pa.array(list(vocab), pa.string())
+        self.nv = len(vocab)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        values, offsets = _token_stream(t[self.text_col])
+        ndocs = t.num_rows
+        ce = np.zeros(ndocs, dtype=np.float64)
+        if len(values) >= 2:
+            codes = np.asarray(
+                pc.fill_null(
+                    pc.index_in(values, value_set=self.vocab_arr), self.nv
+                ).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            m = len(codes) - 1
+            doc_of_pos = np.repeat(
+                np.arange(ndocs, dtype=np.int64), np.diff(offsets)
+            )[:m]
+            valid = (np.arange(m, dtype=np.int64) + 2) <= offsets[doc_of_pos + 1]
+            c1 = codes[:-1][valid]
+            keys = c1 * (self.nv + 1) + codes[1:][valid]
+            pos = np.searchsorted(self.bi_keys, keys)
+            pos_c = np.minimum(pos, max(len(self.bi_keys) - 1, 0))
+            hit = (
+                (self.bi_keys[pos_c] == keys) & (pos < len(self.bi_keys))
+                if len(self.bi_keys)
+                else np.zeros(len(keys), dtype=bool)
+            )
+            bc = np.where(hit, self.bi_counts[pos_c] if len(self.bi_counts) else 0, 0)
+            contrib = np.log(
+                (bc + self.k) / (self.uni_counts[c1] + self.k * self.V)
+            )
+            docs = doc_of_pos[valid]
+            lp = np.bincount(docs, weights=contrib, minlength=ndocs)
+            nb = np.bincount(docs, minlength=ndocs)
+            has = nb > 0
+            ce[has] = -lp[has] / nb[has]
+        return t.append_column("lm_cross_entropy", pa.array(ce, pa.float64()))

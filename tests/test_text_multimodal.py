@@ -393,3 +393,48 @@ def test_token_rule_duckdb_parity_property():
         assert mine == oracle
 
     check()
+
+
+def test_lm_cross_entropy_semantics(ray_session):
+    import math
+
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        LMScorer,
+        corpus_lm_stats,
+    )
+
+    train = _t(["a b a b a b", "a b a b", "c d"])
+    vocab, uni, bi_keys, bi_counts, V, k = corpus_lm_stats(
+        rd.from_arrow(train), max_vocab=3
+    )
+    # vocab: a(5), b(5), c(1) — count desc then token asc; d folds to <unk>
+    assert vocab == ["a", "b", "c"]
+    assert V == 4  # a, b, c + <unk>
+    assert uni.tolist() == [5, 5, 1, 1]
+    stats = (vocab, uni, bi_keys, bi_counts, V, k)
+
+    scored = LMScorer(stats)(
+        _t(["a b a b", "q q q", "a", ""])
+    )
+    s = scored["lm_cross_entropy"].to_pylist()
+    # familiar transitions score much lower CE than all-OOV text
+    assert 0 < s[0] < s[1]
+    assert s[2] == 0.0 and s[3] == 0.0  # <2 tokens -> no bigrams
+    # exact value for 'a b a b': train bigrams ab=5, ba=3; denominators
+    # c(w1) + k*V = 5 + 0.5*4 = 7 -> P(b|a)=(5+.5)/7, P(a|b)=(3+.5)/7
+    expect = -(2 * math.log(5.5 / 7) + math.log(3.5 / 7)) / 3
+    assert s[0] == pytest.approx(expect)
+    # actor-pool shape with broadcast stats
+    got = (
+        rd.from_arrow(_t(["a b a b"]))
+        .map_batches(
+            LMScorer,
+            fn_constructor_args=(ray.put(stats),),
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    assert got["lm_cross_entropy"][0] == pytest.approx(expect)
