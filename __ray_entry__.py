@@ -845,6 +845,29 @@ def _q_bm25(sf_dir: str):
     )
 
 
+def _q_group_centroids(sf_dir: str):
+    """Per-label embedding centroids over the embeddings table, exploded to
+    (group, dim, centroid) rows; x1e6 rounding (float-hash convention)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        group_centroids,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    cent = group_centroids(ds, group_col="label", vec_col="embedding")
+    arr = cent["centroid"].combine_chunks()
+    scaled = pc.floor(
+        pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))
+    ).cast(pa.int64())
+    return pa.table(
+        {
+            "group": cent["group"],
+            "dim": cent["dim"],
+            "c_x1e6": scaled,
+            "n": cent["n"],
+        }
+    )
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style bigram-LM cross-entropy per document: two O(vocab)
     partial-aggregate training passes (max_vocab=20 forces the <unk> path
@@ -1460,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "bm25_score": _q_bm25,
         "lm_perplexity": _q_lm_perplexity,
+        "group_centroids": _q_group_centroids,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1990,6 +2014,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(coalesce(c.score, 0) * 1e6 + 0.5) AS BIGINT)
                        AS bm25_x1e6
             FROM toks t LEFT JOIN contrib c USING (doc_id)
+        """,
+        # per-group embedding centroids (stages/similarity.py:
+        # group_centroids): exploded (group, dim) rows, 1-based dims
+        # (generate_subscripts convention), x1e6 rounding
+        "group_centroids": """
+            WITH e AS (
+                SELECT CAST(label AS VARCHAR) AS "group",
+                       unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            SELECT "group", CAST(dim AS BIGINT) AS dim,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                       AS c_x1e6,
+                   count(*) AS n
+            FROM e GROUP BY "group", dim
         """,
         # bigram-LM cross-entropy (stages/text_analysis.py:LMScorer):
         # add-0.5 smoothing, top-20 vocab (count desc, token asc), OOV ->

@@ -484,3 +484,85 @@ def ivf_topk(
             "rank": pa.array(out_r, pa.int32()),
         }
     )
+
+
+def group_centroids(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Per-group embedding centroids (the class-prototype / cluster-summary
+    aggregate): mean vector per ``group_col`` value.
+
+    One partial-aggregate pass — each batch reduces to (group, count,
+    per-dimension float64 sums) via a single ``np.add.at`` scatter; the
+    driver combine is O(groups x dim), never O(rows).  Assumes the GROUP
+    cardinality is broadcast-small (class labels, sources, clusters-of-
+    interest), which is what a centroid table is for; the corpus itself
+    streams.  Returns an exploded Arrow table ``(group, dim, centroid, n)``
+    with 1-based dims (the SQL ``generate_subscripts`` convention)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        V = _vectors(t, vec_col, dtype=np.float64)
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        codes = g.dictionary_encode()
+        idx = np.asarray(codes.indices, dtype=np.int64)
+        ngroups = len(codes.dictionary)
+        sums = np.zeros((ngroups, V.shape[1]), dtype=np.float64)
+        np.add.at(sums, idx, V)
+        counts = np.bincount(idx, minlength=ngroups).astype(np.int64)
+        return pa.table(
+            {
+                "g": codes.dictionary.cast(pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tbls = [p for p in parts if p.num_rows > 0]
+    if not tbls:
+        return pa.table(
+            {
+                "group": pa.array([], pa.string()),
+                "dim": pa.array([], pa.int64()),
+                "centroid": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    allp = pa.concat_tables(tbls, promote_options="default")
+    groups = allp["g"].to_pylist()
+    ns = np.asarray(allp["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    sums_l = allp["s"].to_pylist()
+    agg: dict = {}
+    for g_, n_, s_ in zip(groups, ns, sums_l):
+        cur = agg.get(g_)
+        if cur is None:
+            agg[g_] = [int(n_), np.asarray(s_, dtype=np.float64)]
+        else:
+            cur[0] += int(n_)
+            cur[1] = cur[1] + np.asarray(s_, dtype=np.float64)
+    out_g, out_d, out_c, out_n = [], [], [], []
+    for g_ in sorted(agg):
+        n_, s_ = agg[g_]
+        c = s_ / n_
+        dim = len(s_)
+        out_g.extend([g_] * dim)
+        out_d.extend(range(1, dim + 1))
+        out_c.extend(c.tolist())
+        out_n.extend([n_] * dim)
+    return pa.table(
+        {
+            "group": pa.array(out_g, pa.string()),
+            "dim": pa.array(out_d, pa.int64()),
+            "centroid": pa.array(out_c, pa.float64()),
+            "n": pa.array(out_n, pa.int64()),
+        }
+    )

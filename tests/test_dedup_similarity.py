@@ -194,3 +194,53 @@ def test_ivf_sq8_quantized_index(ray_session, tmp_path):
     assert io_sq8["total_cells"] == io_full["total_cells"]
     assert io_sq8["total_bytes"] < 0.5 * io_full["total_bytes"]
     assert 0 < io_sq8["probed_bytes"] < io_sq8["total_bytes"]
+
+
+def test_group_centroids_partial_aggregate(ray_session):
+    """Per-group centroid must equal the numpy mean regardless of how rows
+    are split across blocks (the partial-aggregate combine is exercised by
+    forcing many tiny blocks)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        group_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    labels = ["a", "b", "a", "c", "b", "a", "c", "c", "c", "b"]
+    vecs = rng.normal(size=(10, 4))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(labels),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(5)
+    out = group_centroids(ds, group_col="label", vec_col="embedding")
+    df = out.to_pandas()
+    assert sorted(df["group"].unique()) == ["a", "b", "c"]
+    for g in "abc":
+        want = vecs[[i for i, l_ in enumerate(labels) if l_ == g]].mean(axis=0)
+        got = df[df["group"] == g].sort_values("dim")["centroid"].to_numpy()
+        n = df[df["group"] == g]["n"].iloc[0]
+        assert n == labels.count(g)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    # dims are 1-based (generate_subscripts convention)
+    assert df["dim"].min() == 1 and df["dim"].max() == 4
+
+
+def test_group_centroids_empty(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        group_centroids,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([], pa.string()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = group_centroids(ds)
+    assert out.num_rows == 0
+    assert out.column_names == ["group", "dim", "centroid", "n"]
