@@ -902,6 +902,53 @@ def _q_lm_perplexity(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Deterministic sequence packing (stages/packing.py): md5 hash-order
+    concatenation carved into 48-token training sequences; per-doc packing
+    plan rows."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=48)
+
+
+def _q_duplicate_spans(sf_dir: str):
+    """Substring-level duplicate positions at 5-token granularity (bounded
+    Lee-et-al. substring dedup, stages/dedup.py:duplicate_spans)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        duplicate_spans,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = duplicate_spans(ds, k=5)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["id"],
+                "n_shingles": t["n_shingles"],
+                "n_dup_shingles": t["n_dup_shingles"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_distinct_per_group(sf_dir: str):
+    """Exact COUNT(DISTINCT customer) per order priority — the two-level
+    distinct aggregate (stages/aggregates.py:distinct_per_group)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        distinct_per_group,
+    )
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"])
+    return distinct_per_group(
+        ds, group_col="o_orderpriority", value_col="o_custkey",
+        out_col="n_distinct_cust",
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1484,6 +1531,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_score": _q_bm25,
         "lm_perplexity": _q_lm_perplexity,
         "group_centroids": _q_group_centroids,
+        "pack_sequences": _q_pack_sequences,
+        "duplicate_spans": _q_duplicate_spans,
+        "distinct_per_group": _q_distinct_per_group,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -1903,6 +1953,71 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tl[i*24+1 : i*24+32], ' ') AS chunk_text,
                    CAST(len(tl[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens
             FROM c
+        """,
+        # deterministic sequence packing (stages/packing.py): global order
+        # = (md5(id || ':'), id) — fixed-width lowercase hex compares
+        # identically as a string in both engines; token rule = chunk_tokens
+        # rule; seq_len 48; zero-token docs drop out
+        "pack_sequences": """
+            WITH tk AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '')) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, n, md5(CAST(doc_id AS VARCHAR) || ':') AS k
+                FROM tk WHERE n > 0
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       row_number() OVER (ORDER BY k, doc_id) - 1 AS pack_pos,
+                       sum(n) OVER (ORDER BY k, doc_id) AS cum_end
+                FROM o
+            )
+            SELECT doc_id,
+                   CAST(pack_pos AS BIGINT) AS pack_pos,
+                   CAST(cum_end - n AS BIGINT) AS tok_start,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST((cum_end - n) // 48 AS BIGINT) AS seq_first,
+                   CAST((cum_end - 1) // 48 AS BIGINT) AS seq_last
+            FROM c
+        """,
+        # substring-duplicate positions at 5-token granularity
+        # (stages/dedup.py:duplicate_spans): a position is duplicated when
+        # its 5-token window text occurs >=2 times corpus-wide (within-doc
+        # repeats included); token rule = pinned trim(lower())/\s+ rule;
+        # DuckDB list slices are 1-based inclusive
+        "duplicate_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS tk
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(tk) - 4, 0) + 1),
+                           i -> array_to_string(tk[i:i+4], ' '))) AS g
+                FROM toks
+            ),
+            tot AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+            per AS (
+                SELECT doc_id, count(*) AS n_sh,
+                       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM sh JOIN tot USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_shingles
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # two-level exact distinct aggregate (stages/aggregates.py)
+        "distinct_per_group": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+            FROM orders GROUP BY o_orderpriority
         """,
         # benchmark n-gram decontamination (stages/text_analysis.py:
         # NgramDecontaminator): token rule = regexp_split_to_array(

@@ -113,3 +113,71 @@ def pivot_counts(
         *[Sum(oc, alias_name=oc) for oc in out_cols]
     )
     return agg
+
+
+def distinct_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    out_col: str = "n_distinct",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT ``COUNT(DISTINCT value)`` per group without ever shuffling raw
+    rows — the classic two-level distinct-aggregate:
+
+    1. per-BATCH dedup of ``(group, value)`` pairs (one Arrow hash-groupby;
+       on web-scale event streams this is the big combiner — a batch with
+       1M rows over 10k live pairs emits 10k);
+    2. ONE shuffle bucketed on ``hash(group, value)`` — equal pairs
+       co-locate, so a per-bucket dedup is globally exact, and each bucket
+       collapses to per-group partial counts (rows out = groups x buckets
+       at most);
+    3. a tiny ``groupby(group).sum`` over the partials.
+
+    For cardinalities where even the distinct pair set is too wide, switch
+    to a sketch (HLL); exact is the right default whenever the answer
+    itself (distinct values) fits a shuffle — the usual case for
+    per-entity distinct counts.
+    """
+    from ray.data.aggregate import Sum
+
+    from .bucketing import bucketed_group_apply
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.select([group_col, value_col]).group_by(
+            [group_col, value_col]
+        ).aggregate([])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], g.schema.field(group_col).type),
+                    "__part": pa.array([], pa.int64()),
+                }
+            )
+        dedup = g.group_by([group_col, value_col]).aggregate([])
+        cnt = dedup.group_by([group_col]).aggregate([(value_col, "count")])
+        return pa.table(
+            {
+                group_col: cnt[group_col],
+                "__part": cnt[f"{value_col}_count"].cast(pa.int64()),
+            }
+        )
+
+    partials = bucketed_group_apply(
+        ds.map_batches(local_dedup, batch_format="pyarrow"),
+        [group_col, value_col],
+        per_bucket,
+        n_buckets=n_buckets,
+    )
+    agg = partials.groupby(group_col).aggregate(Sum("__part", alias_name=out_col))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index(out_col),
+            out_col,
+            t[out_col].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )

@@ -46,6 +46,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..state.metrics import inc_metric
@@ -756,3 +757,147 @@ def embedding_neardup_pairs(
 
     bucketized = ds.map_batches(bucketize, batch_format="pyarrow")
     return bucketed_group_apply(bucketized, "bucket", verify)
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate spans (Lee et al. 2021, bounded shingle form)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-doc substring-duplication stats at ``k``-token granularity:
+    ``(id, n_shingles, n_dup_shingles)`` where a shingle POSITION counts as
+    duplicated when its ``k``-token window text occurs at >=2 (doc, pos)
+    sites anywhere in the corpus (within-doc repeats included) — the
+    bounded-granularity form of exact substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021; the full
+    suffix-array variant detects arbitrary-length spans, this k-token form
+    is the shuffle-friendly approximation used at corpus scale).
+
+    Token/shingle rule is the pinned oracle rule (`_token_stream` +
+    `_flat_ngrams` from text_analysis: DuckDB-trim, lower, ``\\s+`` split,
+    windows joined with single spaces).
+
+    Scale shape:
+      1. one tokenize pass; per batch the shingle stream collapses to
+         ``(digest16, id, cnt)`` partials — repeated windows within a batch
+         pre-combine, and only a 16-byte md5 digest (never shingle text)
+         enters the exchange;
+      2. ONE digest-bucketed shuffle; per bucket: totals per digest ->
+         per-doc (n_pos, n_dup) partials (each doc contributes rows to at
+         most #buckets partial rows);
+      3. a tiny groupby(id).sum + a broadcast-capable left join back onto
+         the id spine so shingle-less docs report zeros.
+    """
+    import pandas as pd
+
+    from .bucketing import default_buckets
+    from .joins import left_join
+    from .text_analysis import _flat_ngrams, _token_stream
+
+    nb = n_buckets or default_buckets()
+
+    def postings(t: pa.Table) -> pa.Table:
+        values, offsets = _token_stream(t[text_col])
+        ngrams, doc_of_pos, valid = _flat_ngrams(values, offsets, k)
+        id_arr = t[id_col]
+        id_arr = (
+            id_arr.combine_chunks() if isinstance(id_arr, pa.ChunkedArray) else id_arr
+        )
+        if len(ngrams) == 0 or not valid.any():
+            return pa.table(
+                {
+                    "h": pa.array([], pa.binary(16)),
+                    "id": pa.array([], id_arr.type),
+                    "cnt": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int32()),
+                }
+            )
+        ngrams = ngrams.filter(pa.array(valid))
+        doc_of_pos = doc_of_pos[valid]
+        # hash only DISTINCT window texts (md5 full 128 bits: collision-free
+        # in practice even at 10^12 windows), then gather codes
+        dict_arr = ngrams.dictionary_encode()
+        uniq = dict_arr.dictionary.to_pylist()
+        digests = [hashlib.md5(u.encode()).digest() for u in uniq]
+        # bucket id straight from the digest bytes (binary keys can't ride
+        # the string-keyed bucketing helper): deterministic, balanced
+        buckets = np.fromiter(
+            (int.from_bytes(d[:4], "big") % nb for d in digests),
+            np.int32,
+            count=len(digests),
+        )
+        codes = np.asarray(dict_arr.indices, dtype=np.int64)
+        df = pd.DataFrame({"c": codes, "d": doc_of_pos})
+        agg = df.groupby(["c", "d"], sort=False).size().reset_index(name="cnt")
+        cvec = agg["c"].to_numpy()
+        return pa.table(
+            {
+                "h": pa.array([digests[c] for c in cvec], pa.binary(16)),
+                "id": id_arr.take(pa.array(agg["d"].to_numpy(), pa.int64())),
+                "cnt": pa.array(agg["cnt"].to_numpy(), pa.int64()),
+                "__bucket": pa.array(buckets[cvec], pa.int32()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], g.schema.field("id").type),
+                    "__pos": pa.array([], pa.int64()),
+                    "__dup": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "h": g["h"].to_pandas(),
+                "id": g["id"].to_pandas(),
+                "cnt": g["cnt"].to_pandas(),
+            }
+        )
+        tot = df.groupby("h", sort=False)["cnt"].transform("sum")
+        df["__dup"] = np.where(tot.to_numpy() >= 2, df["cnt"].to_numpy(), 0)
+        out = (
+            df.groupby("id", sort=False)
+            .agg(__pos=("cnt", "sum"), __dup=("__dup", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+    from ray.data.aggregate import Sum
+
+    per_doc = parts.groupby("id").aggregate(
+        Sum("__pos", alias_name="n_shingles"),
+        Sum("__dup", alias_name="n_dup_shingles"),
+    )
+
+    spine = ds.map_batches(
+        lambda t: pa.table({"id": t[id_col]}),
+        batch_format="pyarrow",
+    )
+    joined = left_join(spine, per_doc, on=("id",))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_sh = pc.coalesce(t["n_shingles"], pa.scalar(0, pa.int64())).cast(pa.int64())
+        n_dup = pc.coalesce(t["n_dup_shingles"], pa.scalar(0, pa.int64())).cast(
+            pa.int64()
+        )
+        return pa.table({"id": t["id"], "n_shingles": n_sh, "n_dup_shingles": n_dup})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

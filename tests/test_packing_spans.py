@@ -1,0 +1,126 @@
+"""Sequence packing (stages/packing.py), substring duplicate spans
+(stages/dedup.py:duplicate_spans) and the two-level distinct aggregate
+(stages/aggregates.py:distinct_per_group)."""
+
+import hashlib
+
+import ray.data as rd
+
+from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+    distinct_per_group,
+)
+from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+    duplicate_spans,
+)
+from moj_analytical_services_uk_address_matcher_ray.stages.packing import (
+    pack_sequences,
+)
+
+
+def _packed(rows, seq_len, **kw):
+    out = (
+        pack_sequences(rd.from_items(rows), seq_len=seq_len, **kw)
+        .to_pandas()
+        .sort_values("pack_pos")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_pack_sequences_order_offsets_and_spans(ray_session):
+    rows = [
+        {"doc_id": i, "text": " ".join(["tok"] * n)}
+        for i, n in enumerate([3, 5, 2, 7, 4])
+    ]
+    out = _packed(rows, seq_len=4)
+    # global order is the md5 lottery, independently recomputed here
+    expect = sorted(
+        range(5), key=lambda i: (hashlib.md5(f"{i}:".encode()).hexdigest(), i)
+    )
+    assert out["doc_id"].tolist() == expect
+    # offsets: exclusive prefix sum of token counts in that order
+    lens = {i: n for i, n in enumerate([3, 5, 2, 7, 4])}
+    acc = 0
+    for _, r in out.iterrows():
+        assert r["tok_start"] == acc
+        assert r["n_tokens"] == lens[r["doc_id"]]
+        assert r["seq_first"] == acc // 4
+        assert r["seq_last"] == (acc + r["n_tokens"] - 1) // 4
+        acc += r["n_tokens"]
+    assert acc == 21
+    # a doc that spans a boundary covers >1 sequence
+    assert (out["seq_last"] > out["seq_first"]).any()
+
+
+def test_pack_sequences_drops_empty_docs_and_respects_salt(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "   "},  # zero tokens -> dropped
+        {"doc_id": 2, "text": ""},  # zero tokens -> dropped
+        {"doc_id": 3, "text": "x y"},
+    ]
+    out = _packed(rows, seq_len=10)
+    assert set(out["doc_id"]) == {0, 3}
+    assert out["pack_pos"].tolist() == [0, 1]
+    # a different salt draws a different (here: reversed) order
+    out_a = _packed(rows, seq_len=10)["doc_id"].tolist()
+    for salt in ("1", "2", "3", "4", "5"):
+        if _packed(rows, seq_len=10, salt=salt)["doc_id"].tolist() != out_a:
+            break
+    else:
+        raise AssertionError("salt never changed the pack order")
+
+
+def test_duplicate_spans_counts(ray_session):
+    # k=3: "a b c" window shared by docs 0 and 1; doc 2 has an internal
+    # repeat of "p q r"; doc 3 is all-unique; doc 4 too short for any window
+    rows = [
+        {"doc_id": 0, "text": "a b c x y"},
+        {"doc_id": 1, "text": "z a b c"},
+        {"doc_id": 2, "text": "p q r s p q r"},
+        {"doc_id": 3, "text": "u v w m n"},
+        {"doc_id": 4, "text": "one two"},
+    ]
+    out = (
+        duplicate_spans(rd.from_items(rows), k=3)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_shingles"] == 3 and out.loc[0, "n_dup_shingles"] == 1
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_dup_shingles"] == 1
+    # doc 2: 5 windows; "p q r" occurs at positions 0 and 4 -> both dup
+    assert out.loc[2, "n_shingles"] == 5 and out.loc[2, "n_dup_shingles"] == 2
+    assert out.loc[3, "n_shingles"] == 3 and out.loc[3, "n_dup_shingles"] == 0
+    assert out.loc[4, "n_shingles"] == 0 and out.loc[4, "n_dup_shingles"] == 0
+
+
+def test_duplicate_spans_case_and_whitespace_rule(ray_session):
+    # tokens are lowered and \s+-split, so "A  B\tC" == "a b c"
+    rows = [
+        {"doc_id": 0, "text": "A  B\tC"},
+        {"doc_id": 1, "text": "a b c"},
+    ]
+    out = (
+        duplicate_spans(rd.from_items(rows), k=3).to_pandas().set_index("id")
+    )
+    assert out["n_dup_shingles"].tolist() == [1, 1]
+
+
+def test_distinct_per_group_exact(ray_session):
+    rows = (
+        [{"g": "a", "v": 1}] * 3  # duplicates collapse
+        + [{"g": "a", "v": 2}]
+        + [{"g": "b", "v": 1}]
+        + [{"g": "b", "v": 9}, {"g": "b", "v": 9}]
+        + [{"g": "c", "v": 5}]
+    )
+    out = (
+        distinct_per_group(
+            rd.from_items(rows), group_col="g", value_col="v", n_buckets=8
+        )
+        .to_pandas()
+        .set_index("g")["n_distinct"]
+        .sort_index()
+    )
+    assert out.tolist() == [2, 2, 1]
