@@ -949,6 +949,48 @@ def _q_distinct_per_group(sf_dir: str):
     )
 
 
+def _q_upsample(sf_dir: str):
+    """Deterministic mixture upsampling (stages/sampling.py:
+    upsample_by_weight): weights with exact binary fractions (2.5 / 0.5 /
+    default 1.0) so the md5-lottery threshold is bit-identical in SQL."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        upsample_by_weight,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return upsample_by_weight(ds, {"src0": 2.5, "src1": 0.5})
+
+
+def _q_doc_entropy(sf_dir: str):
+    """Per-doc unigram entropy (bits), x1e6-rounded (float-hash
+    convention)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        doc_entropy,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        out = doc_entropy(t)
+        arr = out["entropy_bits"].combine_chunks()
+        scaled = pc.floor(
+            pc.add(pc.multiply(arr, pa.scalar(1e6)), pa.scalar(0.5))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": out["doc_id"], "entropy_x1e6": scaled})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_group_topk_tokens(sf_dir: str):
+    """Top-5 tokens per language (two-level frequency top-k)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        group_topk_tokens,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    return group_topk_tokens(ds, group_col="lang", k=5)
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1534,6 +1576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "duplicate_spans": _q_duplicate_spans,
         "distinct_per_group": _q_distinct_per_group,
+        "upsample_mixture": _q_upsample,
+        "doc_entropy": _q_doc_entropy,
+        "group_topk_tokens": _q_group_topk_tokens,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -2018,6 +2063,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
             FROM orders GROUP BY o_orderpriority
+        """,
+        # deterministic mixture upsampling (stages/sampling.py:
+        # upsample_by_weight): same md5-fraction lottery as split_assign;
+        # reps = floor(w) + (frac < w - floor(w)); copies tagged epoch 0..r-1
+        "upsample_mixture": """
+            WITH f AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id || ':'), 1, 8))::UBIGINT
+                           / 4294967296.0 AS frac,
+                       CASE source WHEN 'src0' THEN 2.5
+                                   WHEN 'src1' THEN 0.5
+                                   ELSE 1.0 END AS w
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, source,
+                       CAST(floor(w) + CASE WHEN frac < w - floor(w)
+                                            THEN 1 ELSE 0 END AS BIGINT) AS rep
+                FROM f
+            )
+            SELECT doc_id, source,
+                   CAST(unnest(range(0, rep)) AS BIGINT) AS epoch
+            FROM r WHERE rep > 0
+        """,
+        # per-doc unigram entropy in bits (stages/text_analysis.py:
+        # doc_entropy): pinned token rule (single empty token for empty
+        # docs -> entropy 0); x1e6 floor(x+0.5) rounding both sides
+        "doc_entropy": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+            e AS (
+                SELECT c.doc_id,
+                       -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) AS ent
+                FROM cnt c JOIN tot USING (doc_id) GROUP BY c.doc_id
+            )
+            SELECT doc_id,
+                   CAST(floor(ent * 1e6 + 0.5) AS BIGINT) AS entropy_x1e6
+            FROM e
+        """,
+        # top-5 tokens per language (stages/text_analysis.py:
+        # group_topk_tokens): deterministic tie-break (cnt desc, token asc)
+        "group_topk_tokens": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            ),
+            cnt AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            rk AS (
+                SELECT lang, token, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, token ASC
+                       ) AS rank
+                FROM cnt
+            )
+            SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 5
         """,
         # benchmark n-gram decontamination (stages/text_analysis.py:
         # NgramDecontaminator): token rule = regexp_split_to_array(

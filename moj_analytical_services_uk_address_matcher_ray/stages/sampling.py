@@ -158,3 +158,53 @@ def sample_per_group(
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def upsample_by_weight(
+    ds: "ray.data.Dataset",
+    weights: dict,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "",
+    epoch_col: str = "epoch",
+) -> "ray.data.Dataset":
+    """Deterministic fractional REPETITION — the data-mixture upsampler: a
+    row whose group weight is ``w`` is emitted ``floor(w)`` times plus one
+    more when its md5 fraction falls below ``frac(w)``, so a group with
+    weight 2.3 contributes each doc twice and a stable 30% lottery of docs
+    a third time (expected token multiplier exactly ``w``, variance-free
+    per doc across reruns).  Copies are tagged ``epoch_col`` = 0..k-1 so a
+    downstream packer/shuffler can interleave epochs rather than emit
+    back-to-back repeats.
+
+    Zero shuffle, embarrassingly parallel; the weights dict rides the task
+    closure.  Downsampling (w < 1) falls out of the same rule — floor(w)=0
+    and the lottery keeps the expected fraction — making this the single
+    mixing knob a mixture config needs.
+    """
+    import math
+
+    import numpy as np
+
+    def expand(t: pa.Table) -> pa.Table:
+        fr = _hash_fraction(t[id_col].to_pylist(), salt)
+        groups = t[group_col].to_pylist()
+        reps = np.empty(len(fr), np.int64)
+        for i, (f, g) in enumerate(zip(fr, groups)):
+            w = float(weights.get(g, default_weight))
+            if w < 0:
+                raise ValueError(f"negative weight for group {g!r}")
+            base = math.floor(w)
+            reps[i] = base + (1 if f < (w - base) else 0)
+        idx = np.repeat(np.arange(len(fr), dtype=np.int64), reps)
+        out = t.take(pa.array(idx, pa.int64()))
+        # epoch = 0..rep-1 per source row, vectorised (cumcount per repeat)
+        ends = np.cumsum(reps)
+        epoch = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - reps, reps
+        )
+        return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -771,3 +771,113 @@ class LMScorer:
             has = nb > 0
             ce[has] = -lp[has] / nb[has]
         return t.append_column("lm_cross_entropy", pa.array(ce, pa.float64()))
+
+
+def doc_entropy(
+    t: pa.Table, *, text_col: str = "text", out_col: str = "entropy_bits"
+) -> pa.Table:
+    """Per-document unigram (token) Shannon entropy in bits — the classic
+    "natural language vs boilerplate/garbage" quality signal: low entropy
+    flags repetitive or templated text, near-uniform entropy flags random
+    token soup.  Pure per-document map, no shuffle; the same contiguous
+    dictionary_encode + composite-key ``np.unique`` kernel as
+    :func:`repetition_stats` (no Python in the per-row path).
+
+    Token rule is the pinned oracle rule (`_token_stream`); an empty or
+    all-space document yields the single empty token and entropy 0."""
+    values, offsets = _token_stream(t[text_col])
+    ndocs = t.num_rows
+    n_tok = np.diff(offsets)
+    ent = np.zeros(ndocs, dtype=np.float64)
+    if len(values):
+        doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), n_tok)
+        enc = pc.dictionary_encode(values)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        K = max(len(enc.dictionary), 1)
+        uniq, counts = np.unique(doc_of_tok * K + codes, return_counts=True)
+        doc_u = uniq // K
+        p = counts / n_tok[doc_u].astype(np.float64)
+        np.add.at(ent, doc_u, -p * np.log2(p))
+    return t.append_column(out_col, pa.array(ent, pa.float64()))
+
+
+def group_topk_tokens(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-``k`` most frequent tokens per group (corpus vocabulary audit /
+    per-language stopword discovery): ``(group, token, cnt, rank)`` with the
+    deterministic tie-break (count desc, token asc).
+
+    Scale shape — the canonical two-level frequency top-k:
+      1. per-BATCH (group, token) partial counts (one vectorised composite
+         np.unique; the combiner — a batch contributes at most its local
+         vocabulary, never its token stream);
+      2. ONE (group, token)-bucketed shuffle summing partials to exact
+         counts (payload = vocab-sized, not corpus-sized);
+      3. a second TINY shuffle of the vocab table bucketed on group alone;
+         per bucket one vectorised sort + per-group cumcount head-``k``.
+    """
+    import pandas as pd
+
+    from .bucketing import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        values, offsets = _token_stream(t[text_col])
+        ndocs = t.num_rows
+        n_tok = np.diff(offsets)
+        if len(values) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t.schema.field(group_col).type),
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        grp = t[group_col]
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        genc = grp.dictionary_encode()
+        gcodes = np.repeat(np.asarray(genc.indices, dtype=np.int64), n_tok)
+        tenc = pc.dictionary_encode(values)
+        tcodes = np.asarray(tenc.indices, dtype=np.int64)
+        K = max(len(tenc.dictionary), 1)
+        uniq, counts = np.unique(gcodes * K + tcodes, return_counts=True)
+        return pa.table(
+            {
+                group_col: genc.dictionary.take(pa.array(uniq // K, pa.int64())),
+                "token": tenc.dictionary.take(pa.array(uniq % K, pa.int64())),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by([group_col, "token"]).aggregate([("cnt", "sum")])
+        return agg.rename_columns([group_col, "token", "cnt"])
+
+    exact = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"],
+        sum_bucket,
+        n_buckets=n_buckets,
+    )
+
+    def topk_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(rank=pd.Series([], dtype="int64"))
+        df = df.sort_values(
+            [group_col, "cnt", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = df.groupby(group_col, sort=False).cumcount() + 1
+        df = df.assign(rank=rank.astype("int64"))
+        return df[df["rank"] <= k]
+
+    return bucketed_group_apply(
+        exact, [group_col], topk_bucket, batch_format="pandas",
+        n_buckets=n_buckets,
+    )

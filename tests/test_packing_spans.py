@@ -124,3 +124,73 @@ def test_distinct_per_group_exact(ray_session):
         .sort_index()
     )
     assert out.tolist() == [2, 2, 1]
+
+
+def test_upsample_by_weight_reps_and_epochs(ray_session):
+    import math
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        _hash_fraction,
+        upsample_by_weight,
+    )
+
+    rows = [{"doc_id": i, "source": "a" if i % 2 else "b"} for i in range(40)]
+    out = upsample_by_weight(
+        rd.from_items(rows), {"a": 2.5, "b": 0.25}, group_col="source"
+    ).to_pandas()
+    for i in range(40):
+        f = _hash_fraction([i], "")[0]
+        w = 2.5 if i % 2 else 0.25
+        want = math.floor(w) + (1 if f < w - math.floor(w) else 0)
+        got = out[out["doc_id"] == i]
+        assert len(got) == want, (i, w, f)
+        assert sorted(got["epoch"].tolist()) == list(range(want))
+
+
+def test_doc_entropy_values(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        doc_entropy,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c d", "a a a a", "a a b b", ""],
+        }
+    )
+    out = doc_entropy(t)["entropy_bits"].to_pylist()
+    assert abs(out[0] - 2.0) < 1e-12  # uniform over 4
+    assert out[1] == 0.0  # single symbol
+    assert abs(out[2] - 1.0) < 1e-12  # fair coin
+    assert out[3] == 0.0  # empty doc -> single empty token
+    assert math.isfinite(sum(out))
+
+
+def test_group_topk_tokens_ranking_and_ties(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        group_topk_tokens,
+    )
+
+    rows = [
+        {"g": "x", "text": "b b b a a c"},
+        {"g": "x", "text": "a"},  # a ties b at 3 -> 'a' wins rank 1 (asc)
+        {"g": "y", "text": "z z q"},
+    ]
+    out = (
+        group_topk_tokens(
+            rd.from_items(rows), group_col="g", text_col="text", k=2, n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    x = out[out["g"] == "x"]
+    assert x["token"].tolist() == ["a", "b"]
+    assert x["cnt"].tolist() == [3, 3]
+    assert x["rank"].tolist() == [1, 2]
+    y = out[out["g"] == "y"]
+    assert y["token"].tolist() == ["z", "q"]
