@@ -991,6 +991,32 @@ def _q_group_topk_tokens(sf_dir: str):
     return group_topk_tokens(ds, group_col="lang", k=5)
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Top-5% lineitems by extended price via distributed exact selection
+    (stages/aggregates.py:global_quantile_cont — histogram-refinement
+    passes, no global sort) + one zero-shuffle filter."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        filter_by_quantile,
+    )
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    out = filter_by_quantile(ds, "l_extendedprice", 0.95, keep="ge")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_cents": pc.round(
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_asof_join(sf_dir: str):
     """Click->latest-earlier-view attribution per user: the as-of join."""
     from moj_analytical_services_uk_address_matcher_ray.stages.joins import asof_join
@@ -1579,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
+        "quantile_filter": _q_quantile_filter,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
@@ -2109,6 +2136,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(floor(ent * 1e6 + 0.5) AS BIGINT) AS entropy_x1e6
             FROM e
+        """,
+        # top-5% filter by exact global quantile_cont threshold
+        # (stages/aggregates.py:filter_by_quantile): the interpolated
+        # threshold lies strictly BETWEEN adjacent order statistics (or
+        # exactly ON a data value when frac=0 / ties), so the row set is
+        # stable across engines at double precision
+        "quantile_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+            FROM lineitem
+            WHERE l_extendedprice >= (
+                SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem
+            )
         """,
         # top-5 tokens per language (stages/text_analysis.py:
         # group_topk_tokens): deterministic tie-break (cnt desc, token asc)

@@ -181,3 +181,133 @@ def distinct_per_group(
         ),
         batch_format="pyarrow",
     )
+
+
+def global_quantile_cont(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    *,
+    bins: int = 1024,
+    collect_limit: int = 65536,
+    max_rounds: int = 12,
+) -> float:
+    """EXACT global ``quantile_cont`` of one column by distributed selection
+    — no global sort, no driver materialisation.
+
+    The driver never sees data, only O(bins) counters: each round is one
+    streaming pass over the narrow column computing, for the current
+    candidate interval [a, b], ``count(x < a)`` and a ``bins``-bucket
+    histogram of [a, b]; the interval then shrinks to the bucket span
+    containing the two order statistics the quantile interpolates between
+    (ranks floor(q*(n-1)) and ceil(q*(n-1))).  When the in-interval count
+    drops under ``collect_limit`` the remaining values are collected and
+    the exact order statistics read off; the interpolation is the
+    ``quantile_cont`` formula (`_quantile_cont`), bit-matching the SQL
+    engines.  Worst case ~log_bins(n) + 1 passes (3 passes for 10^12 rows
+    at bins=1024); each pass is a zero-shuffle ``map_batches`` partial +
+    tiny driver reduce.
+
+    NaNs and nulls are ignored (SQL aggregate semantics).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    narrow = ds.select_columns([col]).materialize()
+
+    def stats(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:
+            return pa.table({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
+        return pa.table(
+            {"n": [len(x)], "lo": [float(x.min())], "hi": [float(x.max())]}
+        )
+
+    n, lo, hi = 0, np.inf, -np.inf
+    for r in narrow.map_batches(stats, batch_format="pyarrow").take_all():
+        n += r["n"]
+        lo = min(lo, r["lo"])
+        hi = max(hi, r["hi"])
+    if n == 0:
+        return float("nan")
+    pos = q * (n - 1)
+    k1, k2 = int(np.floor(pos)), int(np.ceil(pos))
+    frac = pos - k1
+
+    a, b = lo, hi
+    for _ in range(max_rounds):
+        # one pass: count(x < a) exactly + histogram of [a, b]
+        def hist(t: pa.Table, a=a, b=b) -> pa.Table:
+            x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            below = int((x < a).sum())
+            inr = x[(x >= a) & (x <= b)]
+            if b > a:
+                idx = np.clip(
+                    ((inr - a) * (bins / (b - a))).astype(np.int64), 0, bins - 1
+                )
+                h = np.bincount(idx, minlength=bins)
+            else:
+                h = np.zeros(bins, np.int64)
+                h[0] = len(inr)
+            return pa.table({"below": [below], "h": [h.tolist()]})
+
+        below_tot = 0
+        h_tot = np.zeros(bins, np.int64)
+        for r in narrow.map_batches(hist, batch_format="pyarrow").take_all():
+            below_tot += r["below"]
+            h_tot += np.asarray(r["h"], np.int64)
+        cum = below_tot + np.cumsum(h_tot)
+        i1 = int(np.searchsorted(cum, k1 + 1))
+        i2 = int(np.searchsorted(cum, k2 + 1))
+        in_range = int(h_tot[i1 : i2 + 1].sum())
+        w = (b - a) / bins if b > a else 0.0
+        new_a = np.nextafter(a + i1 * w, -np.inf)
+        new_b = np.nextafter(a + (i2 + 1) * w, np.inf)
+        if in_range <= collect_limit or w == 0.0 or (new_a <= a and new_b >= b):
+            a, b = max(a, new_a), min(b, new_b)
+            break
+        a, b = new_a, new_b
+
+    # exact rank-below count for the final interval + collect its values
+    def final(t: pa.Table, a=a, b=b) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        below = int((x < a).sum())
+        inr = x[(x >= a) & (x <= b)]
+        return pa.table({"below": [below], "v": [inr.tolist()]})
+
+    below_tot = 0
+    vals: list = []
+    for r in narrow.map_batches(final, batch_format="pyarrow").take_all():
+        below_tot += r["below"]
+        vals.extend(r["v"])
+    vals = np.sort(np.asarray(vals, np.float64))
+    v1 = float(vals[k1 - below_tot])
+    v2 = float(vals[k2 - below_tot])
+    return v1 + (v2 - v1) * frac
+
+
+def filter_by_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    *,
+    keep: str = "ge",
+    **quantile_kwargs,
+) -> "ray.data.Dataset":
+    """Keep rows whose ``col`` is >= (``keep='ge'``) or <= (``keep='le'``)
+    the exact global ``quantile_cont(col, q)`` — the "top-5% by quality
+    score" / "drop the slowest percentile" filter, with the threshold found
+    by :func:`global_quantile_cont` (a few streaming passes) and then ONE
+    zero-shuffle filter pass with the scalar threshold in the closure."""
+    if keep not in ("ge", "le"):
+        raise ValueError("keep must be 'ge' or 'le'")
+    thr = global_quantile_cont(ds, col, q, **quantile_kwargs)
+
+    def flt(t: pa.Table) -> pa.Table:
+        cmp = pc.greater_equal if keep == "ge" else pc.less_equal
+        mask = pc.coalesce(cmp(t[col], pa.scalar(thr)), pa.scalar(False))
+        return t.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -49,3 +49,48 @@ def test_pivot_counts(ray_session):
     assert out.loc[2].tolist() == [0, 1]
     assert out.loc[3].tolist() == [0, 0]
     assert str(out["n_x"].dtype) == "int64"
+
+
+def test_global_quantile_cont_exact_and_multi_round(ray_session):
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        global_quantile_cont,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 100, 20_001).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        want = _quantile_cont(np.sort(vals), q)
+        # collect_limit=64 forces several histogram-refinement rounds
+        got = global_quantile_cont(ds, "v", q, bins=16, collect_limit=64)
+        assert got == want, (q, got, want)
+
+
+def test_global_quantile_cont_ignores_nan(ray_session):
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        global_quantile_cont,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"v": [1.0, np.nan, 2.0, 3.0, np.nan, 4.0]})
+    )
+    assert global_quantile_cont(ds, "v", 0.5) == 2.5
+
+
+def test_filter_by_quantile_both_sides(ray_session):
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        filter_by_quantile,
+    )
+
+    vals = np.arange(101, dtype=np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    top = filter_by_quantile(ds, "v", 0.9, keep="ge").to_pandas()["v"]
+    assert sorted(top) == list(np.arange(90, 101, dtype=np.float64))
+    bot = filter_by_quantile(ds, "v", 0.1, keep="le").to_pandas()["v"]
+    assert sorted(bot) == list(np.arange(0, 11, dtype=np.float64))
