@@ -571,6 +571,32 @@ def _q_embedding_neardup(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (stages/dedup.py:semantic_dedup): deterministic first-16
+    quantiser (SQL-expressible), planted exact duplicates (vec_id+100000)
+    must lose to their lower-id originals; natural pairs (max cosine ~0.6)
+    all survive eps=0.9."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        semantic_dedup,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        first_k_centroids,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    shifted = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], pa.scalar(100000, pa.int64())),
+                "embedding": t["embedding"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cents = first_k_centroids(ds, n_centroids=16)
+    return semantic_dedup(ds.union(shifted), centroids=cents, eps=0.9)
+
+
 def _q_ann_topk(sf_dir: str):
     from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
         brute_force_topk,
@@ -989,6 +1015,18 @@ def _q_group_topk_tokens(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     return group_topk_tokens(ds, group_col="lang", k=5)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact global heavy hitters (count >= 100) via per-block Misra-Gries
+    sketches + a broadcast confirm scan — no full-vocabulary shuffle
+    (stages/text_analysis.py:heavy_hitters)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        heavy_hitters,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(ds, min_count=100)
 
 
 def _q_quantile_filter(sf_dir: str):
@@ -1579,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "quality_score": _q_quality,
@@ -1605,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
+        "heavy_hitters": _q_heavy_hitters,
         "quantile_filter": _q_quantile_filter,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
@@ -1816,6 +1856,39 @@ def oracle_sql() -> dict[str, str]:
             FROM both_sides a JOIN both_sides b
               ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        # SemDeDup (stages/dedup.py:semantic_dedup): first-16 quantiser,
+        # argmax assignment (cos DESC, cell ASC), drop when a lower-id
+        # same-cell neighbour has cosine >= 0.9
+        "semantic_dedup": """
+            WITH both_sides AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings
+            ),
+            cents AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding AS cv
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            assign AS (
+                SELECT vec_id, embedding, cell FROM (
+                    SELECT b.vec_id, b.embedding, c.cell,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.embedding, c.cv)
+                                        DESC, c.cell ASC) AS rn
+                    FROM both_sides b CROSS JOIN cents c
+                ) WHERE rn = 1
+            )
+            SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+                   NOT EXISTS (
+                       SELECT 1 FROM assign a2
+                       WHERE a2.cell = a.cell AND a2.vec_id < a.vec_id
+                         AND list_cosine_similarity(a2.embedding, a.embedding)
+                             >= 0.9
+                   ) AS keep
+            FROM assign a
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -2142,6 +2215,17 @@ def oracle_sql() -> dict[str, str]:
         # threshold lies strictly BETWEEN adjacent order statistics (or
         # exactly ON a data value when frac=0 / ties), so the row set is
         # stable across engines at double precision
+        # exact global heavy hitters (stages/text_analysis.py:heavy_hitters):
+        # Misra-Gries block sketches + confirm scan == plain GROUP BY/HAVING
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY token HAVING count(*) >= 100
+        """,
         "quantile_filter": """
             SELECT l_orderkey, l_linenumber,
                    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_cents

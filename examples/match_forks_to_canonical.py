@@ -107,7 +107,13 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ncpu = os.environ.get("RAY_GRAFT_CPUS")
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+            **({"num_cpus": int(ncpu)} if ncpu else {}),
+        )
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -329,12 +335,28 @@ if __name__ == "__main__":
         action="store_true",
         help="~176k messy x ~274k canonical, postcode-density keys",
     )
+    ap.add_argument(
+        "--json",
+        action="store_true",
+        help="print the run() metrics dict as one JSON line on stdout "
+        "(bench.py runs each timing iteration in a fresh process this way)",
+    )
     args = ap.parse_args()
     if args.reference_shape:
-        main(
+        res = main(
             REFERENCE_SHAPE["n_clusters"],
             extra_singletons=REFERENCE_SHAPE["extra_singletons"],
             n_stems=REFERENCE_SHAPE["n_stems"],
+            verbose=not args.json,
         )
     else:
-        main(args.clusters, extra_singletons=args.singletons, n_stems=args.stems)
+        res = main(
+            args.clusters,
+            extra_singletons=args.singletons,
+            n_stems=args.stems,
+            verbose=not args.json,
+        )
+    if args.json:
+        import json
+
+        print(json.dumps(res))

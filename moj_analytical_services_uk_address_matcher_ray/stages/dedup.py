@@ -901,3 +901,108 @@ def duplicate_spans(
         return pa.table({"id": t["id"], "n_shingles": n_sh, "n_dup_shingles": n_dup})
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray,
+    eps: float = 0.9,
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with a coarse quantiser, then inside each cluster drop every
+    item that has a LOWER-id neighbour with cosine >= ``eps``.  The sixth
+    dedup flavour — near-duplicates that share meaning but not tokens
+    (paraphrases, re-encodes), invisible to MinHash/SimHash/n-gram.
+
+    Returns ``(id_col, cell, keep)`` for every input row.
+
+    Scale shape — identical to the paper's recipe and to this module's
+    discipline:
+      * centroid assignment is a zero-shuffle ``map_batches`` against a
+        broadcast (k x d) matrix (``ray.put`` once, read per actor);
+      * ONE bucketed shuffle on the cell id; within-cell cosine is one
+        numpy gram matrix per cell (O(m^2) where m = cell size — the
+        quantiser's k bounds m; at 100 TB pick k so cells fit a worker,
+        exactly the SemDeDup paper's operating point).
+      * the drop rule is non-transitive and deterministic ("exists a
+        lower-id neighbour"), so it is order-free, retry-stable, and
+        DuckDB-expressible (value-hash oracle in ``__ray_entry__``).
+
+    ``centroids`` come from :func:`~.similarity.train_centroids` (k-means,
+    production default) or :func:`~.similarity.first_k_centroids`
+    (deterministic, SQL-expressible — the oracle mode); float64 matmuls
+    throughout so assignment matches DuckDB's ``list_cosine_similarity``
+    argmax bit-for-bit on non-degenerate inputs.
+    """
+    from .bucketing import bucketed_group_apply
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cents_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(cents_ref)
+        V = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        if len(V) == 0:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "cell": pa.array([], pa.int32()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        # np.argmax picks the FIRST max -> lowest cell index, matching the
+        # oracle's ORDER BY cos DESC, cell ASC tie-break.
+        cell = np.argmax(Vn @ Cm.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cell": pa.array(cell, pa.int32()),
+                "vec": pa.array(list(Vn), pa.list_(pa.float64())),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int32()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        ids = np.asarray(g[id_col].to_pylist())
+        cells = np.asarray(g["cell"].to_pylist(), dtype=np.int32)
+        V = np.asarray(g["vec"].to_pylist(), dtype=np.float64)
+        keep = np.ones(n, dtype=bool)
+        df = pd.DataFrame({"cell": cells, "row": np.arange(n)})
+        for _, sub in df.groupby("cell", sort=False):
+            rows = sub["row"].to_numpy()
+            if len(rows) < 2:
+                continue
+            order = rows[np.argsort(ids[rows], kind="mergesort")]
+            S = V[order] @ V[order].T
+            # drop i when any earlier (lower-id) j in the cell has
+            # cosine >= eps: strict lower triangle of the gram matrix
+            hit = np.tril(S >= eps, k=-1).any(axis=1)
+            keep[order[hit]] = False
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "cell": pa.array(cells, pa.int32()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return bucketed_group_apply(assigned, "cell", dedup_bucket, n_buckets=n_buckets)

@@ -801,6 +801,175 @@ def doc_entropy(
     return t.append_column(out_col, pa.array(ent, pa.float64()))
 
 
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    min_count: int,
+    sketch_k: int = 4096,
+) -> pa.Table:
+    """EXACT global heavy hitters: every token whose corpus-wide count is
+    ``>= min_count``, with its exact count — without ever shuffling or
+    collecting the full vocabulary (the stopword/boilerplate-token audit a
+    100 TB corpus needs, where the vocabulary itself is billions of keys).
+
+    Two streaming scans, zero shuffles:
+
+      1. **Sketch scan** — each block reduces its local exact counts to a
+         Misra-Gries summary of ``sketch_k`` counters (subtract the
+         (k+1)-th largest local count, keep positives — the mergeable-
+         summaries reduction of Agarwal et al., SODA'12).  Each summary
+         underestimates a token by at most ``N_block/(k+1)``, so the
+         driver-side sum of residuals underestimates by at most
+         ``N/(k+1)`` globally: every token with true count
+         ``> N/(k+1)`` survives.  Driver combine is O(blocks x k),
+         bounded regardless of vocabulary size (contrast
+         :func:`corpus_df_stats`, which is O(vocab) by design).
+      2. **Confirm scan** — the candidate set (residual upper bound
+         ``>= min_count``) is broadcast into a second scan that counts
+         ONLY candidate tokens exactly (``pc.is_in`` filter per batch);
+         the driver combine is O(candidates).
+
+    Raises ``ValueError`` when the guarantee cannot hold
+    (``min_count <= N/(sketch_k+1)``) — raise ``sketch_k`` — rather than
+    silently missing hitters.  Returns a small Arrow table
+    ``(token, cnt)`` sorted (cnt desc, token asc); token rule is the
+    pinned oracle rule (`_token_stream`).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+
+    def sketch(t: pa.Table) -> pa.Table:
+        values, _ = _token_stream(t[text_col])
+        n_tok = len(values)
+        if n_tok == 0:
+            tok = pa.array([""], pa.string())
+            res = np.zeros(1, dtype=np.int64)
+        else:
+            enc = pc.dictionary_encode(values)
+            counts = np.bincount(
+                np.asarray(enc.indices, dtype=np.int64),
+                minlength=len(enc.dictionary),
+            ).astype(np.int64)
+            if len(counts) > sketch_k:
+                # (k+1)-th largest local count; subtracting it keeps at
+                # most k positive counters and underestimates any token
+                # by <= N_block/(k+1).
+                d = np.partition(counts, len(counts) - (sketch_k + 1))[
+                    len(counts) - (sketch_k + 1)
+                ]
+                res = counts - d
+            else:
+                res = counts
+            keep = res > 0
+            tok = enc.dictionary.filter(pa.array(keep))
+            res = res[keep]
+            if len(tok) == 0:
+                tok = pa.array([""], pa.string())
+                res = np.zeros(1, dtype=np.int64)
+        ntotal = np.zeros(len(tok), dtype=np.int64)
+        ntotal[0] = n_tok
+        return pa.table(
+            {
+                "token": tok,
+                "res": pa.array(res, pa.int64()),
+                "n_total": pa.array(ntotal, pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ray.get(
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    tbls = [p for p in parts if p.num_rows > 0]
+    if not tbls:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(tbls, promote_options="default")
+    n_tokens = int(pc.sum(allp["n_total"]).as_py() or 0)
+    max_under = n_tokens // (sketch_k + 1)
+    if min_count <= max_under:
+        raise ValueError(
+            f"heavy_hitters guarantee violated: min_count={min_count} <= "
+            f"N/(k+1)={max_under} for N={n_tokens} tokens; raise sketch_k "
+            f"above {n_tokens // max(min_count, 1)}"
+        )
+    res_sum = (
+        pd.Series(
+            np.asarray(allp["res"].to_numpy(zero_copy_only=False)),
+            index=allp["token"].to_pandas(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    # true count <= residual_sum + max_under, so anything whose upper
+    # bound misses min_count can be dropped before the confirm scan.
+    cand = res_sum[res_sum + max_under >= min_count]
+    if not len(cand):
+        return pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    cand_arr = pa.array(cand.index.to_numpy(dtype=object), pa.string())
+
+    def confirm(t: pa.Table) -> pa.Table:
+        values, _ = _token_stream(t[text_col])
+        if len(values) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        hit = values.filter(pc.is_in(values, value_set=cand_arr))
+        if len(hit) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(hit)
+        counts = np.bincount(
+            np.asarray(enc.indices, dtype=np.int64),
+            minlength=len(enc.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"token": enc.dictionary, "cnt": pa.array(counts, pa.int64())}
+        )
+
+    cparts = ray.get(
+        ds.map_batches(confirm, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    ctbls = [p for p in cparts if p.num_rows > 0]
+    if not ctbls:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    allc = pa.concat_tables(ctbls, promote_options="default")
+    cnt = (
+        pd.Series(
+            np.asarray(allc["cnt"].to_numpy(zero_copy_only=False)),
+            index=allc["token"].to_pandas(),
+        )
+        .groupby(level=0)
+        .sum()
+    )
+    cnt = cnt[cnt >= min_count].sort_index()
+    cnt = cnt.sort_values(ascending=False, kind="mergesort")
+    return pa.table(
+        {
+            "token": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+            "cnt": pa.array(cnt.to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
 def group_topk_tokens(
     ds: "ray.data.Dataset",
     *,

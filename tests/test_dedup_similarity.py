@@ -244,3 +244,45 @@ def test_group_centroids_empty(ray_session):
     out = group_centroids(ds)
     assert out.num_rows == 0
     assert out.column_names == ["group", "dim", "centroid", "n"]
+
+
+def test_semantic_dedup_drops_planted_duplicates(ray_session):
+    """Planted near-identical vectors lose to their lower-id originals;
+    well-separated vectors all survive; the drop rule is the non-transitive
+    'exists a lower-id neighbour with cosine >= eps' (SemDeDup-style)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.dedup import (
+        semantic_dedup,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.similarity import (
+        first_k_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16).astype(np.float64)
+    rows = [
+        {"vec_id": i, "embedding": list(map(float, v))}
+        for i, v in enumerate(base)
+    ]
+    # ids 1000+i duplicate vector i with a tiny perturbation (cos ~ 1)
+    for i in range(10):
+        rows.append(
+            {
+                "vec_id": 1000 + i,
+                "embedding": list(map(float, base[i] + 1e-6)),
+            }
+        )
+    ds = rd.from_items(rows).repartition(4)
+    cents = first_k_centroids(ds, n_centroids=8)
+    out = (
+        semantic_dedup(ds, centroids=cents, eps=0.95, n_buckets=4)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 50
+    # every planted copy dropped, every original kept
+    for i in range(10):
+        assert not out.loc[1000 + i, "keep"]
+    assert out.loc[list(range(40)), "keep"].all()
+    # copies land in the same cell as their original
+    for i in range(10):
+        assert out.loc[1000 + i, "cell"] == out.loc[i, "cell"]

@@ -4,6 +4,7 @@
 
 import hashlib
 
+import pytest
 import ray.data as rd
 
 from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
@@ -194,3 +195,47 @@ def test_group_topk_tokens_ranking_and_ties(ray_session):
     assert x["rank"].tolist() == [1, 2]
     y = out[out["g"] == "y"]
     assert y["token"].tolist() == ["z", "q"]
+
+
+def test_heavy_hitters_exact_with_tiny_sketch(ray_session):
+    """Force the Misra-Gries reduction (sketch_k << local vocab) across many
+    blocks and assert EXACT counts for every token >= min_count, none below."""
+    import collections
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        heavy_hitters,
+    )
+
+    rng = __import__("random").Random(7)
+    vocab = [f"t{i}" for i in range(200)]
+    rows = []
+    truth = collections.Counter()
+    for _ in range(300):
+        # skewed: a few hot tokens ride every doc, the tail is uniform noise
+        toks = ["hot1", "hot2"] + rng.choices(vocab, k=30)
+        if rng.random() < 0.5:
+            toks.append("hot3")
+        truth.update(toks)
+        rows.append({"text": " ".join(toks)})
+    ds = rd.from_items(rows).repartition(16)
+    min_count = 120
+    # N = 300*32.5 ~ 9750 tokens; need sketch_k+1 > N/min_count = ~82
+    out = heavy_hitters(ds, min_count=min_count, sketch_k=96)
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    want = {t: c for t, c in truth.items() if c >= min_count}
+    assert got == want and "hot1" in got
+    # descending count order with token tiebreak
+    cnts = out["cnt"].to_pylist()
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_heavy_hitters_guarantee_violation_raises(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        heavy_hitters,
+    )
+
+    rows = [{"text": " ".join(f"w{i}" for i in range(500))} for _ in range(20)]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="guarantee"):
+        # N=10000 tokens, k=9 -> N/(k+1)=1000 >= min_count=5
+        heavy_hitters(ds, min_count=5, sketch_k=9)
