@@ -36,7 +36,15 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # strip pandas-written schema metadata: it makes pa.Schema unhashable,
+    # defeating Ray Data's schema-dedup fast path (see sources/io.py)
+    return (
+        _rd()
+        .read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+        .map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+    )
 
 
 def _docs_as_address(t: pa.Table) -> pa.Table:

@@ -183,8 +183,12 @@ def run_bench() -> dict:
             "examples",
             "match_forks_to_canonical.py",
         )
+        # median of 5 fresh runs: this VM's wall variance under external
+        # load is ±30-130% (measured 21s quiet vs 49s loaded on identical
+        # code+corpus); 3 samples let one loaded run drag the median.
+        n_runs = int(os.environ.get("UAM_TT_RUNS", "5"))
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             proc = subprocess.run(
                 [sys.executable, example, "--reference-shape", "--json"],
                 env=dict(
@@ -198,7 +202,7 @@ def run_bench() -> dict:
             )
             runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
         walls = sorted(r["sec_total"] for r in runs)
-        med = next(r for r in runs if r["sec_total"] == walls[1])
+        med = next(r for r in runs if r["sec_total"] == walls[len(walls) // 2])
         timings["two_table_match"] = med["sec_total"]
         two_table = {
             "n_messy": med["n_messy"],

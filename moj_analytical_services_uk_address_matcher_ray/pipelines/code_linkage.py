@@ -484,7 +484,7 @@ def dedup_code_corpus(
             )
             return pa.Table.from_pandas(
                 df.rename(columns={"unique_id": "min_uid"}), preserve_index=False
-            )
+            ).replace_schema_metadata(None)
 
         # Combine the per-block (cluster_id, min_uid) partials on the driver:
         # this branch is gated by comps.count() <= broadcast_clusters_threshold,

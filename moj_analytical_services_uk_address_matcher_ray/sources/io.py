@@ -49,12 +49,25 @@ def read_parquet(
     rename: dict[str, str] | None = None,
 ) -> "ray.data.Dataset":
     """S1: column-pruned parquet read with optional row-group filter
-    (a ``pyarrow.dataset`` expression) and column renames."""
+    (a ``pyarrow.dataset`` expression) and column renames.
+
+    Schema-level metadata (e.g. the ``b'pandas'`` blob pandas-written
+    parquet carries) is stripped in the first (fused) map: a
+    ``pa.Schema`` with schema metadata is UNHASHABLE, which defeats Ray
+    Data's schema-dedup early exit on every block concat/unify and spams
+    'Failed to hash the schemas' warnings from every downstream task.
+    ``replace_schema_metadata(None)`` is metadata-only and zero-copy."""
     ds = ray.data.read_parquet(path, columns=columns, filter=row_filter)
     if rename:
         ds = ds.map_batches(
-            lambda t: t.rename_columns([rename.get(c, c) for c in t.column_names]),
+            lambda t: t.rename_columns(
+                [rename.get(c, c) for c in t.column_names]
+            ).replace_schema_metadata(None),
             batch_format="pyarrow",
+        )
+    else:
+        ds = ds.map_batches(
+            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
         )
     return ds
 

@@ -104,7 +104,9 @@ def pivot_counts(
                 .astype(np.int64)
             )
         agg = df.groupby(group_col, sort=False, as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(
+            agg, preserve_index=False
+        ).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum

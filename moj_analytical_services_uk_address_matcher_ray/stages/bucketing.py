@@ -125,7 +125,13 @@ def bucketed_group_apply(
             import pandas as pd
 
             if isinstance(res, pd.DataFrame):
-                return pa.Table.from_pandas(res, preserve_index=False)
+                # strip the b'pandas' schema metadata from_pandas attaches:
+                # a pa.Schema with schema metadata is unhashable, which
+                # defeats Ray Data's schema-dedup fast path on every
+                # downstream concat/unify (and logs a warning per task)
+                return pa.Table.from_pandas(
+                    res, preserve_index=False
+                ).replace_schema_metadata(None)
             return res
 
     return keyed.groupby(BUCKET_COL).map_groups(wrapper, batch_format=batch_format)

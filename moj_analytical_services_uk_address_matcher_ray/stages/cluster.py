@@ -401,7 +401,7 @@ def _canonicalise_edges(
 
         return pa.Table.from_pandas(
             g.to_pandas().drop_duplicates(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return bucketed_group_apply(
         adj.map_batches(canon, batch_format="pyarrow"),

@@ -870,7 +870,9 @@ def duplicate_spans(
             .agg(__pos=("cnt", "sum"), __dup=("__dup", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     parts = (
         ds.map_batches(postings, batch_format="pyarrow")
