@@ -1025,6 +1025,26 @@ def _q_group_topk_tokens(sf_dir: str):
     return group_topk_tokens(ds, group_col="lang", k=5)
 
 
+def _q_text_search(sf_dir: str):
+    """Inverted-index AND search (stages/search.py): build the hive
+    token-bucket index once under /tmp, then probe only the query terms'
+    bucket partitions with a pushed-down token filter."""
+    import os
+    import tempfile
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.search import (
+        build_text_index,
+        search_text_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"uam_text_index_{tag}")
+    if not os.path.exists(os.path.join(idx, "_INDEX_DONE")):
+        ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        build_text_index(ds, idx, n_buckets=32)
+    return search_text_index(idx, ["batch", "join", "filter"], mode="and")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact global heavy hitters (count >= 100) via per-block Misra-Gries
     sketches + a broadcast confirm scan — no full-vocabulary shuffle
@@ -1653,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
         "heavy_hitters": _q_heavy_hitters,
+        "text_search": _q_text_search,
         "quantile_filter": _q_quantile_filter,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
@@ -2223,6 +2244,20 @@ def oracle_sql() -> dict[str, str]:
         # threshold lies strictly BETWEEN adjacent order statistics (or
         # exactly ON a data value when frac=0 / ties), so the row set is
         # stable across engines at double precision
+        # inverted-index AND search (stages/search.py): partition-pruned
+        # probe == docs containing ALL query terms under the pinned token
+        # rule
+        "text_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT doc_id FROM toks
+            WHERE token IN ('batch', 'join', 'filter')
+            GROUP BY doc_id HAVING count(DISTINCT token) = 3
+        """,
         # exact global heavy hitters (stages/text_analysis.py:heavy_hitters):
         # Misra-Gries block sketches + confirm scan == plain GROUP BY/HAVING
         "heavy_hitters": """
