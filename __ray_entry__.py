@@ -1025,6 +1025,25 @@ def _q_group_topk_tokens(sf_dir: str):
     return group_topk_tokens(ds, group_col="lang", k=5)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR hashed-bigram importance weights, target = lang='en'
+    (stages/text_analysis.py:dsir_weights); scaled x1e6 for the hash."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        dsir_weights,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = dsir_weights(ds, target_col="lang", target_value="en", n_buckets=4096)
+
+    def fin(t: pa.Table) -> pa.Table:
+        scaled = pc.round(
+            pc.multiply(t["dsir_weight"], pa.scalar(1e6, pa.float64()))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "dsir_x1e6": scaled})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_text_search(sf_dir: str):
     """Inverted-index AND search (stages/search.py): build the hive
     token-bucket index once under /tmp, then probe only the query terms'
@@ -1674,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk_tokens": _q_group_topk_tokens,
         "heavy_hitters": _q_heavy_hitters,
         "text_search": _q_text_search,
+        "dsir_weights": _q_dsir_weights,
         "quantile_filter": _q_quantile_filter,
         "doc_sha256": _q_doc_sha,
         "events_window": _q_events_window,
@@ -2244,6 +2264,52 @@ def oracle_sql() -> dict[str, str]:
         # threshold lies strictly BETWEEN adjacent order statistics (or
         # exactly ON a data value when frac=0 / ties), so the row set is
         # stable across engines at double precision
+        # DSIR hashed-bigram importance weights (stages/text_analysis.py:
+        # dsir_weights): bucket = md5(bigram) first-8-bytes % 4096, target
+        # = lang='en', add-1 smoothing; weight = sum over bigram
+        # OCCURRENCES of ln((ct+1)/(T+B)) - ln((cr+1)/(R+B))
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+') AS tk
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, lang,
+                       unnest(list_transform(
+                           range(1, greatest(len(tk) - 1, 0) + 1),
+                           i -> array_to_string(tk[i:i+1], ' '))) AS g
+                FROM toks
+            ),
+            hb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT % 4096 AS b
+                FROM bg
+            ),
+            cnts AS (
+                SELECT b,
+                       count(*) AS cr,
+                       count(*) FILTER (lang = 'en') AS ct
+                FROM hb GROUP BY b
+            ),
+            tot AS (
+                SELECT sum(cr) AS R, sum(ct) AS T FROM cnts
+            ),
+            lam AS (
+                SELECT b,
+                       ln((ct + 1.0) / (T + 4096.0))
+                       - ln((cr + 1.0) / (R + 4096.0)) AS l
+                FROM cnts, tot
+            ),
+            score AS (
+                SELECT hb.doc_id, sum(l) AS w
+                FROM hb JOIN lam USING (b) GROUP BY hb.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(round(coalesce(s.w, 0) * 1e6) AS BIGINT) AS dsir_x1e6
+            FROM documents d LEFT JOIN score s USING (doc_id)
+        """,
         # inverted-index AND search (stages/search.py): partition-pruned
         # probe == docs containing ALL query terms under the pinned token
         # rule

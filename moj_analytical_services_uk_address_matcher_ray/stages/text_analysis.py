@@ -1050,3 +1050,127 @@ def group_topk_tokens(
         exact, [group_col], topk_bucket, batch_format="pandas",
         n_buckets=n_buckets,
     )
+
+
+def dsir_weights(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> "ray.data.Dataset":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance ratio between a TARGET distribution (rows where
+    ``target_col == target_value``) and the RAW corpus, under hashed
+    bigram features — the principled "make my web crawl look like my
+    target domain" selector.
+
+      weight(d) = sum over d's bigram occurrences g of
+                  ln( (ct[b(g)]+s) / (T+s*B) ) - ln( (cr[b(g)]+s) / (R+s*B) )
+
+    where ``b(g) = md5(g) % B`` (bit-reproducible in DuckDB — the module's
+    standard hashing), ct/cr are target/raw bucket counts, T/R the totals,
+    s the add-``smoothing`` prior.  Resample downstream with
+    :func:`~.sampling.sample_per_group`-style lotteries or a top-k.
+
+    Scale shape: ONE stats scan emitting per-block ``(bucket, cnt_raw,
+    cnt_target)`` partials (bounded by B per block — the driver combine is
+    O(B), independent of corpus or vocabulary size; that boundedness is
+    the reason DSIR hashes), then a broadcast ``lam`` array (B float64,
+    ``ray.put`` once) feeds a zero-shuffle scoring scan.  md5 runs once
+    per UNIQUE bigram per batch (same discipline as minhash shingles).
+    """
+    import hashlib
+
+    def _buckets_of(dictionary: pa.Array) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                % n_buckets
+                for s in dictionary.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(dictionary),
+        )
+
+    def _doc_bigrams(t: pa.Table):
+        values, offsets = _token_stream(t[text_col])
+        grams, doc_of_pos, valid = _flat_ngrams(values, offsets, 2)
+        if len(grams) == 0 or not valid.any():
+            return None
+        grams = grams.filter(pa.array(valid))
+        doc_of_pos = doc_of_pos[valid]
+        enc = pc.dictionary_encode(grams)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        return _buckets_of(enc.dictionary), codes, doc_of_pos
+
+    def stats(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "cnt_raw": pa.array([], pa.int64()),
+                "cnt_tgt": pa.array([], pa.int64()),
+            }
+        )
+        bg = _doc_bigrams(t)
+        if bg is None:
+            return empty
+        bkt, codes, doc_of_pos = bg
+        pos_b = bkt[codes]
+        cr = np.bincount(pos_b, minlength=n_buckets)
+        is_tgt = np.asarray(
+            pc.equal(
+                pc.coalesce(
+                    t[target_col].combine_chunks()
+                    if isinstance(t[target_col], pa.ChunkedArray)
+                    else t[target_col],
+                    "",
+                ),
+                target_value,
+            )
+        )
+        ct = np.bincount(
+            pos_b[is_tgt[doc_of_pos]], minlength=n_buckets
+        )
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "cnt_raw": pa.array(cr[nz], pa.int64()),
+                "cnt_tgt": pa.array(ct[nz], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(stats, batch_format="pyarrow").materialize().to_arrow_refs()
+    )
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    for p in parts:
+        if p.num_rows:
+            b = np.asarray(p["bucket"].to_numpy(zero_copy_only=False))
+            cr[b] += np.asarray(p["cnt_raw"].to_numpy(zero_copy_only=False))
+            ct[b] += np.asarray(p["cnt_tgt"].to_numpy(zero_copy_only=False))
+    R, T = int(cr.sum()), int(ct.sum())
+    s = float(smoothing)
+    lam = np.log((ct + s) / (T + s * n_buckets)) - np.log(
+        (cr + s) / (R + s * n_buckets)
+    )
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_v = ray.get(lam_ref)
+        w = np.zeros(t.num_rows, dtype=np.float64)
+        bg = _doc_bigrams(t)
+        if bg is not None:
+            bkt, codes, doc_of_pos = bg
+            np.add.at(w, doc_of_pos, lam_v[bkt[codes]])
+        return pa.table(
+            {id_col: t[id_col], "dsir_weight": pa.array(w, pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

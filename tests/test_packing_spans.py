@@ -239,3 +239,60 @@ def test_heavy_hitters_guarantee_violation_raises(ray_session):
     with pytest.raises(ValueError, match="guarantee"):
         # N=10000 tokens, k=9 -> N/(k+1)=1000 >= min_count=5
         heavy_hitters(ds, min_count=5, sketch_k=9)
+
+
+def test_dsir_weights_formula_and_ranking(ray_session):
+    """Exact-formula parity with a driver-side reference implementation,
+    and the semantic sanity check: docs written in the target domain's
+    vocabulary score higher than off-domain docs."""
+    import collections
+    import hashlib
+    import math
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
+        dsir_weights,
+    )
+
+    B = 256
+    rows = [
+        {"doc_id": 0, "lang": "en", "text": "alpha beta alpha beta gamma"},
+        {"doc_id": 1, "lang": "en", "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "lang": "fr", "text": "zeta eta theta iota"},
+        {"doc_id": 3, "lang": "fr", "text": "alpha beta gamma"},  # en-like
+        {"doc_id": 4, "lang": "fr", "text": "zeta eta zeta eta"},
+        {"doc_id": 5, "lang": "en", "text": "solo"},  # no bigrams -> 0
+    ]
+    out = (
+        dsir_weights(
+            rd.from_items(rows).repartition(3),
+            target_col="lang",
+            target_value="en",
+            n_buckets=B,
+        )
+        .to_pandas()
+        .set_index("doc_id")["dsir_weight"]
+    )
+
+    def bucket(g):
+        return int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") % B
+
+    cr, ct = collections.Counter(), collections.Counter()
+    doc_bs = {}
+    for r in rows:
+        toks = r["text"].lower().split()
+        bs = [bucket(" ".join(toks[i : i + 2])) for i in range(len(toks) - 1)]
+        doc_bs[r["doc_id"]] = bs
+        for b in bs:
+            cr[b] += 1
+            if r["lang"] == "en":
+                ct[b] += 1
+    R, T = sum(cr.values()), sum(ct.values())
+    for did, bs in doc_bs.items():
+        want = sum(
+            math.log((ct[b] + 1) / (T + B)) - math.log((cr[b] + 1) / (R + B))
+            for b in bs
+        )
+        assert abs(out[did] - want) < 1e-12, did
+    assert out[5] == 0.0
+    # the en-vocabulary fr doc outranks the genuinely-fr docs
+    assert out[3] > out[2] and out[3] > out[4]
