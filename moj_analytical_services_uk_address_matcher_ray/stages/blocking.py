@@ -1241,11 +1241,23 @@ class _BroadcastScorer:
         )
 
     def score_taken(
-        self, take_l: np.ndarray, take_r: np.ndarray, rule_idx: pa.Array
+        self,
+        take_l: np.ndarray,
+        take_r: np.ndarray,
+        rule_idx: pa.Array,
+        r_best: np.ndarray | None = None,
     ) -> pa.Table:
         """Score pairs given as STORE ROW INDICES (skips the id lookup —
         the fused emit+score bucket path resolves ids to store rows once
-        per bucket member, not once per pair)."""
+        per bucket member, not once per pair).
+
+        ``r_best`` (optional, per-pair float64): the running best
+        match_weight already seen for each pair's r record — a top-1
+        consumer's per-record branch-and-bound threshold.  A pair is
+        pruned only when its weight bound cannot STRICTLY beat its
+        record's best (``nextafter`` keeps exact ties, whose min-id_l
+        tie-break a later pair could still win), so the downstream top-1
+        is exact."""
         import pandas as pd
 
         n = len(take_l)
@@ -1280,6 +1292,14 @@ class _BroadcastScorer:
             # is dropped before the expensive per-row comparisons run.
             # Output-identical to full evaluation (pruned rows are exactly
             # the rows the final threshold filter would discard).
+            if r_best is not None:
+                # per-pair threshold: the record's running best (strictly-
+                # beat semantics — nextafter keeps exact ties alive)
+                thr = np.maximum(
+                    self.threshold, np.nextafter(r_best, -np.inf)
+                )
+            else:
+                thr = None
             active = np.arange(n, dtype=np.int64)
             for pos, ei in enumerate(self._eval_order):
                 if active.size == 0:
@@ -1290,8 +1310,8 @@ class _BroadcastScorer:
                 )
                 _, log2_bf = self.evaluators[ei].evaluate(sub, pre)
                 mw[active] += log2_bf
-                bound_ok = (
-                    mw[active] + self._suffix_max[pos] > self.threshold
+                bound_ok = mw[active] + self._suffix_max[pos] > (
+                    self.threshold if thr is None else thr[active]
                 )
                 if not bound_ok.all():
                     active = active[bound_ok]
@@ -1660,6 +1680,17 @@ def make_fused_emit_score(
         dropped = int((m_raw[capped] - max_pairs_per_block).sum())
         out_tables: list[pa.Table] = []
 
+        # top-1 consumers get per-record running-best pruning: each r
+        # record's best weight so far (bucket-local) becomes that record's
+        # branch-and-bound threshold for later slices, so redundant
+        # candidates (the blocking rules re-pair near-dups many times)
+        # stop after one or two comparisons instead of all of them.
+        # Exact: only pairs that provably cannot STRICTLY beat their
+        # record's best are pruned (ties survive for the min-id_l break).
+        best_by_rank = (
+            np.full(len(uniq), -np.inf) if partial_top1_per_r else None
+        )
+
         def score_block_of_pairs(li: np.ndarray, ri: np.ndarray, rl: np.ndarray):
             if ordered_self_pairs:
                 keep = rank_s[li] < rank_s[ri]
@@ -1667,12 +1698,27 @@ def make_fused_emit_score(
                     li, ri, rl = li[keep], ri[keep], rl[keep]
             inc_metric("blocking.emitted_pairs", len(li))
             for off in range(0, len(li), chunk_pairs):
+                ri_slice = ri[off : off + chunk_pairs]
+                r_best = None
+                if best_by_rank is not None and scorer.threshold is not None:
+                    r_best = best_by_rank[rank_s[ri_slice]]
                 res = scorer.score_taken(
                     row_l_s[li[off : off + chunk_pairs]],
-                    row_r_s[ri[off : off + chunk_pairs]],
+                    row_r_s[ri_slice],
                     pa.array(rl[off : off + chunk_pairs], pa.int32()),
+                    r_best=r_best,
                 )
                 if res.num_rows:
+                    if best_by_rank is not None:
+                        r_ids = np.asarray(
+                            res[f"{id_col}_r"].to_pylist(), dtype=object
+                        )
+                        mw_res = np.asarray(
+                            res["match_weight"].to_pylist(), dtype=np.float64
+                        )
+                        np.maximum.at(
+                            best_by_rank, np.searchsorted(uniq, r_ids), mw_res
+                        )
                     out_tables.append(res)
 
         # uncapped blocks: emit in windows of ~8 chunks to bound the

@@ -162,3 +162,60 @@ def test_dedupe_output_false_same_pairs_up_to_multiplicity(ray_session):
     assert raw == deduped  # same pairs, same weights
     assert n_dedup == len(deduped)  # deduped path has no multiplicity
     assert n_raw >= n_dedup
+
+
+def test_partial_top1_running_best_pruning_is_exact(ray_session):
+    """partial_top1_per_r (with its per-record running-best branch-and-bound
+    pruning) must yield EXACTLY the same global top-1 per r record as full
+    scoring + a driver-side top-1 — including the (max weight, min id_l)
+    tie-break."""
+    import pandas as pd
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        CODE_BLOCKING_RULES,
+        DEDUP_CARRY_COLS,
+        prepare_code_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        generate_and_score_pairs,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
+
+    files, _labels = generate_corpus(GenConfig(seed=23, n_clusters=40))
+    cleaned = prepare_code_dataset(rd.from_arrow(files)).materialize()
+    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    kwargs = dict(
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=-50.0,
+        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+        ordered_self_pairs=True,
+        dedupe_output=False,
+        n_buckets=6,
+    )
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["match_weight", "ukam_address_id_l"],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates("ukam_address_id_r", keep="first")
+            .sort_values("ukam_address_id_r")
+            .reset_index(drop=True)
+        )
+
+    full = top1(
+        generate_and_score_pairs(cleaned, cleaned, model, **kwargs).to_pandas()
+    )
+    pruned = top1(
+        generate_and_score_pairs(
+            cleaned, cleaned, model, partial_top1_per_r=True, **kwargs
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(full, pruned)
