@@ -408,6 +408,34 @@ def _q_left_join(sf_dir: str):
     )
 
 
+def _q_full_outer(sf_dir: str):
+    from ray.data.aggregate import Count, Max
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.joins import full_outer_join
+
+    # big-order customers per key FULL OUTER rich customers: both sides have
+    # unmatched rows (customers with no big orders; big orders from customers
+    # below the balance cut), exercising left-pad, right-pad and key-coalesce
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        orders.filter(
+            expr="o_totalprice > 300000.0"
+        )
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_totalprice", alias_name="max_price"),
+        )
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)).select(
+            ["c_custkey", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
+    return full_outer_join(agg, cust, on="o_custkey", right_on="c_custkey")
+
+
 def _q_sort_limit(sf_dir: str):
     ds = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
@@ -1652,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "join_agg": _q_join_agg,
         "left_join": _q_left_join,
+        "full_outer": _q_full_outer,
         "sort_limit": _q_sort_limit,
         "distinct": _q_distinct,
         "union_all": _q_union,
@@ -1855,6 +1884,17 @@ def oracle_sql() -> dict[str, str]:
         "left_join": """
             SELECT o.o_orderkey, o.o_custkey, c.c_name
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "full_outer": """
+            SELECT COALESCE(l.o_custkey, c.c_custkey) AS o_custkey,
+                   l.n_orders, l.max_price, c.c_mktsegment
+            FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+                         MAX(o_totalprice) AS max_price
+                  FROM orders WHERE o_totalprice > 300000.0
+                  GROUP BY o_custkey) l
+            FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                             WHERE c_acctbal > 5000.0) c
+            ON l.o_custkey = c.c_custkey
         """,
         "sort_limit": """
             SELECT l_orderkey, l_linenumber, l_extendedprice

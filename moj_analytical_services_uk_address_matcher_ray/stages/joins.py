@@ -26,6 +26,11 @@ DEFAULT_PARTITIONS = 32  # kept for API compat; the groupby decides its own
 
 _JK = "__join_key"
 _SIDE = "__join_side"
+# shuffle key for null-keyed right rows in a FULL OUTER join (they must
+# survive but match nothing; left null-key rows bypass the shuffle, so this
+# value can never meet a left row).  \x00-prefixed to keep it out of the
+# space of realistic cast-to-string key values.
+_NULL_KEY_SENTINEL = "\x00__uam_full_join_null_key__"
 
 
 def _key_strings(t: pa.Table, cols: tuple[str, ...]) -> pa.Array:
@@ -149,7 +154,7 @@ def hash_join(
     on: tuple[str, ...] | str,
     *,
     right_on=None,
-    how: str = "inner",  # "inner" | "left"
+    how: str = "inner",  # "inner" | "left" | "full"
     right_suffix: str = "_r",
     num_partitions: int = DEFAULT_PARTITIONS,  # accepted, unused (groupby decides)
     broadcast: bool | None = None,  # None = auto (probe the right side)
@@ -163,18 +168,31 @@ def hash_join(
     against it locally.  ``None`` probes the right side with a bounded
     ``limit(N+1).count()`` (streaming early-stop; cheap for scans/maps, one
     extra barrier for aggregate-derived sides — pass an explicit bool there).
-    ``False`` forces the shuffle route — the 10^12-row big×big path."""
+    ``False`` forces the shuffle route — the 10^12-row big×big path.
+
+    ``how="full"`` (FULL OUTER) always takes the shuffle route (a broadcast
+    right side cannot track globally-unmatched right rows across streaming
+    left batches).  Output keys follow SQL ``USING`` semantics: the left key
+    columns carry ``COALESCE(left key, right key)`` — right-only rows keep
+    their key values (right key values are cast to the left key types)."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (
         (right_on,) if isinstance(right_on, str) else tuple(right_on or on)
     )
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"hash_join: unsupported how={how!r}")
     left = _arrowize(left)
     right = _arrowize(right)
     if left.schema() is None:  # fully empty left -> empty result
+        if how == "full":
+            raise ValueError(
+                "hash_join(how='full'): left side has no schema (fully "
+                "empty dataset) — the joined schema cannot be constructed"
+            )
         return left
     if right.schema() is None:  # fully empty right
-        # inner: nothing joins; left: every left row survives with no right
-        # payload columns (schema unknown for an empty right side)
+        # inner: nothing joins; left/full: every left row survives with no
+        # right payload columns (schema unknown for an empty right side)
         return left.limit(0) if how == "inner" else left
     lschema = _schema_of(left)
     rschema = _schema_of(right)
@@ -186,6 +204,10 @@ def hash_join(
     }
     rtypes = {c: rschema.field(c).type for c in rcols_payload}
 
+    if how == "full":
+        if broadcast:
+            raise ValueError("hash_join(how='full') cannot broadcast")
+        broadcast = False
     if broadcast is None:
         # decide from metadata of ONE materialisation — a separate
         # limit(N+1).count() probe would execute the right-side plan twice
@@ -245,6 +267,26 @@ def hash_join(
         data[_SIDE] = pa.array(["r"] * t.num_rows, pa.string())
         for c in rcols_payload:
             data[rout[c]] = t[c]
+        if how == "full":
+            # FULL OUTER: every right row must survive.  Key columns carry
+            # the right key values (USING/COALESCE semantics); null right
+            # keys still match nothing, so give them a shared sentinel
+            # shuffle key — in merge_bucket they come out as right-only
+            # rows (left null keys are carried AROUND the shuffle, so the
+            # sentinel can never meet a left row).
+            for lc, rc in zip(on, right_on):
+                arr = t[rc]
+                arr = (
+                    arr.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray)
+                    else arr
+                )
+                data[lc] = arr.cast(lschema.field(lc).type)
+            jk = data[_JK]
+            data[_JK] = pc.if_else(
+                pc.is_valid(jk), jk, pa.scalar(_NULL_KEY_SENTINEL)
+            )
+            return pa.table(data)
         keep = pc.is_valid(data[_JK])
         return pa.table(data).filter(keep)  # null right keys never match
 
@@ -254,7 +296,7 @@ def hash_join(
     rt = right.map_batches(prep_right, batch_format="pyarrow")
 
     null_keys = None
-    if how == "left":
+    if how in ("left", "full"):
         # left rows with NULL keys can't be shuffled on the key; carry them
         # around the join directly (they join to nothing).
         null_keys = lt.map_batches(
@@ -283,9 +325,13 @@ def hash_join(
         rrows = g.filter(pc.equal(sides, "r"))
         nl, nr = lrows.num_rows, rrows.num_rows
         if nl == 0:
+            if how == "full":
+                # right-only bucket: key columns already carry the right
+                # key values (prep_right), other left columns are null
+                return rrows.select(out_cols)
             return g.select(out_cols).slice(0, 0)
         if nr == 0:
-            if how == "left":
+            if how in ("left", "full"):
                 return lrows.select(out_cols)
             return g.select(out_cols).slice(0, 0)
         # integer-encode the key ONCE over the whole bucket so both sides
@@ -300,14 +346,30 @@ def hash_join(
         )
         ldf = pd.DataFrame({"k": lk, "i": np.arange(nl, dtype=np.int64)})
         rdf = pd.DataFrame({"k": rk, "j": np.arange(nr, dtype=np.int64)})
-        m = ldf.merge(rdf, on="k", how=("left" if how == "left" else "inner"))
+        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+        m = ldf.merge(rdf, on="k", how=pd_how)
         if len(m) == 0:
             return g.select(out_cols).slice(0, 0)
-        li = pa.array(m["i"].to_numpy(), pa.int64())
         ri = pa.Array.from_pandas(m["j"].astype("Int64"))  # NaN -> null row
-        lpart = lrows.select(lcols).take(li)
         rpart = rrows.select([rout[c] for c in rcols_payload]).take(ri)
-        data = {c: lpart[c] for c in lcols}
+        if how == "full":
+            li = pa.Array.from_pandas(m["i"].astype("Int64"))  # right-only
+            lpart = lrows.select(lcols).take(li)
+            # key columns: COALESCE(left, right) so right-only rows keep
+            # their key (right key values travel in rrows' key columns)
+            rkeys = rrows.select(list(on)).take(ri)
+            data = {}
+            for c in lcols:
+                if c in on:
+                    data[c] = pc.coalesce(
+                        lpart[c].combine_chunks(), rkeys[c].combine_chunks()
+                    )
+                else:
+                    data[c] = lpart[c]
+        else:
+            li = pa.array(m["i"].to_numpy(), pa.int64())
+            lpart = lrows.select(lcols).take(li)
+            data = {c: lpart[c] for c in lcols}
         for c in rcols_payload:
             data[rout[c]] = rpart[rout[c]]
         return pa.table(data)
@@ -339,6 +401,20 @@ def left_join(
         left, right, on, right_on=right_on, how="left",
         right_suffix=right_suffix or "_r", num_partitions=num_partitions,
         broadcast=broadcast,
+    )
+
+
+def full_outer_join(
+    left, right, on, *, right_on=None, num_partitions: int = DEFAULT_PARTITIONS,
+    left_suffix=None, right_suffix=None,
+):
+    """FULL OUTER equi-join (K5 family, SURVEY.md §2.7).  Key columns carry
+    ``COALESCE(left key, right key)`` — SQL ``USING`` semantics.  Always the
+    shuffle route (unmatched-right tracking is global)."""
+    return hash_join(
+        left, right, on, right_on=right_on, how="full",
+        right_suffix=right_suffix or "_r", num_partitions=num_partitions,
+        broadcast=False,
     )
 
 
