@@ -1233,6 +1233,67 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _cents_events(sf_dir: str):
+    """events with value as exact integer cents (order-independent sums —
+    float prefix-sums would value-hash-mismatch the oracle in the low bits)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "value_cents": pc.round(
+                    pc.multiply(t["value"], pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_rolling_window(sf_dir: str):
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        rolling_window,
+    )
+
+    out = rolling_window(
+        _cents_events(sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value_cents",
+        window=pd.Timedelta(hours=6),
+        sum_col="rolling_cents",
+        count_col="rolling_n",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rolling_cents", "rolling_n"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_running_total(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        cumulative_aggregate,
+    )
+
+    out = cumulative_aggregate(
+        _cents_events(sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value_cents",
+        id_col="event_id",
+        sum_col="cum_cents",
+        count_col="cum_n",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "cum_cents", "cum_n"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_window(sf_dir: str):
     import pandas as pd
 
@@ -1704,6 +1765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_group": _q_sample_per_group,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
+        "rolling_window": _q_rolling_window,
+        "running_total": _q_running_total,
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
@@ -2116,6 +2179,27 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
             FROM x
+        """,
+        "rolling_window": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '6 hours' PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS rolling_cents,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '6 hours' PRECEDING
+                             AND CURRENT ROW) AS rolling_n
+            FROM events
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS cum_n
+            FROM events
         """,
         # per-group quota (stages/sampling.py:cap_per_group): keep the k=20
         # rows per source with the smallest md5 fraction, ties by doc_id —

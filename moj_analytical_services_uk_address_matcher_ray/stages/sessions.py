@@ -60,6 +60,136 @@ def sessionize(
     return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")
 
 
+def _ts_int64(s: "pd.Series") -> np.ndarray:
+    """Timestamp or numeric series -> int64 (ns for timestamps)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.values.astype("datetime64[ns]").astype(np.int64)
+    return s.to_numpy().astype(np.int64)
+
+
+def rolling_window(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window,
+    sum_col: str = "rolling_sum",
+    count_col: str = "rolling_n",
+) -> "ray.data.Dataset":
+    """Per-row trailing time-range aggregate: for every row, the sum/count
+    of the same key's rows with ``ts`` in ``[ts - window, ts]`` — SQL
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`` semantics, so
+    equal-timestamp peers are all included regardless of tie order (the
+    result is a pure row function: rerun/engine independent, value-hash
+    oracle-able without a tiebreaker column).
+
+    One hash-bucketed shuffle on the key; inside each bucket the window
+    bounds for ALL rows of ALL groups come from two global ``searchsorted``
+    calls on a composite (group, ts) int64 key, and the sums from one
+    prefix-sum diff — no per-group tasks, no per-group Python loop.
+    ``value_col`` must be non-null (SQL SUM NULL-skipping is not emulated).
+
+    ``window``: ``pandas.Timedelta``-compatible for timestamp ``ts_col``,
+    a number for numeric ``ts_col``.
+    """
+    from .bucketing import bucketed_group_apply
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(
+                **{
+                    sum_col: np.array([], dtype=np.float64),
+                    count_col: np.array([], dtype=np.int64),
+                }
+            )
+        out = df.sort_values([key_col, ts_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        ts = _ts_int64(out[ts_col])
+        w = (
+            pd.Timedelta(window).value
+            if pd.api.types.is_datetime64_any_dtype(out[ts_col])
+            else int(window)
+        )
+        gid = pd.factorize(out[key_col], use_na_sentinel=False)[0].astype(
+            np.int64
+        )
+        t0 = ts.min()
+        off = ts - t0  # >= 0
+        stride = int(off.max()) + w + 2
+        if stride > 0 and gid.max() < (2**62) // stride:
+            comp = gid * stride + off
+            lo = np.searchsorted(comp, gid * stride + np.maximum(off - w, 0))
+            hi = np.searchsorted(comp, gid * stride + off, side="right")
+        else:  # composite would overflow int64: per-group searchsorted
+            lo = np.empty(len(out), dtype=np.int64)
+            hi = np.empty(len(out), dtype=np.int64)
+            starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+            ends = np.r_[starts[1:], len(out)]
+            for s, e in zip(starts, ends):
+                seg = off[s:e]
+                lo[s:e] = s + np.searchsorted(seg, np.maximum(seg - w, 0))
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        vals = out[value_col].to_numpy()
+        csum = np.concatenate(([0], np.cumsum(vals)))
+        out[sum_col] = csum[hi] - csum[lo]
+        if np.issubdtype(vals.dtype, np.integer):
+            out[sum_col] = out[sum_col].astype(np.int64)
+        out[count_col] = (hi - lo).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")
+
+
+def cumulative_aggregate(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str | None = None,
+    sum_col: str = "cum_sum",
+    count_col: str = "cum_n",
+) -> "ray.data.Dataset":
+    """Running per-key totals in time order (``ROWS UNBOUNDED PRECEDING``):
+    cumulative sum of ``value_col`` and 1-based running row number.
+    ``id_col`` breaks equal-timestamp ties deterministically — pass one
+    whenever (key, ts) can repeat, or the tie order (and thus the running
+    values) is engine-defined.  Same single-shuffle bucketed pattern as
+    :func:`sessionize`; inside a bucket the running values come from one
+    global cumsum minus each key's first-row offset (no per-group loop)."""
+    from .bucketing import bucketed_group_apply
+
+    sort_cols = [key_col, ts_col] + ([id_col] if id_col else [])
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(
+                **{
+                    sum_col: np.array([], dtype=np.float64),
+                    count_col: np.array([], dtype=np.int64),
+                }
+            )
+        out = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        vals = out[value_col].to_numpy()
+        csum = np.cumsum(vals)
+        pos = np.arange(len(out), dtype=np.int64)
+        new_key = np.r_[True, (out[key_col].values[1:] != out[key_col].values[:-1])]
+        # value of csum just BEFORE each key's first row, broadcast forward
+        base_idx = np.maximum(np.flatnonzero(new_key) - 1, -1)
+        key_no = np.cumsum(new_key) - 1  # 0-based key ordinal per row
+        base = np.where(base_idx[key_no] >= 0, csum[base_idx[key_no]], 0)
+        first_pos = np.flatnonzero(new_key)[key_no]
+        out[sum_col] = csum - base
+        if np.issubdtype(vals.dtype, np.integer):
+            out[sum_col] = out[sum_col].astype(np.int64)
+        out[count_col] = pos - first_pos + 1
+        return out
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")
+
+
 def session_summary(
     ds: "ray.data.Dataset",
     *,

@@ -1,0 +1,135 @@
+"""Rolling time-range and cumulative per-key window operators
+(stages/sessions.py) pinned against live DuckDB window functions,
+including duplicate-timestamp peers (RANGE frames include ALL peers) and
+the int64-overflow fallback path of the composite searchsorted.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+    cumulative_aggregate,
+    rolling_window,
+)
+
+
+def _events(seed: int, n: int, dup_ts: bool) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 72 * 3600, n), unit="s"
+    )
+    if dup_ts:  # force equal-timestamp peers within keys
+        ts = ts.floor("h")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n),
+            "ts": ts,
+            "v": rng.integers(-50, 100, n).astype(np.int64),
+        }
+    )
+
+
+@pytest.mark.parametrize("dup_ts", [False, True])
+def test_rolling_window_matches_duckdb(ray_session, dup_ts):
+    df = _events(11, 1200, dup_ts)
+    out = rolling_window(
+        ray.data.from_pandas(df),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="v",
+        window=pd.Timedelta(hours=6),
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("e", df)
+    ref = con.sql(
+        """
+        SELECT event_id,
+               CAST(SUM(v) OVER w AS BIGINT) AS rolling_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '6 hours' PRECEDING
+                           AND CURRENT ROW)
+        """
+    ).df()
+    merged = out.merge(ref, on="event_id", suffixes=("", "_ref"))
+    assert (merged["rolling_sum"] == merged["rolling_sum_ref"]).all()
+    assert (merged["rolling_n"] == merged["rolling_n_ref"]).all()
+
+
+def test_rolling_window_overflow_fallback(ray_session, monkeypatch):
+    """Force the per-group searchsorted branch (composite key would
+    overflow) and check it agrees with the vectorised branch."""
+    df = _events(5, 400, False)
+    base = rolling_window(
+        ray.data.from_pandas(df), key_col="user_id", ts_col="ts",
+        value_col="v", window=pd.Timedelta(hours=2),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # widen the key space so gid.max()*stride overflows the int64 guard:
+    # remap user ids to huge values does not change stride; instead shrink
+    # the guard by monkeypatching numpy is invasive — emulate by spreading
+    # timestamps over ~292 years so stride*n_groups > 2**62
+    far = df.copy()
+    far.loc[far.index[-1], "ts"] = pd.Timestamp("2250-01-01")
+    out = rolling_window(
+        ray.data.from_pandas(far), key_col="user_id", ts_col="ts",
+        value_col="v", window=pd.Timedelta(hours=2),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # all rows except the displaced one keep their windows
+    keep = out["event_id"] != far.index[-1]
+    merged = base[keep].merge(out[keep], on="event_id", suffixes=("", "_f"))
+    assert (merged["rolling_sum"] == merged["rolling_sum_f"]).all()
+    assert (merged["rolling_n"] == merged["rolling_n_f"]).all()
+
+
+def test_cumulative_matches_duckdb(ray_session):
+    df = _events(3, 1000, True)
+    out = cumulative_aggregate(
+        ray.data.from_pandas(df),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="v",
+        id_col="event_id",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("e", df)
+    ref = con.sql(
+        """
+        SELECT event_id,
+               CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_sum,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS cum_n
+        FROM e
+        """
+    ).df()
+    merged = out.merge(ref, on="event_id", suffixes=("", "_ref"))
+    assert (merged["cum_sum"] == merged["cum_sum_ref"]).all()
+    assert (merged["cum_n"].astype(np.int64) == merged["cum_n_ref"].astype(np.int64)).all()
+
+
+def test_rolling_numeric_ts(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": np.array([0, 5, 11, 3, 4], dtype=np.int64),
+            "v": np.array([1, 2, 4, 8, 16], dtype=np.int64),
+        }
+    )
+    out = (
+        rolling_window(
+            ray.data.from_pandas(df), key_col="user_id", ts_col="ts",
+            value_col="v", window=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")["rolling_sum"]
+        .tolist()
+    )
+    # u1: [1], [1+2], [4 alone (window [6,11] excludes ts 0 and 5)];
+    # u2: [8], [8+16]
+    assert out == [1, 3, 4, 8, 24]
