@@ -1696,6 +1696,12 @@ def make_fused_emit_score(
                 keep = rank_s[li] < rank_s[ri]
                 if not keep.all():
                     li, ri, rl = li[keep], ri[keep], rl[keep]
+            if os.environ.get("UAM_LOCALITY_SORT"):
+                # experiment (BASELINE.md DRAM analysis): reorder the window
+                # so store gathers walk (row_r, row_l) near-sequentially —
+                # output set identical, order irrelevant downstream
+                o = np.lexsort((row_l_s[li], row_r_s[ri]))
+                li, ri, rl = li[o], ri[o], rl[o]
             inc_metric("blocking.emitted_pairs", len(li))
             for off in range(0, len(li), chunk_pairs):
                 ri_slice = ri[off : off + chunk_pairs]
