@@ -1252,6 +1252,15 @@ def _cents_events(sf_dir: str):
     )
 
 
+def _q_approx_distinct(sf_dir: str):
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_distinct_kmv,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return approx_distinct_kmv(ds, group_col="source", value_col="text", k=64)
+
+
 def _q_rolling_window(sf_dir: str):
     import pandas as pd
 
@@ -1767,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "rolling_window": _q_rolling_window,
         "running_total": _q_running_total,
+        "approx_distinct": _q_approx_distinct,
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
@@ -2200,6 +2210,29 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id) AS cum_n
             FROM events
+        """,
+        # KMV distinct-count sketch (stages/aggregates.py:approx_distinct_kmv):
+        # k smallest distinct 32-bit md5 prefixes per group; estimate is
+        # integer-exact so both engines agree bit-for-bit
+        "approx_distinct": """
+            WITH hashed AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(text || ':'), 1, 8))::UBIGINT AS hv
+                FROM documents WHERE text IS NOT NULL
+            ),
+            ranked AS (
+                SELECT source, hv,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS m
+                FROM hashed
+            )
+            SELECT source,
+                   CAST(CASE WHEN m < 64 THEN m
+                             ELSE (CAST(63 AS BIGINT) * 4294967296)
+                                  // CAST(GREATEST(hv, 1) AS BIGINT)
+                        END AS BIGINT) AS n_distinct_est
+            FROM ranked
+            WHERE rn = LEAST(m, 64)
         """,
         # per-group quota (stages/sampling.py:cap_per_group): keep the k=20
         # rows per source with the smallest md5 fraction, ties by doc_id —

@@ -185,6 +185,125 @@ def distinct_per_group(
     )
 
 
+def approx_distinct_kmv(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "",
+    out_col: str = "n_distinct_est",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Approximate ``COUNT(DISTINCT value)`` per group with a KMV
+    (k-minimum-values) sketch — the scale path where even the distinct
+    ``(group, value)`` pair set of :func:`distinct_per_group` is too wide
+    to shuffle.  Relative error ~ 1/sqrt(k-2) (Bar-Yossef et al. 2002).
+
+    The sketch is mergeable, so the plan is the textbook combiner shape:
+
+    1. per-batch partial — dedupe the batch's ``(group, value)`` pairs,
+       hash each distinct value to a 32-bit md5 prefix (the engine-wide
+       ``md5(v || ':' || salt)`` convention of ``stages/sampling.py``, so
+       the driver oracle reproduces it bit-for-bit in DuckDB), and keep
+       only each group's ``k`` SMALLEST distinct hashes.  The exchange is
+       thus <= k rows per group per block regardless of input width;
+    2. ONE shuffle bucketed on the group co-locates each group's partials;
+       the per-bucket merge re-sorts, dedupes, and reads the estimate off
+       the k-th smallest hash.
+
+    Estimator (integer-exact, engine-independent): with ``m`` distinct
+    hashes in the merged sketch, ``est = m`` when ``m < k`` (the sketch IS
+    the distinct hash set — exact up to 32-bit collisions), else
+    ``floor((k-1) * 2^32 / h_k)`` where ``h_k`` is the k-th smallest hash
+    (the classic (k-1)/U(k) with the division kept integral so the value
+    hash-matches an ANSI oracle).  NULL values are ignored, like SQL
+    ``COUNT(DISTINCT)``.
+    """
+    import hashlib
+
+    from .bucketing import bucketed_group_apply
+
+    if k < 2:
+        raise ValueError("approx_distinct_kmv: k must be >= 2")
+
+    def _sketch(g: pa.Table, *, estimate: bool) -> pa.Table:
+        """Keep the k smallest distinct hashes per group; optionally read
+        the estimate off the sketch (merge step only)."""
+        gtype = g.schema.field(group_col).type
+
+        def _empty() -> pa.Table:
+            cols = {group_col: pa.array([], gtype)}
+            if estimate:
+                cols[out_col] = pa.array([], pa.int64())
+            else:
+                cols["__kmv_hash"] = pa.array([], pa.int64())
+            return pa.table(cols)
+
+        if g.num_rows == 0:
+            return _empty()
+        if "__kmv_hash" in g.schema.names:  # merge step: already hashed
+            keys = np.asarray(g[group_col].to_pylist(), dtype=object)
+            hashes = np.asarray(g["__kmv_hash"].to_pylist(), dtype=np.int64)
+        else:  # partial step: dedupe pairs, hash distinct values
+            sub = (
+                g.select([group_col, value_col])
+                .filter(pc.is_valid(g[value_col]))
+                .group_by([group_col, value_col])
+                .aggregate([])
+            )
+            keys = np.asarray(sub[group_col].to_pylist(), dtype=object)
+            hashes = np.fromiter(
+                (
+                    int(hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8], 16)
+                    for v in sub[value_col].to_pylist()
+                ),
+                dtype=np.int64,
+                count=sub.num_rows,
+            )
+        if len(keys) == 0:  # e.g. an all-null value batch
+            return _empty()
+        order = np.lexsort((hashes, keys))
+        keys, hashes = keys[order], hashes[order]
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        new_hash = np.r_[True, (hashes[1:] != hashes[:-1])]
+        keep = new_key | new_hash  # distinct (group, hash)
+        keys, hashes, new_key = keys[keep], hashes[keep], new_key[keep]
+        # rank within group (0-based) via global position minus group start
+        pos = np.arange(len(keys))
+        first_pos = pos[new_key][np.cumsum(new_key) - 1]
+        rank = pos - first_pos
+        take = rank < k
+        keys, hashes, rank = keys[take], hashes[take], rank[take]
+        if not estimate:
+            return pa.table(
+                {
+                    group_col: pa.array(keys.tolist(), gtype),
+                    "__kmv_hash": pa.array(hashes, pa.int64()),
+                }
+            )
+        last = np.r_[(rank[1:] == 0), True]  # last kept row of each group
+        m = rank[last] + 1  # sketch sizes
+        h_k = np.maximum(hashes[last], 1)
+        est = np.where(m < k, m.astype(np.int64), (k - 1) * (1 << 32) // h_k)
+        return pa.table(
+            {
+                group_col: pa.array(keys[last].tolist(), gtype),
+                out_col: pa.array(est, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        lambda t: _sketch(t, estimate=False), batch_format="pyarrow"
+    )
+    return bucketed_group_apply(
+        partials,
+        [group_col],
+        lambda g: _sketch(g, estimate=True),
+        n_buckets=n_buckets,
+    )
+
+
 def global_quantile_cont(
     ds: "ray.data.Dataset",
     col: str,

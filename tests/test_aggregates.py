@@ -94,3 +94,55 @@ def test_filter_by_quantile_both_sides(ray_session):
     assert sorted(top) == list(np.arange(90, 101, dtype=np.float64))
     bot = filter_by_quantile(ds, "v", 0.1, keep="le").to_pandas()["v"]
     assert sorted(bot) == list(np.arange(0, 11, dtype=np.float64))
+
+
+def test_approx_distinct_kmv_estimate_and_exact_branch(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_distinct_kmv,
+    )
+
+    rng = np.random.default_rng(42)
+    # group "big": 5000 distinct values (estimator branch, k=64);
+    # group "small": 17 distinct values repeated (exact branch, m < k)
+    big_vals = [f"v{i}" for i in range(5000)]
+    small_vals = [f"s{i % 17}" for i in range(400)]
+    df = pd.DataFrame(
+        {
+            "g": ["big"] * 5000 + ["small"] * 400,
+            "v": big_vals + small_vals,
+        }
+    ).sample(frac=1.0, random_state=7)  # shuffle so blocks mix groups
+    ds = rd.from_pandas(df).repartition(8)  # force multi-block merge
+    out = (
+        approx_distinct_kmv(ds, group_col="g", value_col="v", k=64)
+        .to_pandas()
+        .set_index("g")["n_distinct_est"]
+    )
+    assert out["small"] == 17  # sketch smaller than k -> exact
+    # KMV relative error ~ 1/sqrt(k-2) ~ 12.7%; allow 3 sigma
+    assert abs(out["big"] - 5000) / 5000 < 0.38
+    # merge correctness: single-block run gives the identical sketch result
+    single = (
+        approx_distinct_kmv(
+            rd.from_pandas(df).repartition(1), group_col="g", value_col="v", k=64
+        )
+        .to_pandas()
+        .set_index("g")["n_distinct_est"]
+    )
+    assert dict(out) == dict(single)
+
+
+def test_approx_distinct_kmv_ignores_nulls(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_distinct_kmv,
+    )
+
+    df = pd.DataFrame({"g": ["a"] * 4, "v": ["x", None, "y", None]})
+    out = approx_distinct_kmv(
+        rd.from_pandas(df), group_col="g", value_col="v", k=8
+    ).to_pandas()
+    assert out["n_distinct_est"].tolist() == [2]
