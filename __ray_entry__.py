@@ -277,7 +277,8 @@ def _q_group_agg(sf_dir: str):
                 "l_linestatus": t["l_linestatus"],
                 "l_quantity": t["l_quantity"],
                 "price_cents": pc.round(
-                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0))
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
                 ).cast(pa.int64()),
             }
         )
@@ -377,7 +378,8 @@ def _q_join_agg(sf_dir: str):
             {
                 "o_custkey": t["o_custkey"],
                 "price_cents": pc.round(
-                    pc.multiply(t["o_totalprice"], pa.scalar(100.0))
+                    pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
                 ).cast(pa.int64()),
             }
         )
@@ -1065,7 +1067,8 @@ def _q_dsir_weights(sf_dir: str):
 
     def fin(t: pa.Table) -> pa.Table:
         scaled = pc.round(
-            pc.multiply(t["dsir_weight"], pa.scalar(1e6, pa.float64()))
+            pc.multiply(t["dsir_weight"], pa.scalar(1e6, pa.float64())),
+            round_mode="half_towards_infinity",
         ).cast(pa.int64())
         return pa.table({"doc_id": t["doc_id"], "dsir_x1e6": scaled})
 
@@ -1122,7 +1125,8 @@ def _q_quantile_filter(sf_dir: str):
                 "l_orderkey": t["l_orderkey"],
                 "l_linenumber": t["l_linenumber"],
                 "price_cents": pc.round(
-                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0))
+                    pc.multiply(t["l_extendedprice"], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
                 ).cast(pa.int64()),
             }
         ),
@@ -1244,7 +1248,8 @@ def _cents_events(sf_dir: str):
                 "ts": t["ts"],
                 "user_id": t["user_id"],
                 "value_cents": pc.round(
-                    pc.multiply(t["value"], pa.scalar(100.0))
+                    pc.multiply(t["value"], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
                 ).cast(pa.int64()),
             }
         ),
@@ -1311,7 +1316,7 @@ def _q_events_window(sf_dir: str):
     def bucket(t: pa.Table) -> pa.Table:
         ts = t["ts"].combine_chunks()
         hour = pc.floor_temporal(ts, unit="hour")
-        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0))).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_towards_infinity").cast(pa.int64())
         return pa.table(
             {"user_id": t["user_id"], "window_start": hour, "value_cents": cents}
         )

@@ -97,11 +97,25 @@ def rolling_window(
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         if not len(df):
+            empty_sum_dtype = (
+                np.int64
+                if pd.api.types.is_integer_dtype(df[value_col].dtype)
+                else np.float64
+            )
             return df.assign(
                 **{
-                    sum_col: np.array([], dtype=np.float64),
+                    sum_col: np.array([], dtype=empty_sum_dtype),
                     count_col: np.array([], dtype=np.int64),
                 }
+            )
+        if df[ts_col].isna().any():
+            # A NaT maps to int64-min in _ts_int64 while sort_values places
+            # it last, so t0 = ts.min() would wrap every offset — there is
+            # no defined trailing window for a null timestamp.  Fail loudly
+            # rather than corrupt the whole bucket.
+            raise ValueError(
+                f"rolling_window: null values in ts column {ts_col!r}; "
+                "filter or impute timestamps before windowing"
             )
         out = df.sort_values([key_col, ts_col], kind="mergesort").reset_index(
             drop=True
@@ -165,9 +179,14 @@ def cumulative_aggregate(
 
     def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
         if not len(df):
+            empty_sum_dtype = (
+                np.int64
+                if pd.api.types.is_integer_dtype(df[value_col].dtype)
+                else np.float64
+            )
             return df.assign(
                 **{
-                    sum_col: np.array([], dtype=np.float64),
+                    sum_col: np.array([], dtype=empty_sum_dtype),
                     count_col: np.array([], dtype=np.int64),
                 }
             )
@@ -175,7 +194,13 @@ def cumulative_aggregate(
         vals = out[value_col].to_numpy()
         csum = np.cumsum(vals)
         pos = np.arange(len(out), dtype=np.int64)
-        new_key = np.r_[True, (out[key_col].values[1:] != out[key_col].values[:-1])]
+        # factorize (not raw adjacent !=) so null keys form ONE partition:
+        # NaN != NaN would split every null-key row into its own group, and
+        # pandas nullable dtypes raise on elementwise != in flatnonzero.
+        codes = pd.factorize(out[key_col], use_na_sentinel=False)[0].astype(
+            np.int64
+        )
+        new_key = np.r_[True, codes[1:] != codes[:-1]]
         # value of csum just BEFORE each key's first row, broadcast forward
         base_idx = np.maximum(np.flatnonzero(new_key) - 1, -1)
         key_no = np.cumsum(new_key) - 1  # 0-based key ordinal per row

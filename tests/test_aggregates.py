@@ -2,6 +2,7 @@
 (stages/aggregates.py)."""
 
 import numpy as np
+import pandas as pd
 import ray.data as rd
 
 from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (

@@ -133,3 +133,41 @@ def test_rolling_numeric_ts(ray_session):
     # u1: [1], [1+2], [4 alone (window [6,11] excludes ts 0 and 5)];
     # u2: [8], [8+16]
     assert out == [1, 3, 4, 8, 24]
+
+
+def test_rolling_window_null_ts_raises(ray_session):
+    # A NaT used to wrap every offset (t0 = int64 min) and silently corrupt
+    # the whole bucket; it must now fail loudly.
+    df = _events(3, 50, False)
+    df.loc[7, "ts"] = pd.NaT
+    with pytest.raises(Exception, match="null values in ts"):
+        rolling_window(
+            ray.data.from_pandas(df), key_col="user_id", ts_col="ts",
+            value_col="v", window=pd.Timedelta(hours=1),
+        ).materialize()
+
+
+def test_cumulative_null_keys_one_partition(ray_session):
+    # NULL keys must form ONE partition (SQL window semantics), not one
+    # partition per row (NaN != NaN).
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": pd.array([None, None, None, 1, 1], dtype="Int64"),
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-02"]
+            ),
+            "v": np.array([1, 2, 4, 8, 16], dtype=np.int64),
+        }
+    )
+    out = (
+        cumulative_aggregate(
+            ray.data.from_pandas(df), key_col="user_id", ts_col="ts",
+            value_col="v", id_col="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["cum_n"].tolist() == [1, 2, 3, 1, 2]
+    assert out["cum_sum"].tolist() == [1, 3, 7, 8, 24]
