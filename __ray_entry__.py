@@ -878,9 +878,10 @@ _BM25_QUERY = ["fast", "row", "table", "window"]
 
 def _q_bm25(sf_dir: str):
     """Okapi BM25 scores for a fixed query over the documents corpus: ONE
-    partial-aggregate DF pass (driver combine is O(vocabulary)), broadcast
-    stats, then a zero-shuffle actor-pool scoring scan.  Scores emitted
-    rounded to 1e-6 (the repo's float-hash convention)."""
+    bucket-reduced DF pass pruned to the query terms (driver collect is
+    O(|query|), never O(vocabulary)), broadcast stats, then a zero-shuffle
+    actor-pool scoring scan.  Scores emitted rounded to 1e-6 (the repo's
+    float-hash convention)."""
     import ray as _ray
 
     from moj_analytical_services_uk_address_matcher_ray.stages.text_analysis import (
@@ -889,7 +890,7 @@ def _q_bm25(sf_dir: str):
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    stats_ref = _ray.put(corpus_df_stats(ds))
+    stats_ref = _ray.put(corpus_df_stats(ds, terms=_BM25_QUERY))
 
     def fin(t: pa.Table) -> pa.Table:
         arr = t["bm25_score"].combine_chunks()

@@ -476,14 +476,33 @@ def repetition_stats(t: pa.Table, *, text_col: str = "text") -> pa.Table:
     return t
 
 
-def corpus_df_stats(ds, *, text_col: str = "text") -> tuple[dict, int, float]:
+def corpus_df_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    terms: list[str] | None = None,
+    min_df: int = 1,
+) -> tuple[dict, int, float]:
     """Corpus statistics for BM25: ``(document frequency per token, n_docs,
-    average doc length in tokens)`` in ONE partial-aggregate pass — each
-    batch emits its local per-token DF (distinct-per-doc, so a token counts
-    once per document) plus a (n_docs, len_sum) sidecar on its first row;
-    the driver combine is O(vocabulary), never O(corpus).  The returned
-    tuple is meant to be ``ray.put`` once and read by every
-    :class:`BM25Scorer` actor."""
+    average doc length in tokens)``.
+
+    Scale shape: each batch emits its local per-token DF (distinct-per-doc,
+    so a token counts once per document) plus a ``(n_docs, len_sum)``
+    sidecar row; ONE token-bucketed shuffle sums the partials to exact DF
+    (per-task state is a bucket's vocabulary slice — the driver NEVER holds
+    the concatenation of per-batch partials, which at web scale is billions
+    of distinct identifiers/typos/hashes).  The driver then collects only
+    the surviving rows: pass ``terms`` (e.g. the BM25 query) and the
+    collect is O(|terms|) regardless of corpus size — :class:`BM25Scorer`
+    only ever looks up its query terms; without ``terms`` the full
+    dictionary is inherently O(vocabulary), gated by ``min_df`` to shed the
+    hapax tail.  The returned tuple is meant to be ``ray.put`` once and
+    read by every :class:`BM25Scorer` actor."""
+    from .bucketing import bucketed_group_apply
+
+    term_set = (
+        pa.array(sorted(set(terms)), pa.string()) if terms is not None else None
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         values, offsets = _token_stream(t[text_col])
@@ -503,14 +522,20 @@ def corpus_df_stats(ds, *, text_col: str = "text") -> tuple[dict, int, float]:
             keep = dfc > 0
             tok = enc.dictionary.filter(pa.array(keep))
             dfc = dfc[keep]
-        n = len(tok)
-        n_docs = np.zeros(max(n, 1), dtype=np.int64)
-        len_sum = np.zeros(max(n, 1), dtype=np.int64)
-        n_docs[0] = ndocs
-        len_sum[0] = int(offsets[-1]) if len(offsets) else 0
-        if n == 0:  # batch with no tokens still contributes its doc count
-            tok = pa.array([""], pa.string())
-            dfc = np.zeros(1, dtype=np.int64)
+        if term_set is not None and len(tok):
+            # consumer only needs these terms' DF: prune at the map side so
+            # the shuffle payload is O(|terms|) per batch, not O(batch vocab)
+            keep = pc.is_in(tok, value_set=term_set)
+            tok = tok.filter(keep)
+            dfc = dfc[keep.to_numpy(zero_copy_only=False)]
+        # sidecar row: doc count + token-length sum ride the same shuffle
+        # (df=0, so colliding with a real '' token still sums correctly)
+        tok = pa.concat_arrays([tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok, pa.array([""], pa.string())])
+        dfc = np.r_[dfc, 0]
+        n_docs = np.zeros(len(tok), dtype=np.int64)
+        len_sum = np.zeros(len(tok), dtype=np.int64)
+        n_docs[-1] = ndocs
+        len_sum[-1] = int(offsets[-1]) if len(offsets) else 0
         return pa.table(
             {
                 "token": tok,
@@ -520,30 +545,32 @@ def corpus_df_stats(ds, *, text_col: str = "text") -> tuple[dict, int, float]:
             }
         )
 
-    parts = ray.get(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["token"]).aggregate(
+            [("df", "sum"), ("n_docs", "sum"), ("len_sum", "sum")]
+        )
+        return agg.rename_columns(["token", "df", "n_docs", "len_sum"])
+
+    reduced = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], sum_bucket
     )
+    parts = ray.get(reduced.materialize().to_arrow_refs())
     tbls = [p for p in parts if p.num_rows > 0]
     if not tbls:
         return {}, 0, 0.0
     allp = pa.concat_tables(tbls, promote_options="default")
-    import pandas as pd
-
-    dfs = (
-        pd.Series(
-            np.asarray(allp["df"].to_numpy(zero_copy_only=False)),
-            index=allp["token"].to_pandas(),
-        )
-        .groupby(level=0)
-        .sum()
-    )
-    dfs = dfs[dfs > 0]
     n_docs = int(pc.sum(allp["n_docs"]).as_py() or 0)
     len_sum = int(pc.sum(allp["len_sum"]).as_py() or 0)
     avg_len = (len_sum / n_docs) if n_docs else 0.0
-    return dfs.to_dict(), n_docs, avg_len
+    keep = pc.greater_equal(allp["df"], pa.scalar(max(min_df, 1), pa.int64()))
+    kept = allp.filter(keep)
+    dfs = dict(
+        zip(
+            kept["token"].to_pylist(),
+            np.asarray(kept["df"].to_numpy(zero_copy_only=False)).tolist(),
+        )
+    )
+    return dfs, n_docs, avg_len
 
 
 class BM25Scorer:
@@ -625,11 +652,17 @@ def corpus_lm_stats(
     Wikipedia LM, is normally a ``sample_by_hash`` subset, not the corpus
     being scored): pass A counts unigrams and picks the top-``max_vocab``
     vocabulary (ties: count desc, token asc — deterministic); pass B counts
-    bigrams with out-of-vocabulary tokens folded to ``<unk>``.  Driver
-    combines are O(vocabulary) / O(observed bigrams).  Returns a plain
-    tuple ``(vocab, uni_counts, bi_keys, bi_counts, V, k)`` meant for ONE
-    ``ray.put`` read by every :class:`LMScorer` actor."""
+    bigrams with out-of-vocabulary tokens folded to ``<unk>``.  Both
+    passes combine through ONE hash-bucketed shuffle, so driver peak memory
+    is the FINAL model size (``n_buckets x max_vocab`` candidate rows for
+    pass A, the observed in-model bigram table for pass B) — never the
+    concatenation of per-batch vocabulary partials, which at web scale is
+    unbounded.  Returns a plain tuple ``(vocab, uni_counts, bi_keys,
+    bi_counts, V, k)`` meant for ONE ``ray.put`` read by every
+    :class:`LMScorer` actor."""
     import pandas as pd
+
+    from .bucketing import bucketed_group_apply
 
     def uni_partial(t: pa.Table) -> pa.Table:
         values, _ = _token_stream(t[text_col])
@@ -642,29 +675,50 @@ def corpus_lm_stats(
             {"w": vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
         )
 
-    parts = ray.get(
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
-    )
-    tbls = [p for p in parts if p.num_rows > 0]
-    if not tbls:
-        return [], np.zeros(1, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0, k
-    allu = pa.concat_tables(tbls, promote_options="default")
-    uni_raw = (
-        pd.Series(
-            np.asarray(allu["c"].to_numpy(zero_copy_only=False)),
-            index=allu["w"].to_pandas(),
+    def uni_topk_bucket(g: pa.Table) -> pa.Table:
+        # exact counts for this bucket's token slice (all partials of a
+        # token hash to one bucket), then keep the bucket's top-max_vocab —
+        # the global top-k is a subset of the union of per-bucket top-ks.
+        agg = g.group_by(["w"]).aggregate([("c", "sum")]).rename_columns(
+            ["w", "c"]
         )
-        .groupby(level=0)
-        .sum()
+        total = int(pc.sum(agg["c"]).as_py() or 0)
+        idx = pc.sort_indices(
+            agg, sort_keys=[("c", "descending"), ("w", "ascending")]
+        )
+        top = agg.take(idx[: min(max_vocab, agg.num_rows)])
+        tot = np.zeros(top.num_rows, dtype=np.int64)
+        if top.num_rows:
+            tot[0] = total  # bucket grand total rides the first row
+        return top.append_column("tot", pa.array(tot, pa.int64()))
+
+    reduced = bucketed_group_apply(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["w"],
+        uni_topk_bucket,
     )
-    vocab = sorted(uni_raw.index, key=lambda w: (-uni_raw[w], w))[:max_vocab]
+    uparts = [
+        p
+        for p in ray.get(reduced.materialize().to_arrow_refs())
+        if p.num_rows > 0
+    ]
+    if not uparts:
+        return [], np.zeros(1, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 0, k
+    allu = pa.concat_tables(uparts, promote_options="default")
+    total_tokens = int(pc.sum(allu["tot"]).as_py() or 0)
+    cand = pd.DataFrame(
+        {
+            "w": allu["w"].to_pandas(),
+            "c": np.asarray(allu["c"].to_numpy(zero_copy_only=False)),
+        }
+    ).sort_values(["c", "w"], ascending=[False, True], kind="mergesort")
+    head = cand.head(max_vocab)
+    vocab = head["w"].tolist()
     vocab_arr = pa.array(vocab, pa.string())
     nv = len(vocab)
     uni_counts = np.zeros(nv + 1, dtype=np.int64)
-    uni_counts[:nv] = uni_raw[vocab].to_numpy()
-    uni_counts[nv] = int(uni_raw.sum()) - int(uni_counts[:nv].sum())  # <unk>
+    uni_counts[:nv] = head["c"].to_numpy(dtype=np.int64)
+    uni_counts[nv] = total_tokens - int(uni_counts[:nv].sum())  # <unk>
     V = nv + (1 if uni_counts[nv] > 0 else 0)
 
     vocab_ref = ray.put(vocab_arr)
@@ -694,24 +748,27 @@ def corpus_lm_stats(
             {"key": pa.array(uk, pa.int64()), "c": pa.array(uc, pa.int64())}
         )
 
-    bparts = ray.get(
-        ds.map_batches(bi_partial, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
+    def sum_bi_bucket(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["key"]).aggregate([("c", "sum")])
+        return agg.rename_columns(["key", "c"])
+
+    bi_reduced = bucketed_group_apply(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ["key"],
+        sum_bi_bucket,
     )
-    btbls = [p for p in bparts if p.num_rows > 0]
-    if btbls:
-        allb = pa.concat_tables(btbls, promote_options="default")
-        bs = (
-            pd.Series(
-                np.asarray(allb["c"].to_numpy(zero_copy_only=False)),
-                index=np.asarray(allb["key"].to_numpy(zero_copy_only=False)),
-            )
-            .groupby(level=0)
-            .sum()
-        )
-        bi_keys = bs.index.to_numpy(dtype=np.int64)
-        bi_counts = bs.to_numpy(dtype=np.int64)
+    bparts = [
+        p
+        for p in ray.get(bi_reduced.materialize().to_arrow_refs())
+        if p.num_rows > 0
+    ]
+    if bparts:
+        allb = pa.concat_tables(bparts, promote_options="default")
+        bi_keys = np.asarray(allb["key"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bi_counts = np.asarray(allb["c"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.argsort(bi_keys, kind="stable")
+        bi_keys = bi_keys[order]
+        bi_counts = bi_counts[order]
     else:
         bi_keys = np.empty(0, dtype=np.int64)
         bi_counts = np.empty(0, dtype=np.int64)
