@@ -1741,6 +1741,81 @@ def _q_token_freq_table(sf_dir: str):
     )
 
 
+def _q_media_decode(sf_dir: str):
+    """REAL stdlib media decode end-to-end (stages/multimodal.py): per doc,
+    a deterministic constant-fill PNG (even doc_id) or constant-sample WAV
+    (odd doc_id) is ENCODED, then strict-decoded back — pixel/sample sums
+    and decoded shapes are closed-form in doc_id, so the DuckDB oracle
+    checks the whole encode->zlib->unfilter->decode path by value."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_pylist()
+        payloads, mods = [], []
+        for d in ids:
+            if d % 2 == 0:
+                h, w, fill = 8 + d % 12, 8 + d % 16, d % 251
+                payloads.append(
+                    encode_png(np.full((h, w, 3), fill, dtype=np.uint8))
+                )
+                mods.append("image")
+            else:
+                n, val = 100 + d % 400, d % 1000
+                samples = np.full((n, 1), val, dtype="<i2")
+                data = samples.tobytes()
+                fmt = (
+                    (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + (16000).to_bytes(4, "little")
+                    + (32000).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                )
+                body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                body += b"data" + len(data).to_bytes(4, "little") + data
+                payloads.append(b"RIFF" + len(body).to_bytes(4, "little") + body)
+                mods.append("audio")
+        return pa.table(
+            {
+                "media_id": pc.cast(t["doc_id"], pa.string()),
+                "doc_id": t["doc_id"],
+                "modality": pa.array(mods, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    decoded = decode_media(
+        ds.map_batches(synth, batch_format="pyarrow"),
+        decode="strict",
+        concurrency=(1, 4),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        shapes = t["shape"].to_pylist()
+        h = [s[0] for s in shapes]
+        w = [s[1] if len(s) > 1 else 1 for s in shapes]
+        c = [s[2] if len(s) > 2 else 1 for s in shapes]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["media_id"], pa.int64()),
+                "height": pa.array(h, pa.int64()),
+                "width": pa.array(w, pa.int64()),
+                "channels": pa.array(c, pa.int64()),
+                "pixel_sum": t["pixel_sum"],
+            }
+        )
+
+    return decoded.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_freq_table": _q_token_freq_table,
@@ -1808,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_clusters": _q_code_clusters,
         "linkage_f1": _q_linkage_f1,
         "address_best_match": _q_address_best_match,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -2597,6 +2673,18 @@ def oracle_sql() -> dict[str, str]:
         # Okapi BM25 (stages/text_analysis.py:BM25Scorer): same token rule;
         # idf = ln((N - df + .5)/(df + .5) + 1), k1=1.2, b=0.75; docs with
         # no query terms score 0; x1e6 floor(x+0.5) rounding both sides
+        "media_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 12
+                        ELSE 100 + doc_id % 400 END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16
+                        ELSE 1 END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN (8 + doc_id % 12) * (8 + doc_id % 16) * 3 * (doc_id % 251)
+                        ELSE (100 + doc_id % 400) * (doc_id % 1000) END AS pixel_sum
+            FROM documents
+        """,
         "bm25_score": """
             WITH toks AS (
                 SELECT doc_id,

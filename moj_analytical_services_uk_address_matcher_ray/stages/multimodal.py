@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode libraries (Pillow, ffmpeg, torchaudio) are NOT in this container,
-so the decode kernels are stubbed: ``decode="strict"`` raises
-``NotImplementedError`` at the decode call site, while the default
-``decode="fake"`` substitutes a deterministic fake decoder (shape + checksum
-derived from the bytes) so the Ray-side plumbing — schema, batch sizing,
-actor-pool signature, output layout — is real and testable end-to-end.
+Decode support is tiered by what the container provides:
+
+* REAL stdlib-only decoders for PNG (``decode_png``: zlib inflate + full
+  scanline unfilter, bit depth 8, colour types 0/2/4/6) and WAV PCM
+  (``decode_wav``); ``decode="strict"`` runs these end-to-end —
+  payload -> pixel/sample array -> content-derived feature vector — and
+  raises ``ValueError`` for containers that would need a codec library
+  (JPEG entropy decode, video).
+* ``decode="headers"`` parses container headers only (PNG/JPEG/GIF/WAV).
+* ``decode="fake"`` substitutes a deterministic fake decoder (shape +
+  checksum derived from the bytes) so plumbing tests never depend on
+  payload validity.
 
 Scale notes baked into the API:
   * binary payloads make rows wide -> default ``batch_size`` is SMALL (64)
@@ -106,21 +112,211 @@ def sniff_media_header(payload: bytes) -> dict | None:
     return None
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colour type -> samples/pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL stdlib-only PNG pixel decode: zlib-inflate the IDAT stream and
+    undo the per-scanline filters.  Supports bit depth 8, colour types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace — the
+    overwhelming shapes in training corpora that aren't JPEG.  Returns a
+    ``(height, width, channels)`` uint8 array; raises ``ValueError`` on
+    anything outside that envelope (palette, 16-bit, Adam7).
+
+    Filters None/Up/Sub are vectorised (Sub is a per-lane cumsum mod 256);
+    Average/Paeth fall back to a per-pixel loop — correct first, and rare
+    rows in practice."""
+    import zlib
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    i, width = 8, None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        clen = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, colour, _comp, _filt, interlace = body[8:13]
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if colour not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG colour type {colour}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            channels = _PNG_CHANNELS[colour]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG data length {len(raw)} != expected {height * (stride + 1)}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        line = data[y]
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif f == 1:  # Sub: prefix sum mod 256 per byte lane
+            rec = np.empty(stride, dtype=np.uint8)
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(
+                    line[lane::bpp], dtype=np.uint64
+                ).astype(np.uint8)
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prev[x])
+                d = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + c - d
+                pa_, pb_, pc_ = abs(p - a), abs(p - c), abs(p - d)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (c if pb_ <= pc_ else d)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib, filter 0 per scanline) for
+    ``(h, w)`` or ``(h, w, {1,2,3,4})`` uint8 arrays — gives tests and
+    fixtures payloads that genuinely round-trip through :func:`decode_png`."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    colour = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, colour, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL stdlib WAV PCM decode: ``(samples (n, channels) int16, rate)``.
+    16-bit PCM only (the fixture/training-data common case)."""
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        clen = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits != 16:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    n = len(data) // (2 * channels)
+    samples = np.frombuffer(data[: n * 2 * channels], dtype="<i2").reshape(
+        n, channels
+    )
+    return samples, rate
+
+
+def image_feature(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Content-derived image feature: mean grayscale over a 4x4 grid
+    (``dim=16``) — the cheap real embedding for media near-dup / ANN."""
+    g = pixels[..., :3].astype(np.float32).mean(axis=2) if pixels.ndim == 3 else pixels.astype(np.float32)
+    side = int(np.sqrt(dim))
+    h, w = g.shape
+    ys = np.linspace(0, h, side + 1).astype(int)
+    xs = np.linspace(0, w, side + 1).astype(int)
+    out = np.zeros(side * side, dtype=np.float32)
+    for r in range(side):
+        for c in range(side):
+            block = g[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)]
+            out[r * side + c] = float(block.mean()) / 255.0 if block.size else 0.0
+    return out
+
+
+def audio_feature(samples: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Content-derived audio feature: RMS energy over ``dim`` equal time
+    segments of the mono mix, normalised to int16 full scale."""
+    mono = samples.astype(np.float32).mean(axis=1) if samples.ndim == 2 else samples.astype(np.float32)
+    n = len(mono)
+    out = np.zeros(dim, dtype=np.float32)
+    if n == 0:
+        return out
+    bounds = np.linspace(0, n, dim + 1).astype(int)
+    for i in range(dim):
+        seg = mono[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+        out[i] = float(np.sqrt(np.mean(seg * seg))) / 32768.0 if seg.size else 0.0
+    return out
+
+
 class MediaDecoder:
     """Actor-pool stage: decode -> feature-extract.
 
     ``__init__`` is where a real build would load the codec / model once per
     actor.  Modes:
 
+    * ``"strict"`` — REAL pixel/sample decode with the stdlib-only codecs:
+      PNG -> :func:`decode_png` -> 4x4-grid grayscale feature; WAV ->
+      :func:`decode_wav` -> segment-RMS feature.  The checksum is over the
+      DECODED content (pixels/samples), the extra ``pixel_sum`` column is
+      the integer sum of decoded bytes/|samples| — both oracle-able.
+      Containers needing a codec library (JPEG entropy decode, video)
+      raise ``ValueError``.
     * ``"headers"`` — REAL container-header parsing (``sniff_media_header``:
       PNG/JPEG/GIF/WAV dims from the bytes themselves); rows whose magic is
       unknown fall back to the deterministic fake (counted in ``meta``).
-      Full pixel/sample decode still needs codec libraries.
     * ``"auto"`` — import-try Pillow once per actor and use it for image
       rows when present (it is not in this container); otherwise behaves
       like ``"headers"``.
     * ``"fake"`` — deterministic fake decoder (the test default).
-    * ``"strict"`` — fail loudly instead of faking.
     """
 
     def __init__(self, *, decode: str = "fake", feature_dim: int = 16):
@@ -138,6 +334,33 @@ class MediaDecoder:
                 self.pil = None
 
     def _decode_one(self, payload: bytes, modality: str) -> dict:
+        if self.decode == "strict":
+            b = payload or b""
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                pixels = decode_png(b)
+                return {
+                    "shape": list(pixels.shape),
+                    "checksum": hashlib.blake2b(
+                        pixels.tobytes(), digest_size=16
+                    ).hexdigest(),
+                    "feature": image_feature(pixels, self.feature_dim),
+                    "pixel_sum": int(pixels.sum(dtype=np.int64)),
+                }
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                samples, rate = decode_wav(b)
+                return {
+                    "shape": list(samples.shape),
+                    "checksum": hashlib.blake2b(
+                        samples.tobytes(), digest_size=16
+                    ).hexdigest(),
+                    "feature": audio_feature(samples, self.feature_dim),
+                    "pixel_sum": int(np.abs(samples.astype(np.int64)).sum()),
+                }
+            raise ValueError(
+                f"strict decode: unsupported container for {modality!r} "
+                "(stdlib codecs cover PNG and 16-bit PCM WAV; JPEG/video "
+                "need external codec libraries)"
+            )
         if self.decode in ("headers", "auto"):
             if self.pil is not None and modality == "image":
                 import io
@@ -167,12 +390,7 @@ class MediaDecoder:
         return _fake_decode(payload, modality)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.decode == "strict":
-            raise NotImplementedError(
-                "real image/audio decode requires Pillow/ffmpeg, which are not "
-                "available in this environment; use decode='fake' for plumbing"
-            )
-        ids, mods, shapes, checks, feats = [], [], [], [], []
+        ids, mods, shapes, checks, feats, sums = [], [], [], [], [], []
         for i in range(t.num_rows):
             payload = t["payload"][i].as_py()
             modality = t["modality"][i].as_py()
@@ -182,15 +400,17 @@ class MediaDecoder:
             shapes.append(d["shape"])
             checks.append(d["checksum"])
             feats.append([float(x) for x in d["feature"]])
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.string()),
-                "modality": pa.array(mods, pa.string()),
-                "shape": pa.array(shapes, pa.list_(pa.int32())),
-                "payload_checksum": pa.array(checks, pa.string()),
-                "feature": pa.array(feats, pa.list_(pa.float32())),
-            }
-        )
+            sums.append(d.get("pixel_sum", 0))
+        cols = {
+            "media_id": pa.array(ids, pa.string()),
+            "modality": pa.array(mods, pa.string()),
+            "shape": pa.array(shapes, pa.list_(pa.int32())),
+            "payload_checksum": pa.array(checks, pa.string()),
+            "feature": pa.array(feats, pa.list_(pa.float32())),
+        }
+        if self.decode == "strict":  # decoded-content sum, oracle-able
+            cols["pixel_sum"] = pa.array(sums, pa.int64())
+        return pa.table(cols)
 
 
 def decode_media(

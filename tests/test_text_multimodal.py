@@ -80,10 +80,147 @@ def test_media_decode_fake(ray_session):
     }
 
 
-def test_media_decode_strict_raises():
+def test_media_decode_strict_raises_on_unknown_container():
     dec = MediaDecoder(decode="strict")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="unsupported container"):
         dec(make_fake_media_table(1))
+
+
+def _ref_filter_png(pixels, filters):
+    """Reference PNG encoder applying a chosen filter per scanline (the
+    spec's forward direction), independent of decode_png's inverse."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                v = line[x] - pred
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    colour = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, colour, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(13, 9, ch)).astype(np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == (13, 9, ch)
+        assert (out == px).all()
+
+
+def test_png_decode_all_filters_against_reference_encoder():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(12, 7, 3)).astype(np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_png(_ref_filter_png(px, filters))
+        assert (out == px).all(), f"filter set {filters} mis-decoded"
+
+
+def test_wav_pcm_decode_real_samples():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        decode_wav,
+    )
+
+    t = np.arange(800)
+    samples = (
+        (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype("<i2").reshape(-1, 1)
+    )
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out, rate = decode_wav(wav)
+    assert rate == 16000 and out.shape == (800, 1)
+    assert (out == samples).all()
+
+
+def test_media_decode_strict_end_to_end(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        encode_png,
+        make_wav_bytes,
+    )
+
+    px = np.full((10, 6, 3), 7, dtype=np.uint8)
+    media = pa.table(
+        {
+            "media_id": pa.array(["img0", "aud0"], pa.string()),
+            "modality": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array(
+                [encode_png(px), make_wav_bytes(500)], pa.binary()
+            ),
+            "meta": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_media(rd.from_arrow(media), decode="strict", concurrency=1)
+        .take_all()
+    }
+    assert list(out["img0"]["shape"]) == [10, 6, 3]
+    assert out["img0"]["pixel_sum"] == 10 * 6 * 3 * 7
+    assert len(out["img0"]["feature"]) == 16
+    assert abs(out["img0"]["feature"][0] - 7 / 255.0) < 1e-6
+    assert list(out["aud0"]["shape"]) == [500, 1]
+    assert out["aud0"]["pixel_sum"] == 0  # silence
 
 
 def test_media_header_sniff_kernel():
