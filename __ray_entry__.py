@@ -36,15 +36,14 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    # strip pandas-written schema metadata: it makes pa.Schema unhashable,
-    # defeating Ray Data's schema-dedup fast path (see sources/io.py)
-    return (
-        _rd()
-        .read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-        .map_batches(
-            lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-        )
+    # sources.io.read_parquet strips pandas-written schema metadata AT the
+    # read (footer peek -> metadata-free schema= override), so even the
+    # read operator's own blocks hash cleanly for Ray's schema dedup
+    from moj_analytical_services_uk_address_matcher_ray.sources.io import (
+        read_parquet,
     )
+
+    return read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _docs_as_address(t: pa.Table) -> pa.Table:

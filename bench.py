@@ -103,6 +103,9 @@ def run_bench() -> dict:
     from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
         dedup_code_corpus,
     )
+    from moj_analytical_services_uk_address_matcher_ray.sources.io import (
+        read_parquet as uam_read_parquet,
+    )
     from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
         read_metrics,
         reset_metrics,
@@ -113,11 +116,11 @@ def run_bench() -> dict:
 
     # --- headline: flagship linkage over the deterministic corpus ----------
     corpus_path = ensure_corpus(sf)
-    rd.read_parquet(corpus_path).count()  # untimed warm read (page cache)
+    uam_read_parquet(corpus_path).count()  # untimed warm read (page cache)
     reset_metrics()
     t0 = time.perf_counter()
     clusters = dedup_code_corpus(
-        rd.read_parquet(corpus_path),
+        uam_read_parquet(corpus_path),
         scorer_concurrency=max(2, NUM_CPUS // 4),
     ).materialize()
     n_rows = clusters.count()
@@ -342,12 +345,15 @@ def run_actor_curve() -> dict:
         DEDUP_CARRY_COLS,
         prepare_code_dataset,
     )
+    from moj_analytical_services_uk_address_matcher_ray.sources.io import (
+        read_parquet as uam_read_parquet,
+    )
     from moj_analytical_services_uk_address_matcher_ray.stages import blocking as B
     from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
 
     sf = _sf_value(SF_DIR)
     corpus_path = ensure_corpus(sf)
-    cleaned = prepare_code_dataset(rd.read_parquet(corpus_path)).materialize()
+    cleaned = prepare_code_dataset(uam_read_parquet(corpus_path)).materialize()
     model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
     parsed = B.parse_blocking_rules(model.blocking_rules)
     pairs = B.generate_candidate_pairs(

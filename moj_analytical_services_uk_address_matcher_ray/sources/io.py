@@ -52,12 +52,33 @@ def read_parquet(
     (a ``pyarrow.dataset`` expression) and column renames.
 
     Schema-level metadata (e.g. the ``b'pandas'`` blob pandas-written
-    parquet carries) is stripped in the first (fused) map: a
-    ``pa.Schema`` with schema metadata is UNHASHABLE, which defeats Ray
-    Data's schema-dedup early exit on every block concat/unify and spams
-    'Failed to hash the schemas' warnings from every downstream task.
-    ``replace_schema_metadata(None)`` is metadata-only and zero-copy."""
-    ds = ray.data.read_parquet(path, columns=columns, filter=row_filter)
+    parquet carries) is stripped: a ``pa.Schema`` with schema metadata is
+    UNHASHABLE, which defeats Ray Data's schema-dedup early exit on every
+    block concat/unify and spams 'Failed to hash the schemas' warnings
+    from every downstream task.  The strip happens at the READ itself
+    (one driver-side footer peek -> metadata-free ``schema=`` override,
+    so even the blocks the read operator emits hash cleanly); the fused
+    map remains as a belt-and-braces fallback for sources the peek can't
+    resolve (exotic URIs, filters)."""
+    schema_override = None
+    if row_filter is None:  # a filter may reference non-selected columns
+        try:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+
+            full = pads.dataset(path).schema
+            if full.metadata:  # only override when there IS metadata
+                full = full.remove_metadata()
+                schema_override = (
+                    pa.schema([full.field(c) for c in columns])
+                    if columns
+                    else full
+                )
+        except Exception:
+            schema_override = None
+    ds = ray.data.read_parquet(
+        path, columns=columns, filter=row_filter, schema=schema_override
+    )
     if rename:
         ds = ds.map_batches(
             lambda t: t.rename_columns(
