@@ -3,7 +3,8 @@
 with a candidate block whose FIRST canonical is the true match), run through
 the full clean -> block -> score -> improve -> best-match flow exactly like
 the reference's test_edge_cases.py (blocking on the per-case ``test_block``
-key).  Metric: top-1 match rate."""
+key).  Metrics: top-1 match rate AND the reference CI's reward/penalty
+margin (run_address_test.py), both floored at this build's measured level."""
 
 import os
 
@@ -12,6 +13,7 @@ import pytest
 import ray.data as rd
 
 REF_YAML = "/root/reference/tests/edge_case_addresses.yaml"
+_MARGIN_FLOOR = 160.0  # measured 183.54 on this build; ~12% jitter slack
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(REF_YAML), reason="reference corpus not available"
@@ -109,13 +111,47 @@ def test_edge_case_top1_match_rate(ray_session):
     best = best_matches_with_distinguishability(improved, messy_c).materialize()
 
     truth = {r["unique_id"]: r["true_match_id"] for r in messy_rows}
-    got = {
-        r["unique_id_r"]: r["unique_id_l"]
-        for r in best.select_columns(["unique_id_r", "unique_id_l"]).take_all()
+    best_rows = {
+        r["unique_id_r"]: r
+        for r in best.select_columns(
+            ["unique_id_r", "unique_id_l", "match_weight", "distinguishability"]
+        ).take_all()
     }
+    got = {m: r["unique_id_l"] for m, r in best_rows.items()}
     correct = sum(1 for m, t in truth.items() if got.get(m) == t)
     rate = correct / len(truth)
     print(f"edge-case top-1 match rate: {correct}/{len(truth)} = {rate:.2f}")
-    # the reference's own CI tracks this rate; our re-derivation must resolve
-    # a clear majority of the curated hard cases
-    assert rate >= 0.6, f"top-1 match rate {rate:.2f} below floor"
+
+    # The reference CI tracks a reward/penalty margin alongside top-1
+    # (.github/workflows/run_address_test.py + tests/test_edge_cases.py:
+    # 155-216): correct block -> + (top weight - runner-up weight);
+    # incorrect block -> - (top weight - true match weight).
+    pair_w = {
+        (r["unique_id_r"], r["unique_id_l"]): r["match_weight"]
+        for r in improved.select_columns(
+            ["unique_id_r", "unique_id_l", "match_weight"]
+        ).take_all()
+    }
+    total_reward = 0.0
+    for m, t in truth.items():
+        r = best_rows.get(m)
+        if r is None:
+            continue
+        if r["unique_id_l"] == t:
+            d = r["distinguishability"]
+            if d is not None and d == d:  # None/NaN = sole candidate: skip
+                total_reward += float(d)
+        else:
+            top_w = float(r["match_weight"])
+            true_w = pair_w.get((m, t))
+            if true_w is not None:
+                total_reward -= top_w - float(true_w)
+    print(f"edge-case margin (total reward): {total_reward:.2f}")
+
+    # floors ratcheted to the measured behaviour of this build (top-1 17/21
+    # = 0.81, margin 183.54 — stable across runs), with slack only for
+    # float jitter, not for regressions
+    assert correct >= 17, f"top-1 {correct}/21 below the measured 17/21"
+    assert total_reward >= _MARGIN_FLOOR, (
+        f"margin {total_reward:.2f} below floor {_MARGIN_FLOOR}"
+    )
