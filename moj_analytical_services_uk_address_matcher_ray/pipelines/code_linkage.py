@@ -571,6 +571,7 @@ def match_code_corpora(
     max_pairs_per_block: int = 20_000,
     n_buckets: int | None = None,
     checkpoint_dir: str | None = None,
+    payload_mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Two-table match: best canonical record per messy record.
 
@@ -703,6 +704,11 @@ def match_code_corpora(
         dedupe_output=False,
         partial_top1_per_r=True,
         n_buckets=n_buckets or 48,
+        # "shuffle" forces the non-broadcast payload route (one hash join +
+        # bucketed attach+score) — the 10^12-row cluster path; the top-1
+        # reduce below handles either output shape (partial-top1 rows or
+        # the full scored stream)
+        payload_mode=payload_mode,
     ).materialize()
 
     # global top-1 per messy record: ONE bucketed shuffle over the sparse

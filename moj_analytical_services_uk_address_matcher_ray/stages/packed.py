@@ -69,7 +69,12 @@ class PackedHists:
     """A list<struct<tok, rel_freq, count>> column as flat parallel arrays.
 
     Entry order within each record's segment is the arrow list order — the
-    multiply order of the scalar ``hist_product`` loop this replaces."""
+    multiply order of the scalar ``hist_product`` loop this replaces.
+    ``keys_sorted``/``cnt_sorted`` hold a per-segment key-sorted COPY built
+    once at pack time: lookups binary-search it (so the probe side needs no
+    per-chunk sort), while factors still come from the original-order
+    arrays (so the multiply order — and the float rounding — is unchanged).
+    """
 
     keys: np.ndarray  # uint64 hash of (tok, rel_freq)
     rf: np.ndarray  # float64
@@ -77,6 +82,8 @@ class PackedHists:
     offsets: np.ndarray  # int64, len n+1
     isnull: np.ndarray  # bool per record
     lens: np.ndarray  # int64 per record
+    keys_sorted: np.ndarray | None = None  # per-segment sorted keys
+    cnt_sorted: np.ndarray | None = None  # cnt aligned to keys_sorted
 
 
 def _flatten_list_col(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
@@ -133,7 +140,25 @@ def pack_hists(col) -> PackedHists:
     # (tok, rel_freq) struct equality: mix the rel_freq bit pattern in
     keys = (kh * _SALT) ^ rf.view(np.uint64)
     lens = np.diff(offsets)
-    return PackedHists(keys, rf, cnt, offsets, isnull, lens.astype(np.int64))
+    n = len(offsets) - 1
+    if len(keys):
+        rec = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((keys, rec))
+        keys_sorted = keys[order]
+        cnt_sorted = cnt[order]
+    else:
+        keys_sorted = keys
+        cnt_sorted = cnt
+    return PackedHists(
+        keys,
+        rf,
+        cnt,
+        offsets,
+        isnull,
+        lens.astype(np.int64),
+        keys_sorted=keys_sorted,
+        cnt_sorted=cnt_sorted,
+    )
 
 
 def split_parts(col, part: int) -> np.ndarray:
@@ -169,30 +194,55 @@ def _gather_segments(
     return pair_idx, flat_idx
 
 
+def _segment_lower_bound(
+    probe: np.ndarray,
+    keys_sorted: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorised per-segment lower bound: for probe[j], the first position
+    in ``keys_sorted[lo[j]:hi[j]]`` (a SORTED segment) that is >= probe[j].
+    Returns ``(pos, hit)``.  ~log2(max segment length) gather/compare
+    passes — replaces the per-chunk global sort + searchsorted the old
+    kernels used, whose two ~N-element argsorts were 69% of kernel time
+    AND the dominant DRAM traffic (measured in /tmp-gone kprof; see
+    BASELINE.md round 4)."""
+    n = len(keys_sorted)
+    lo = lo.copy()
+    hi_b = hi.copy()
+    end = hi
+    while True:
+        active = lo < hi_b
+        if not active.any():
+            break
+        mid = (lo + hi_b) >> 1
+        keymid = keys_sorted[np.minimum(mid, n - 1)]
+        go = active & (keymid < probe)
+        lo = np.where(go, mid + 1, lo)
+        hi_b = np.where(active & ~go, mid, hi_b)
+    pos = np.minimum(lo, max(n - 1, 0))
+    if n == 0:
+        return pos, np.zeros(len(probe), dtype=bool)
+    hit = (lo < end) & (keys_sorted[pos] == probe)
+    return pos, hit
+
+
 def overlap_counts(
     pl: PackedSets, pr: PackedSets, take_l: np.ndarray, take_r: np.ndarray
 ) -> np.ndarray:
-    """|keys(take_l[i]) & keys(take_r[i])| for each pair i, vectorised."""
+    """|keys(take_l[i]) & keys(take_r[i])| for each pair i, vectorised.
+
+    ``pack_sets`` stores each record's keys sorted (and unique), so each
+    left entry binary-searches its pair's RIGHT segment directly — no
+    right-side gather, no per-chunk sorts."""
     n = len(take_l)
     pi_l, fi_l = _gather_segments(pl.offsets, pl.lens, take_l)
-    pi_r, fi_r = _gather_segments(pr.offsets, pr.lens, take_r)
-    if len(pi_l) == 0 or len(pi_r) == 0:
+    if len(pi_l) == 0:
         return np.zeros(n, dtype=np.int64)
-    salt_l = (pi_l.astype(np.uint64) + np.uint64(1)) * _SALT
-    salt_r = (pi_r.astype(np.uint64) + np.uint64(1)) * _SALT
-    ck_l = pl.keys[fi_l] ^ salt_l
-    ck_r = np.sort(pr.keys[fi_r] ^ salt_r)
-    # binary-searching SORTED queries halves the kernel: unsorted probes
-    # make every one of the ~22 tree levels a cache miss on a multi-MB key
-    # array (measured 2x end-to-end on 4M-key chunks); the searchsorted
-    # positions are identical either way, so results are bit-equal
-    order_l = np.argsort(ck_l, kind="stable")
-    pos_s = np.searchsorted(ck_r, ck_l[order_l])
-    pos = np.empty_like(pos_s)
-    pos[order_l] = pos_s
-    pos_c = np.minimum(pos, len(ck_r) - 1)
-    hit = ck_r[pos_c] == ck_l
-    hit &= pos < len(ck_r)
+    probe = pl.keys[fi_l]
+    lo = pr.offsets[take_r][pi_l]
+    hi = lo + pr.lens[take_r][pi_l]
+    _, hit = _segment_lower_bound(probe, pr.keys, lo, hi)
     return np.bincount(pi_l[hit], minlength=n).astype(np.int64)
 
 
@@ -218,39 +268,45 @@ def _pow_small_int_vec(rf: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
+def _hist_sorted_view(p: PackedHists) -> tuple[np.ndarray, np.ndarray]:
+    """(keys_sorted, cnt_sorted), building them on the fly for instances
+    packed before the fields existed (adopted warm shards)."""
+    if p.keys_sorted is not None:
+        return p.keys_sorted, p.cnt_sorted
+    if len(p.keys) == 0:
+        return p.keys, p.cnt
+    rec = np.repeat(np.arange(len(p.lens), dtype=np.int64), p.lens)
+    order = np.lexsort((p.keys, rec))
+    return p.keys[order], p.cnt[order]
+
+
 def hist_products(
     pl: PackedHists, pr: PackedHists, take_l: np.ndarray, take_r: np.ndarray
 ) -> np.ndarray:
     """P = prod over shared (tok, rel_freq) keys of rel_freq^min(cnt_l,
     cnt_r) per pair — float-identical to the sequential scalar loop (factors
-    in left-entry order, multiplied left to right)."""
+    in left-entry order, multiplied left to right).
+
+    Each left entry binary-searches its pair's RIGHT segment in the
+    pack-time key-sorted copy; left entries are never reordered, so the
+    factor (multiply) order — and thus the float64 rounding — is exactly
+    the scalar loop's."""
     n = len(take_l)
     out = np.ones(n, dtype=np.float64)
     pi_l, fi_l = _gather_segments(pl.offsets, pl.lens, take_l)
-    pi_r, fi_r = _gather_segments(pr.offsets, pr.lens, take_r)
-    if len(pi_l) == 0 or len(pi_r) == 0:
+    if len(pi_l) == 0:
         return out
-    salt_l = (pi_l.astype(np.uint64) + np.uint64(1)) * _SALT
-    salt_r = (pi_r.astype(np.uint64) + np.uint64(1)) * _SALT
-    ck_l = pl.keys[fi_l] ^ salt_l
-    ck_r = pr.keys[fi_r] ^ salt_r
-    order_r = np.argsort(ck_r, kind="stable")
-    ck_rs = ck_r[order_r]
-    cnt_rs = pr.cnt[fi_r][order_r]
-    # sorted-probe searchsorted (see overlap_counts): identical positions,
-    # ~2x fewer cache misses
-    order_l = np.argsort(ck_l, kind="stable")
-    pos_s = np.searchsorted(ck_rs, ck_l[order_l])
-    pos = np.empty_like(pos_s)
-    pos[order_l] = pos_s
-    pos_c = np.minimum(pos, len(ck_rs) - 1)
-    hit = (ck_rs[pos_c] == ck_l) & (pos < len(ck_rs))
+    keys_rs, cnt_rs = _hist_sorted_view(pr)
+    probe = pl.keys[fi_l]
+    lo = pr.offsets[take_r][pi_l]
+    hi = lo + pr.lens[take_r][pi_l]
+    pos, hit = _segment_lower_bound(probe, keys_rs, lo, hi)
     if not hit.any():
         return out
     # matched left entries, still in pair-major / left-entry order
     p_hit = pi_l[hit]
     rf_hit = pl.rf[fi_l[hit]]
-    c_min = np.minimum(pl.cnt[fi_l[hit]], cnt_rs[pos_c[hit]])
+    c_min = np.minimum(pl.cnt[fi_l[hit]], cnt_rs[pos[hit]])
     factors = _pow_small_int_vec(rf_hit, c_min)
     seg_starts = np.flatnonzero(np.r_[True, p_hit[1:] != p_hit[:-1]])
     prods = np.multiply.reduceat(factors, seg_starts)
