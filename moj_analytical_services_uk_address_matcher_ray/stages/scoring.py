@@ -360,6 +360,24 @@ class _ComparisonEvaluator:
                 return px is not None and py is not None and px == py
 
             return _sparse_rowwise(_sp_eq, al, ar, remaining)
+        if k == "first_n_tokens_equal":
+            # reference training.py:19-91 (get_first_n_tokens_comparison):
+            # regexp_extract of the first n whitespace tokens equal on both
+            # sides, extract longer than 1 char, AND postcode equality.
+            # DuckDB regexp_extract -> '' on no match; pandas extract ->
+            # NaN — both fail the >1-length gate, so semantics agree.
+            c, nn = p["col"], int(p["n"])
+            pc_col = p.get("postcode_col", "postcode")
+            pat = (
+                rf"^((?:\S+\s+){{{nn - 1}}}\S+)" if nn > 1 else r"^(\S+)"
+            )
+            el = df[f"{c}_l"].astype("object").str.extract(pat, expand=False)
+            er = df[f"{c}_r"].astype("object").str.extract(pat, expand=False)
+            ok = el.notna() & er.notna() & (el == er)
+            ok &= el.str.len() > 1
+            pl_, pr_ = df[f"{pc_col}_l"], df[f"{pc_col}_r"]
+            ok &= pl_.notna() & pr_.notna() & (pl_ == pr_)
+            return ok.to_numpy(dtype=bool)
         raise ValueError(f"unknown level kind {k!r}")
 
     def evaluate(

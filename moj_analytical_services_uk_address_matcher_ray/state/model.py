@@ -57,7 +57,7 @@ class Comparison:
     def columns(self) -> set[str]:
         cols = {self.name}
         for lv in self.levels:
-            for key in ("col", "col_a", "col_b", "cols"):
+            for key in ("col", "col_a", "col_b", "cols", "postcode_col"):
                 v = lv.params.get(key)
                 if isinstance(v, str):
                     cols.add(v)
@@ -417,6 +417,43 @@ _RE_NULL_COLS = re.compile(r'"?(\w+?)_(?:l|r)"?\s+IS\s+NULL', re.I)
 _RE_DIGITS_EQ = re.compile(r"regexp_extract\((\w+)_l", re.I)
 
 
+def first_n_tokens_comparison(
+    *,
+    col: str = "original_address_concat",
+    postcode_col: str = "postcode",
+    weight_1: float = 1.0,
+    weight_2: float = 0.5,
+    weight_3: float = 0.0,
+    weight_4: float = 0.0,
+    weight_5: float = -0.2,
+) -> Comparison:
+    """Optional first-N-tokens prefix comparison — the reference's
+    ``get_first_n_tokens_comparison`` (training.py:19-91): levels fire when
+    the first 4/3/2/1 whitespace tokens of ``col`` match on both sides AND
+    the postcodes match; m = 2^weight, u = 1 (the reference's
+    ``match_weight_to_bayes_factor`` with fixed u).  Not part of the
+    shipped default model (the reference defines but does not ship it) —
+    append to ``FSModel.comparisons`` to enable."""
+    levels = [
+        Level(
+            label=f"First {n} tokens match",
+            kind="first_n_tokens_equal",
+            params={"col": col, "n": n, "postcode_col": postcode_col},
+            m=2.0**w,
+            u=1.0,
+        )
+        for n, w in ((4, weight_1), (3, weight_2), (2, weight_3), (1, weight_4))
+    ]
+    levels.append(Level(label="else", kind="else", m=2.0**weight_5, u=1.0))
+    return Comparison(name="first_n_tokens", levels=levels)
+
+
+#: the reference's token-prefix regex inside a model-json sql_condition
+_RE_FIRST_N = re.compile(
+    r"regexp_extract\((\w+)_l, '\^\(\?:\\S\+\\s\+\)\{(\d+)\}\\S\+'\)"
+)
+
+
 def _classify_sql_condition(cond: str, comparison_name: str) -> tuple[str, dict]:
     c = " ".join(cond.split())
     if c == "ELSE":
@@ -432,6 +469,21 @@ def _classify_sql_condition(cond: str, comparison_name: str) -> tuple[str, dict]
     m = _RE_SPLIT.match(c)
     if m:
         return "split_part_equal", {"col": m.group(1), "part": int(m.group(2))}
+    if "regexp_extract(" in c and "postcode_l = postcode_r" in c:
+        m = _RE_FIRST_N.search(c)
+        if m:  # first 2..4 tokens (training.py:27-30)
+            return "first_n_tokens_equal", {
+                "col": m.group(1),
+                "n": int(m.group(2)) + 1,
+                "postcode_col": "postcode",
+            }
+        m = re.search(r"regexp_extract\((\w+)_l, '\^\\S\+'\)", c)
+        if m:  # single-token pattern '^\S+'
+            return "first_n_tokens_equal", {
+                "col": m.group(1),
+                "n": 1,
+                "postcode_col": "postcode",
+            }
     if "list_reduce" in c and "POW(" in c:
         m = _RE_HIST_THRESHOLD.search(c)
         col = re.search(r"map_entries\((\w+)_l\)", c)

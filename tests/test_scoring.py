@@ -216,3 +216,128 @@ def test_reference_model_gamma_numbering():
     )
     # numeric_token_1 exact -> first of its 5 non-null levels -> gamma 4
     assert g["gamma_numeric_token_1"] == 4
+
+
+def test_first_n_tokens_level_duckdb_parity():
+    """The optional first-N-tokens comparison (reference training.py:19-91)
+    fires exactly like the reference's DuckDB sql_condition on a fuzzed
+    pair table, for every N."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.state.model import (
+        first_n_tokens_comparison,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.scoring import (
+        _ComparisonEvaluator,
+    )
+
+    rng = np.random.RandomState(31)
+    words = ["FLAT", "1", "HIGH", "ST", "LONDON", "A", "12B", "THE", "X"]
+
+    def addr():
+        if rng.rand() < 0.05:
+            return None
+        return " ".join(rng.choice(words, rng.randint(1, 6)))
+
+    n = 400
+    df = pd.DataFrame(
+        {
+            "original_address_concat_l": [addr() for _ in range(n)],
+            "original_address_concat_r": [addr() for _ in range(n)],
+            "postcode_l": [
+                None if rng.rand() < 0.1 else rng.choice(["AB1 2CD", "EF3 4GH"])
+                for _ in range(n)
+            ],
+            "postcode_r": [
+                None if rng.rand() < 0.1 else rng.choice(["AB1 2CD", "EF3 4GH"])
+                for _ in range(n)
+            ],
+        }
+    )
+    # force prefix-equal cases so upper levels actually fire
+    same = rng.rand(n) < 0.4
+    df.loc[same, "original_address_concat_r"] = df.loc[
+        same, "original_address_concat_l"
+    ]
+    df.loc[same, "postcode_r"] = df.loc[same, "postcode_l"]
+
+    comp = first_n_tokens_comparison()
+    ev = _ComparisonEvaluator(comp, {})
+    con = duckdb.connect()
+    con.register("t", df)
+    for lv in comp.levels:
+        if lv.kind == "else":
+            continue
+        nn = lv.params["n"]
+        pat = rf"^(?:\S+\s+){{{nn - 1}}}\S+" if nn > 1 else r"^\S+"
+        ref = (
+            con.sql(
+                f"""
+            SELECT coalesce(
+                regexp_extract(original_address_concat_l, '{pat}') =
+                regexp_extract(original_address_concat_r, '{pat}')
+                AND length(regexp_extract(original_address_concat_l, '{pat}')) > 1
+                AND postcode_l = postcode_r, FALSE) AS fire
+            FROM t
+            """
+            )
+            .fetchdf()["fire"]
+            .to_numpy(dtype=bool)
+        )
+        got = ev._level_mask(lv, df, None)
+        assert (got == ref).all(), f"n={nn}: {int((got != ref).sum())} mismatches"
+
+
+def test_first_n_tokens_model_json_round_trip(tmp_path):
+    """A model json carrying the reference's first_n_tokens sql_conditions
+    loads into the same level kinds/params the builder produces."""
+    import json
+
+    from moj_analytical_services_uk_address_matcher_ray.state.model import (
+        first_n_tokens_comparison,
+        load_model_json,
+    )
+
+    def sql(nn):
+        pat = rf"^(?:\S+\s+){{{nn - 1}}}\S+" if nn > 1 else r"^\S+"
+        return (
+            f"regexp_extract(original_address_concat_l, '{pat}') = "
+            f"regexp_extract(original_address_concat_r, '{pat}') "
+            f"and length(regexp_extract(original_address_concat_l, '{pat}')) > 1 "
+            f"and postcode_l = postcode_r"
+        ).replace("\\", "\\")
+
+    doc = {
+        "probability_two_random_records_match": 0.01,
+        "comparisons": [
+            {
+                "output_column_name": "first_n_tokens",
+                "comparison_levels": [
+                    {
+                        "sql_condition": sql(nn),
+                        "label_for_charts": f"First {nn} tokens match",
+                        "m_probability": 2.0,
+                        "u_probability": 1.0,
+                    }
+                    for nn in (4, 3, 2, 1)
+                ]
+                + [
+                    {
+                        "sql_condition": "ELSE",
+                        "label_for_charts": "else",
+                        "m_probability": 0.87,
+                        "u_probability": 1.0,
+                    }
+                ],
+            }
+        ],
+        "blocking_rules_to_generate_predictions": [],
+    }
+    model = load_model_json(doc)
+    built = first_n_tokens_comparison()
+    got = model.comparisons[0]
+    assert [lv.kind for lv in got.levels] == [lv.kind for lv in built.levels]
+    assert [lv.params.get("n") for lv in got.levels[:-1]] == [4, 3, 2, 1]
+    assert all(lv.params["col"] == "original_address_concat" for lv in got.levels[:-1])
