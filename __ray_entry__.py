@@ -1815,6 +1815,21 @@ def _q_media_decode(sf_dir: str):
     return decoded.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_token_budget_mix(sf_dir: str):
+    """Per-source token-budget mixture fill (stages/sampling.py:
+    select_to_token_budget): greedy md5-order selection per source until
+    each source's token budget is reached — budgets varied by source
+    number so the boundary logic is exercised at three budget levels."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        select_to_token_budget,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    srcs = ds.select_columns(["source"]).unique("source")
+    budgets = {s: 100 + (int(s[3:]) % 3) * 50 for s in srcs}
+    return select_to_token_budget(ds, budgets)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "token_freq_table": _q_token_freq_table,
@@ -1883,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_f1": _q_linkage_f1,
         "address_best_match": _q_address_best_match,
         "media_decode": _q_media_decode,
+        "token_budget_mix": _q_token_budget_mix,
     }
 
 
@@ -2672,6 +2688,31 @@ def oracle_sql() -> dict[str, str]:
         # Okapi BM25 (stages/text_analysis.py:BM25Scorer): same token rule;
         # idf = ln((N - df + .5)/(df + .5) + 1), k1=1.2, b=0.75; docs with
         # no query terms score 0; x1e6 floor(x+0.5) rounding both sides
+        "token_budget_mix": """
+            WITH tk AS (
+                SELECT doc_id, source,
+                       len(list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '')) AS n
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, source, n,
+                       md5(CAST(doc_id AS VARCHAR) || ':') AS k
+                FROM tk WHERE n > 0
+            ),
+            c AS (
+                SELECT doc_id, source, n,
+                       sum(n) OVER (PARTITION BY source ORDER BY k, doc_id) - n
+                           AS tok_start
+                FROM o
+            )
+            SELECT doc_id, source,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(tok_start AS BIGINT) AS tok_start
+            FROM c
+            WHERE tok_start < 100 + (CAST(SUBSTR(source, 4, 10) AS INT) % 3) * 50
+        """,
         "media_decode": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 12

@@ -208,3 +208,111 @@ def upsample_by_weight(
         return out.append_column(epoch_col, pa.array(epoch, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def select_to_token_budget(
+    ds: "ray.data.Dataset",
+    budgets,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Per-source token-budget fill — the "build an N-token training mix
+    from weighted sources" selector: within each source, documents are
+    taken in the deterministic md5 lottery order until the source's token
+    budget is reached (a document is included iff the tokens BEFORE it in
+    that order are still under budget, so the boundary document may
+    overshoot — greedy fill).
+
+    ``budgets``: an int (same budget for every source) or a dict
+    ``{source: budget}``; sources missing from the dict are excluded.
+    Token counts use the module-standard ``\\s+`` non-empty split; the
+    order key is ``(md5(f"{id}:{salt}"), id)`` — both ANSI-SQL
+    re-derivable, so the selection is oracle-able end to end.
+
+    Scale shape (the ``pack_sequences`` 256-range prefix-sum pattern, per
+    source): one narrow tokenize pass (text read once, never shuffled);
+    per-block ``(source, range) -> sum`` combiners feed a driver reduce of
+    O(sources x 256) rows that gives every (source, range) its global
+    token offset; then ONE bucketed shuffle of the narrow table and a
+    local sort + exclusive cumsum + offset per (source, range) group.  No
+    global sort, no per-source driver data.
+
+    Returns ``(id_col, source_col, n_tokens, tok_start)`` for selected
+    docs; ``tok_start`` is the source-local exclusive token prefix sum.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .bucketing import bucketed_group_apply
+    from .packing import _narrow_batch
+
+    def narrow(t: pa.Table) -> pa.Table:
+        nb = _narrow_batch(t, id_col, text_col, salt)
+        src = t[source_col].take(
+            pc.index_in(nb[id_col], value_set=t[id_col].combine_chunks())
+        )
+        return nb.append_column(source_col, src)
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by([source_col, "__r"]).aggregate([("__n", "sum")])
+        return agg.rename_columns([source_col, "__r", "n_sum"])
+
+    offsets: dict[tuple, int] = {}
+    totals: dict[str, dict[int, int]] = {}
+    for row in narrow_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        totals.setdefault(row[source_col], {})
+        totals[row[source_col]][row["__r"]] = (
+            totals[row[source_col]].get(row["__r"], 0) + row["n_sum"]
+        )
+    for src, per_r in totals.items():
+        run = 0
+        for r in range(256):
+            offsets[(src, r)] = run
+            run += per_r.get(r, 0)
+
+    budget_of = (
+        (lambda s: budgets.get(s)) if isinstance(budgets, dict) else (lambda s: budgets)
+    )
+
+    def per_group(df):
+        import pandas as pd
+
+        out = []
+        for (src, r), sub in df.groupby([source_col, "__r"], sort=False):
+            budget = budget_of(src)
+            if budget is None:
+                continue
+            sub = sub.sort_values(["__k", id_col], kind="mergesort")
+            n = sub["__n"].to_numpy(dtype=np.int64)
+            before = np.cumsum(n) - n + offsets[(src, int(r))]
+            keep = before < budget
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: sub[id_col].to_numpy()[keep],
+                            source_col: src,
+                            "n_tokens": n[keep],
+                            "tok_start": before[keep],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=df[id_col].dtype),
+                    source_col: pd.Series([], dtype=str),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "tok_start": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        narrow_ds, [source_col, "__r"], per_group, batch_format="pandas"
+    )

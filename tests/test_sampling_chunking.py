@@ -187,3 +187,62 @@ def test_sample_per_group_stratified(ray_session):
         .to_pandas()
     )
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_select_to_token_budget_greedy_fill(ray_session):
+    """Greedy per-source fill: docs in md5 order, a doc is included iff the
+    tokens BEFORE it are under budget (boundary doc may overshoot);
+    sources not in the budget dict are excluded."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = []
+    for i in range(30):
+        src = "a" if i % 2 == 0 else "b"
+        rows.append(
+            {"doc_id": i, "source": src, "text": " ".join(["w"] * (3 + i % 5))}
+        )
+    ds = rd.from_items(rows)
+    out = (
+        select_to_token_budget(ds, {"a": 20})
+        .to_pandas()
+        .sort_values("tok_start")
+        .reset_index(drop=True)
+    )
+    assert set(out["source"]) == {"a"}
+    # independently re-derive the expected greedy selection
+    a_rows = [(hashlib.md5(f"{r['doc_id']}:".encode()).hexdigest(), r) for r in rows
+              if r["source"] == "a"]
+    a_rows.sort(key=lambda kv: (kv[0], kv[1]["doc_id"]))
+    run, expect = 0, []
+    for _, r in a_rows:
+        n = len(r["text"].split())
+        if run < 20:
+            expect.append((r["doc_id"], n, run))
+        run += n
+    assert list(map(tuple, out[["doc_id", "n_tokens", "tok_start"]].to_numpy())) == expect
+    # total selected tokens reach the budget (greedy overshoot allowed)
+    assert out["n_tokens"].sum() >= 20
+
+
+def test_select_to_token_budget_int_budget_all_sources(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}", "text": "x y z"} for i in range(12)
+    ]
+    out = select_to_token_budget(rd.from_items(rows), 6).to_pandas()
+    # every source fills to >= 6 tokens (2 docs of 3 tokens each)
+    got = out.groupby("source")["n_tokens"].sum()
+    assert set(got.index) == {"s0", "s1", "s2"}
+    assert (got >= 6).all()
