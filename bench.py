@@ -150,7 +150,8 @@ def run_bench() -> dict:
         ),
         # UAM_BENCH_RESCORE=1: include the distinguishing-token rescore
         # stage — the reference's full predict->improve pipeline shape
-        use_rescore=bool(os.environ.get("UAM_BENCH_RESCORE")),
+        use_rescore=os.environ.get("UAM_BENCH_RESCORE", "").lower()
+        in ("1", "true", "yes"),
     ).materialize()
     n_rows = clusters.count()
     timings["linkage_dedup"] = time.perf_counter() - t0

@@ -298,7 +298,14 @@ def main():
 
     import os
 
-    if args.corpus == "edge" and os.path.exists(args.edge_yaml):
+    if args.corpus == "edge":
+        if not os.path.exists(args.edge_yaml):
+            raise SystemExit(
+                f"--corpus edge requires {args.edge_yaml} (not found); the "
+                "synthetic corpus' landscape is flat (margins saturate the "
+                "caps) — pass --corpus synthetic explicitly if you really "
+                "want it"
+            )
         scored, truth = build_scored_pairs_edge_cases(args.edge_yaml)
     else:
         scored, truth = build_scored_pairs(args.n_canonical, args.n_messy)

@@ -269,7 +269,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def image_feature(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
     """Content-derived image feature: mean grayscale over a 4x4 grid
     (``dim=16``) — the cheap real embedding for media near-dup / ANN."""
-    g = pixels[..., :3].astype(np.float32).mean(axis=2) if pixels.ndim == 3 else pixels.astype(np.float32)
+    if pixels.ndim == 3:
+        ch = pixels.shape[2]
+        # drop alpha: RGBA -> RGB, gray+alpha -> gray (averaging alpha into
+        # a 2-channel image would call a dark opaque image bright)
+        colour = pixels[..., :3] if ch >= 3 else pixels[..., :1]
+        g = colour.astype(np.float32).mean(axis=2)
+    else:
+        g = pixels.astype(np.float32)
     side = int(np.sqrt(dim))
     h, w = g.shape
     ys = np.linspace(0, h, side + 1).astype(int)
@@ -336,7 +343,18 @@ class MediaDecoder:
     def _decode_one(self, payload: bytes, modality: str) -> dict:
         if self.decode == "strict":
             b = payload or b""
-            if b[:8] == b"\x89PNG\r\n\x1a\n":
+            is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
+            is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+            if (is_png and modality != "image") or (is_wav and modality != "audio"):
+                # the natural place to catch an upstream labeling bug:
+                # decoding a mislabeled payload under the wrong modality
+                # would silently index e.g. RMS features into an image space
+                raise ValueError(
+                    f"strict decode: payload container "
+                    f"({'png' if is_png else 'wav'}) does not match "
+                    f"modality={modality!r}"
+                )
+            if is_png:
                 pixels = decode_png(b)
                 return {
                     "shape": list(pixels.shape),
@@ -346,7 +364,7 @@ class MediaDecoder:
                     "feature": image_feature(pixels, self.feature_dim),
                     "pixel_sum": int(pixels.sum(dtype=np.int64)),
                 }
-            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            if is_wav:
                 samples, rate = decode_wav(b)
                 return {
                     "shape": list(samples.shape),

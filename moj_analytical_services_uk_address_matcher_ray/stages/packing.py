@@ -63,19 +63,26 @@ def _nonempty_token_counts(arr) -> np.ndarray:
     return csum[offs[1:]] - csum[offs[:-1]]
 
 
-def _narrow_batch(t: pa.Table, id_col: str, text_col: str, salt: str) -> pa.Table:
+def _narrow_batch(
+    t: pa.Table,
+    id_col: str,
+    text_col: str,
+    salt: str,
+    carry_cols: tuple[str, ...] = (),
+) -> pa.Table:
     n = _nonempty_token_counts(t[text_col])
     ids = t[id_col].to_pylist()
     keys = [hashlib.md5(f"{v}:{salt}".encode()).hexdigest() for v in ids]
     rng = np.fromiter((int(k[:2], 16) for k in keys), np.int32, count=len(keys))
-    out = pa.table(
-        {
-            id_col: t[id_col],
-            "__k": pa.array(keys, pa.string()),
-            "__n": pa.array(n, pa.int64()),
-            "__r": pa.array(rng, pa.int32()),
-        }
-    )
+    cols = {
+        id_col: t[id_col],
+        "__k": pa.array(keys, pa.string()),
+        "__n": pa.array(n, pa.int64()),
+        "__r": pa.array(rng, pa.int32()),
+    }
+    for c in carry_cols:  # carried through the same zero-token filter
+        cols[c] = t[c]
+    out = pa.table(cols)
     return out.filter(pc.greater(out["__n"], 0))
 
 

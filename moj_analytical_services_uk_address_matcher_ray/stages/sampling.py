@@ -250,11 +250,9 @@ def select_to_token_budget(
     from .packing import _narrow_batch
 
     def narrow(t: pa.Table) -> pa.Table:
-        nb = _narrow_batch(t, id_col, text_col, salt)
-        src = t[source_col].take(
-            pc.index_in(nb[id_col], value_set=t[id_col].combine_chunks())
+        return _narrow_batch(
+            t, id_col, text_col, salt, carry_cols=(source_col,)
         )
-        return nb.append_column(source_col, src)
 
     narrow_ds = ds.map_batches(narrow, batch_format="pyarrow").materialize()
 

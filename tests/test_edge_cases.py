@@ -150,7 +150,11 @@ def test_edge_case_top1_match_rate(ray_session):
 
     # floors ratcheted to the measured behaviour of this build (top-1 17/21
     # = 0.81, margin 183.54 — stable across runs), with slack only for
-    # float jitter, not for regressions
+    # float jitter, not for regressions.  Bisected: the round-3 FINAL
+    # commit (b563ea3) also measures 17/21 on this exact test — the 18/21
+    # recorded in round 1 drifted during round-2/3 scoring-parity work,
+    # not in round 4 (whose kernel changes are bit-identical); the four
+    # misses are near-tie blocks 6/7/16/21 (margins 5-10 weight units)
     assert correct >= 17, f"top-1 {correct}/21 below the measured 17/21"
     assert total_reward >= _MARGIN_FLOOR, (
         f"margin {total_reward:.2f} below floor {_MARGIN_FLOOR}"

@@ -48,8 +48,9 @@ def _worker(n_rec: int, n_chunks: int, n_pairs: int, seed: int, q) -> None:
         isnull=np.zeros(n_rec, bool),
         lens=seg.astype(np.int64),
         keys_sorted=keys[order],
-        cnt_sorted=rng.integers(1, 4, total).astype(np.float64)[order],
+        cnt_sorted=None,  # set below from cnt[order] (pack_hists invariant)
     )
+    ph.cnt_sorted = ph.cnt[order]
     tl = rng.integers(0, n_rec, n_pairs).astype(np.int64)
     tr = rng.integers(0, n_rec, n_pairs).astype(np.int64)
     P.hist_products(ph, ph, tl[:1000], tr[:1000])  # warm
