@@ -242,6 +242,12 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     # dataset re-executed ~2/3 of the bucket tasks (measured: 80 bucket
     # calls for 48 buckets, 1.65x the input rows, score wall 40-80s vs 23s)
     scored = scored.materialize()
+    # NOTE: this driver-side collect is fine HERE because the per-bucket
+    # partial top-1 already reduced the stream to ~one row per (messy
+    # record, touched bucket).  The library path
+    # (pipelines/code_linkage.py:match_code_corpora) does the same global
+    # top-1 as ONE bucketed shuffle instead — use that at sizes where even
+    # the reduced stream should not land on one machine.
     best_df = (
         pa.concat_tables(ray.get(scored.to_arrow_refs()), promote_options="default")
         .to_pandas()

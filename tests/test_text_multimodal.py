@@ -575,3 +575,40 @@ def test_lm_cross_entropy_semantics(ray_session):
         .to_pandas()
     )
     assert got["lm_cross_entropy"][0] == pytest.approx(expect)
+
+
+def test_media_decode_strict_modality_mismatch_raises():
+    import pyarrow as pa
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        MediaDecoder,
+        make_wav_bytes,
+    )
+
+    dec = MediaDecoder(decode="strict")
+    mislabeled = pa.table(
+        {
+            "media_id": pa.array(["x"], pa.string()),
+            "modality": pa.array(["image"], pa.string()),  # but payload is WAV
+            "payload": pa.array([make_wav_bytes(100)], pa.binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="does not match modality"):
+        dec(mislabeled)
+
+
+def test_image_feature_gray_alpha_drops_alpha():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        image_feature,
+    )
+
+    # dark gray (10) with fully opaque alpha: the feature must read "dark",
+    # not the (10+255)/2 average
+    la = np.zeros((8, 8, 2), dtype=np.uint8)
+    la[..., 0] = 10
+    la[..., 1] = 255
+    f = image_feature(la)
+    assert abs(f[0] - 10 / 255.0) < 1e-6
