@@ -8,9 +8,13 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "pairs_scored": ..., "pairs_per_sec": ...}
 
-``--scaling``: run the same job twice in FRESH processes at num_cpus=8 and
-num_cpus=32 on the same input and report both throughputs + the scaling
-efficiency (the in-sandbox stand-in for the N vs 4N node criterion).
+``--scaling``: run the flagship in FRESH processes at each level of
+``UAM_SCALING_CPUS`` (default 2,8,32) on the same cached input and report
+throughput at every level + the N->4N efficiencies (the in-sandbox
+stand-in for the two-cluster-size criterion).  Levels run flagship-only
+(UAM_BENCH_LINKAGE_ONLY) with an untimed worker warm-up wave.  Corpus
+size: UAM_BENCH_SCALE (default 10 for scaling).  See BASELINE.md round 4
+for the series + the hardware-envelope analysis.
 
 The linkage corpus is generated deterministically (seeded datagen, sized by
 the scale factor) and cached as parquet under /tmp so both scaling runs read
