@@ -104,3 +104,14 @@ def test_training_data_prep_example(ray_session, tmp_path):
             m = json.load(fh)
         assert m["rows"] == splits[name]
         assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
+
+
+def test_media_pipeline_example(ray_session):
+    """decode->feature->near-dup finds every re-encoded image duplicate by
+    decoded CONTENT (the container bytes differ)."""
+    from examples.media_pipeline import run
+
+    out = run(verbose=False)
+    assert out["decoded_rows"] == out["media_rows"]
+    assert out["near_dup_pairs"] >= 40  # one per planted group, at least
+    assert out["same_group_pairs"] == out["near_dup_pairs"]  # no false pairs
