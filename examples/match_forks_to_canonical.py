@@ -62,7 +62,9 @@ def build_corpus(
     )
 
     n_repos = n_repos or max(40, n_clusters // 60)
-    tag = f"tt_seed{seed}_c{n_clusters}_s{extra_singletons}_v{n_stems}_r{n_repos}"
+    # _p2: >=32 parts per side — 18 read tasks left a third of a 32-cpu
+    # node idle during the (content-decode-heavy) parquet scan
+    tag = f"tt_seed{seed}_c{n_clusters}_s{extra_singletons}_v{n_stems}_r{n_repos}_p2"
     out = os.path.join(cache_root, tag)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
@@ -91,7 +93,7 @@ def build_corpus(
         for i in range(0, n, per):
             pq.write_table(tbl.slice(i, per), os.path.join(d, f"part-{i // per:05d}.parquet"))
 
-    parts = max(8, (files.num_rows // 25_000) or 1)
+    parts = max(32, (files.num_rows // 25_000) or 1)
     _write_parts(files.filter(pa.array(is_canon)), "canon", parts)
     _write_parts(files.filter(pa.array(~is_canon)), "messy", parts)
     _write_parts(pa.Table.from_pandas(truth, preserve_index=False), "truth", 4)
@@ -168,38 +170,86 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     canon_pre = _coalesce(canon_pre)
     tf_dict, end_tokens, tf_default = corpus_tf_and_end_tokens(canon_pre)
     tf_ref = ray.put(tf_dict)
+
+    # the exact-sha index depends only on canon_pre (sha/ids are pre-TF
+    # columns), so the deterministic-pass annotate FUSES into the messy
+    # clean map chain below — the separate annotate+filter pass it replaced
+    # was its own ~2s barrier.  (Two structures measured slower: the two
+    # jobs on concurrent driver threads — the executors split the cluster,
+    # no gain over serial — and one schema-aligned union job — it
+    # materialises the wide feature table an extra time for each side's
+    # filter split.  Serial with the annotate fused wins.)
+    from moj_analytical_services_uk_address_matcher_ray.stages.exact import (
+        annotate_with_exact_index,
+        build_exact_index,
+    )
+
+    _ANN = ["canonical_ukam_address_id", "resolved_canonical_id", "match_reason"]
+
+    # overlap the (driver-side) exact-index build with the (cluster-side)
+    # canonical post-TF job: the index drain's ray.get releases the GIL
+    # while the executor streams
+    import threading
+
+    _idx_box: dict = {}
+
+    def _build_idx():
+        _idx_box["ref"] = build_exact_index(
+            canon_pre, match_cols=("content_sha256",)
+        )
+
+    _idx_th = threading.Thread(target=_build_idx)
+    _idx_th.start()
     canon = apply_post_tf(
         canon_pre, tf_ref, end_tokens, tf_default=tf_default
     ).materialize()
-    messy = prepare_code_dataset(
-        rd.read_parquet(os.path.join(corpus_dir, "messy")),
-        rel_tok_freq=tf_dict,
-        end_tokens=end_tokens,
-        tf_default=tf_default,
+    _idx_th.join()
+    idx_ref = _idx_box["ref"]
+    # head start: drain the canonical feature store and launch the l-side
+    # warm scorer shards NOW, while the messy clean below owns the cluster
+    # — without it the direct exchange's bucket tasks start before the
+    # packed shards exist and block on adoption (see
+    # blocking.prepare_scoring_warmup)
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        prepare_scoring_warmup,
+    )
+
+    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
+    model = code_model(blocking_rules=rules)
+    _emit = ["ukam_address_id_l", "ukam_address_id_r", "match_weight"]
+    warmup = prepare_scoring_warmup(
+        canon,
+        model,
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=-50.0,
+        emit_cols=_emit,
+    )
+    messy_ann = annotate_with_exact_index(
+        prepare_code_dataset(
+            rd.read_parquet(os.path.join(corpus_dir, "messy")),
+            rel_tok_freq=tf_dict,
+            end_tokens=end_tokens,
+            tf_default=tf_default,
+        ),
+        idx_ref,
+        match_cols=("content_sha256",),
     ).materialize()
-    messy = _coalesce(messy)
-    n_messy, n_canon = messy.count(), canon.count()
+    messy_ann = _coalesce(messy_ann)
+    n_messy, n_canon = messy_ann.count(), canon.count()
     t_clean = time.perf_counter() - t0
 
-    # deterministic pass: broadcast exact content match against the
-    # canonical universe (zero shuffle); resolved rows are DROPPED from the
-    # probabilistic input (reference get_linker, splink_model.py:49-54)
-    # annotated stays LAZY: the unresolved branch materialises once (its
-    # input to the scorer), the narrow det branch re-runs the cheap
-    # index_in map during the untimed evaluation
-    annotated = annotate_exact_matches_broadcast(
-        messy, canon, match_cols=("content_sha256",)
-    )
-    det = annotated.map_batches(
+    # deterministic pass: resolved rows are DROPPED from the probabilistic
+    # input (reference get_linker, splink_model.py:49-54).  The annotate
+    # already ran inside the messy clean; what remains is one narrow filter
+    # (the lazy det branch re-runs its filter during untimed evaluation).
+    det = messy_ann.map_batches(
         lambda t: t.filter(pc.is_valid(t["match_reason"])).select(
             ["ukam_address_id", "canonical_ukam_address_id"]
         ),
         batch_format="pyarrow",
     )
-    unresolved = annotated.map_batches(
-        lambda t: t.filter(pc.is_null(t["match_reason"])).drop_columns(
-            ["canonical_ukam_address_id", "resolved_canonical_id", "match_reason"]
-        ),
+    unresolved = messy_ann.map_batches(
+        lambda t: t.filter(pc.is_null(t["match_reason"])).drop_columns(_ANN),
         batch_format="pyarrow",
     ).materialize()
     t_exact = time.perf_counter() - t0 - t_clean
@@ -209,16 +259,15 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
     # tiny global top-1 per messy record.  Cross-rule duplicates collapse in
     # the top-1, so the dedup barrier is skipped.
     # sha_prefix blocks only pair identical content — which the exact pass
-    # just removed from the messy side — so the rule is dead weight here
-    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
-    model = code_model(blocking_rules=rules)
+    # just removed from the messy side — so the rule was dropped from the
+    # model built above (dead weight here)
     scored = generate_and_score_pairs(
         canon,
         unresolved,
         model,
         carry_cols=DEDUP_CARRY_COLS,
         threshold_match_weight=-50.0,
-        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+        emit_cols=_emit,
         # tight per-block cap instead of hot-key salting: the fingerprint
         # rules already pair every near-dup in tiny content-keyed blocks,
         # so giant hot-stem blocks ("index") are almost pure redundancy —
@@ -231,7 +280,8 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
         partial_top1_per_r=True,
         # gazetteer blocks are tiny and uniform (no straggler risk), so
         # fewer/larger buckets amortise the per-bucket fixed costs
-        n_buckets=48,
+        n_buckets=64,
+        warmup=warmup,
     )
     # the per-bucket partial top-1 leaves ~one row per (messy record,
     # touched bucket); the global winner is a tiny driver reduce (the same
@@ -264,7 +314,7 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
 
     # ---- accuracy evaluation (untimed, vectorised) ----
     cmap = canon.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
-    mmap = messy.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
+    mmap = messy_ann.select_columns(["ukam_address_id", "unique_id"]).to_pandas()
     det_df = det.to_pandas()
     best_df = best_df.rename(
         columns={

@@ -605,9 +605,9 @@ def match_code_corpora(
     """
     import numpy as np
 
-    from ..stages.blocking import generate_and_score_pairs
+    from ..stages.blocking import generate_and_score_pairs, prepare_scoring_warmup
     from ..stages.bucketing import bucketed_group_apply, coalesce_blocks
-    from ..stages.exact import annotate_exact_matches_broadcast
+    from ..stages.exact import annotate_with_exact_index, build_exact_index
     from .clean import apply_post_tf, apply_pre_tf, corpus_tf_and_end_tokens
     from ..state.checkpoint import checkpoint_stage
 
@@ -626,36 +626,69 @@ def match_code_corpora(
     canon_pre = coalesce_blocks(canon_pre)
     tf_dict, end_tokens, tf_default = corpus_tf_and_end_tokens(canon_pre)
     tf_ref = ray.put(tf_dict)
+    # the exact-sha index needs only pre-TF columns — build it here so the
+    # deterministic-pass annotate FUSES into the messy clean chain (its
+    # own annotate+filter pass was a ~2s barrier at the reference shape)
+    idx_ref = build_exact_index(canon_pre, match_cols=("content_sha256",))
     canon_c = apply_post_tf(
         canon_pre, tf_ref, end_tokens, tf_default=tf_default
     ).materialize()
 
+    # probabilistic-pass model + head start: drain the canonical feature
+    # store and launch the l-side warm scorer shards while the messy side
+    # is still cleaning (see blocking.prepare_scoring_warmup).
+    # sha_prefix blocks only pair identical content, which the exact pass
+    # just removed from the messy side — dead weight
+    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
+    mdl = model or code_model(blocking_rules=rules)
+    emit_cols = [
+        "ukam_address_id_l",
+        "ukam_address_id_r",
+        "unique_id_l",
+        "unique_id_r",
+        "match_weight",
+    ]
+    warmup = (
+        prepare_scoring_warmup(
+            canon_c,
+            mdl,
+            carry_cols=DEDUP_CARRY_COLS,
+            threshold_match_weight=predict_threshold,
+            emit_cols=emit_cols,
+        )
+        if payload_mode in ("auto", "broadcast")
+        else None
+    )
+
     def _clean_messy(m):
         # same pre-TF map chain, then annotate against the canonical TF via
         # the ALREADY-broadcast tf_ref — routing through prepare_code_dataset
-        # would ray.put a second identical copy of the TF dict
-        return apply_post_tf(
-            apply_pre_tf(m.map_batches(derive_code_features, batch_format="pyarrow")),
-            tf_ref,
-            end_tokens,
-            tf_default=tf_default,
+        # would ray.put a second identical copy of the TF dict; the exact
+        # annotate rides the same fused chain (zero shuffle)
+        return annotate_with_exact_index(
+            apply_post_tf(
+                apply_pre_tf(
+                    m.map_batches(derive_code_features, batch_format="pyarrow")
+                ),
+                tf_ref,
+                end_tokens,
+                tf_default=tf_default,
+            ),
+            idx_ref,
+            match_cols=("content_sha256",),
         )
 
     if checkpoint_dir:
-        messy_c = checkpoint_stage(
+        annotated = checkpoint_stage(
             _clean_messy, messy, f"{checkpoint_dir}/02_messy_clean",
             stage_name="messy_clean",
         ).materialize()
     else:
-        messy_c = _clean_messy(messy).materialize()
-    messy_c = coalesce_blocks(messy_c)
-
+        annotated = _clean_messy(messy).materialize()
+    annotated = coalesce_blocks(annotated)
     # deterministic pass (zero shuffle): resolved rows leave the
-    # probabilistic input
-    annotated = annotate_exact_matches_broadcast(
-        messy_c, canon_c, match_cols=("content_sha256",)
-    ).materialize()  # consumed by BOTH branches below — lazy would re-run
-    # the broadcast hash-merge map over every messy row per consumer
+    # probabilistic input; annotated is materialized — consumed by BOTH
+    # branches below (lazy would re-run the clean chain per consumer)
 
     def _det_rows(t: pa.Table) -> pa.Table:
         hit = t.filter(pc.is_valid(t["match_reason"]))
@@ -684,31 +717,24 @@ def match_code_corpora(
 
     # probabilistic pass: sha_prefix blocks only pair identical content,
     # which the exact pass just removed from the messy side — dead weight
-    rules = [r for r in CODE_BLOCKING_RULES if "sha_prefix" not in r]
-    mdl = model or code_model(blocking_rules=rules)
     scored = generate_and_score_pairs(
         canon_c,
         unresolved,
         mdl,
         carry_cols=DEDUP_CARRY_COLS,
         threshold_match_weight=predict_threshold,
-        emit_cols=[
-            "ukam_address_id_l",
-            "ukam_address_id_r",
-            "unique_id_l",
-            "unique_id_r",
-            "match_weight",
-        ],
+        emit_cols=emit_cols,
         max_pairs_per_block=max_pairs_per_block,
         hot_key_threshold=None,
         dedupe_output=False,
         partial_top1_per_r=True,
-        n_buckets=n_buckets or 48,
+        n_buckets=n_buckets or 64,
         # "shuffle" forces the non-broadcast payload route (one hash join +
         # bucketed attach+score) — the 10^12-row cluster path; the top-1
         # reduce below handles either output shape (partial-top1 rows or
         # the full scored stream)
         payload_mode=payload_mode,
+        warmup=warmup,
     ).materialize()
 
     # global top-1 per messy record: ONE bucketed shuffle over the sparse

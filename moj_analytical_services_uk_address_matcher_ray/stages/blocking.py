@@ -1457,42 +1457,71 @@ def _warm_part(refs: tuple, ctor_kwargs: dict, jobs: list) -> dict:
     }
 
 
-def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
+def launch_warm_scorer_build(
+    refs: tuple,
+    ctor_kwargs: dict,
+    *,
+    only_l: bool = False,
+    base_index: dict | None = None,
+):
     """PARALLEL warm build: the single-task form serialises ~all the packed
     conversions (8s+ at a 335k-row store) on one core while the rest of the
     cluster idles; here each heavy cache entry (a packed column, a code
     dictionary, a pandas-view conversion) is its own remote task and a tiny
     combine task merges the shards.  Cache entries are adopt-or-rebuild, so
-    an enumeration miss only costs a lazy per-process rebuild later."""
+    an enumeration miss only costs a lazy per-process rebuild later.
+
+    ``only_l=True``: launch ONLY the l-side single-store caches (packed
+    columns + ready object arrays) — the head-start form callers use via
+    ``prepare_scoring_warmup`` while the r side is still being cleaned
+    (pass ``store_r_ref = store_l_ref``; those caches never touch the r
+    store).  ``base_index``: an ``only_l`` result to merge — its l-side
+    jobs are skipped here and its shard refs folded into the returned
+    index, so adoption sees one combined shard list per cache."""
     store_l_ref, store_r_ref, model_ref, tf_ref = refs
     sc = _BroadcastScorer(
         store_l_ref, store_r_ref, model_ref, tf_ref, **ctor_kwargs
     )  # enumeration only — ctor is cheap, caches stay lazy
     self_dedup = sc.tab_r is sc.tab_l
     sides = ("l",) if self_dedup else ("l", "r")
+    skip_l = base_index is not None
     heavy: list[list] = []
     light: list = []
     for c in sc._hist_cols | sc._set_cols:
         for s in sides:
+            if (only_l and s != "l") or (skip_l and s == "l"):
+                continue
             heavy.append([("packed", (s, c))])
-    for g in sc._eq_groups:
-        heavy.append([("codes", tuple(g))])
-    for c in sc._dig_cols:
-        heavy.append([("codes_dig", (c,))])
     for c in sc._df_cols:
         for s in sides:
+            if (only_l and s != "l") or (skip_l and s == "l"):
+                continue
             heavy.append([("ready", (s, c))])
-    for c, p in sc._split_cols:
-        for s in sides:
-            light.append(("split", (s, c, p)))
-    for c in sc._tf_cols:
-        light.append(("tf", c))
-    for c in sc._coded_cols:
-        light.append(("isnull", c))
+    if not only_l:
+        for g in sc._eq_groups:
+            heavy.append([("codes", tuple(g))])
+        for c in sc._dig_cols:
+            heavy.append([("codes_dig", (c,))])
+        for c, p in sc._split_cols:
+            for s in sides:
+                light.append(("split", (s, c, p)))
+        for c in sc._tf_cols:
+            light.append(("tf", c))
+        for c in sc._coded_cols:
+            light.append(("isnull", c))
     if light:
-        heavy.append(light)
+        # a few parallel shards, not one serial task: tf/isnull are
+        # BLOCKING adopts, and a single light task serialising every
+        # entry stalled early bucket tasks ~4 cpu-s each on split/isnull
+        per = max(1, -(-len(light) // 4))
+        for i in range(0, len(light), per):
+            heavy.append(light[i : i + per])
     part_refs = [_warm_part.remote(refs, ctor_kwargs, jobs) for jobs in heavy]
     if not part_refs:
+        if only_l:
+            return {}
+        if base_index:
+            return dict(base_index)
         return _build_warm_scorer_state.remote(refs, ctor_kwargs)
     # per-cache index of part refs — NO combine barrier: a scorer adopting
     # the packed cache waits only on the packed shards, never on the
@@ -1515,7 +1544,52 @@ def launch_warm_scorer_build(refs: tuple, ctor_kwargs: dict):
                 names.add("ready_l" if args[0] == "l" else "ready_r")
         for n in names:
             index.setdefault(n, []).append(ref)
+    if base_index:
+        for n, rs in base_index.items():
+            index.setdefault(n, []).extend(rs)
     return index
+
+
+def prepare_scoring_warmup(
+    canon: "ray.data.Dataset",
+    model,
+    *,
+    carry_cols: list[str],
+    tf_tables: dict | None = None,
+    threshold_match_weight: float | None = -50.0,
+    emit_cols: list[str] | None = None,
+    id_col: str = "ukam_address_id",
+) -> dict:
+    """Optional HEAD START for ``generate_and_score_pairs``: drain the
+    cleaned canonical side into the broadcast feature store and launch the
+    l-side warm shards (packed histogram/set columns, ready object arrays)
+    NOW — typically while the messy side is still being cleaned.  Without
+    it the warm build races the exchange's split tasks and early bucket
+    tasks block on the packed shards (measured 17.5 cpu-s of adoption wait
+    at the reference two-table shape vs ~3 with the head start).
+
+    Pass the returned dict as ``generate_and_score_pairs(...,
+    warmup=...)`` with the SAME ``model`` / ``carry_cols`` /
+    ``threshold_match_weight`` / ``emit_cols`` the scoring call uses."""
+    store_l_ref = _build_arrow_store(canon, carry_cols)
+    model_ref = ray.put(model)
+    tf_ref = ray.put(tf_tables or {})
+    warm_base = launch_warm_scorer_build(
+        (store_l_ref, store_l_ref, model_ref, tf_ref),
+        dict(
+            payload_cols=[c for c in carry_cols if c != id_col],
+            id_col=id_col,
+            threshold=threshold_match_weight,
+            emit_cols=emit_cols,
+        ),
+        only_l=True,
+    )
+    return {
+        "store_l_ref": store_l_ref,
+        "model_ref": model_ref,
+        "tf_ref": tf_ref,
+        "warm_base": warm_base,
+    }
 
 
 def _fused_scorer(
@@ -1827,6 +1901,7 @@ def generate_and_score_pairs(
     dedupe_output: bool = True,
     partial_top1_per_r: bool = False,
     n_buckets: int | None = None,
+    warmup: dict | None = None,
 ) -> "ray.data.Dataset":
     """J6 + §2.5 fused: narrow pair generation/dedup, then payload + scoring.
 
@@ -1883,7 +1958,11 @@ def generate_and_score_pairs(
         import time as _time
 
         from ..state.metrics import inc_metric as _inc
-        from .bucketing import bucketed_group_apply as _bga, default_buckets
+        from .bucketing import (
+            bucketed_group_apply as _bga,
+            default_buckets,
+            direct_bucket_apply_sources as _dbas,
+        )
 
         hot = None
         if hot_key_threshold and canon.count() > hot_key_threshold:
@@ -1893,24 +1972,19 @@ def generate_and_score_pairs(
             )
             _inc("fused.hotkey_sec", _time.perf_counter() - _t0)
         key_kwargs = {"rules": parsed, "carry_cols": [id_col], "hot_keys": hot}
-        keyed_l = canon.map_batches(
-            derive_block_keys,
-            batch_format="pyarrow",
-            fn_kwargs=dict(key_kwargs, side="l"),
-        )
-        keyed_r = messy.map_batches(
-            derive_block_keys,
-            batch_format="pyarrow",
-            fn_kwargs=dict(key_kwargs, side="r"),
-        )
         _t0 = _time.perf_counter()
-        store_l_ref = _build_arrow_store(canon, carry_cols)
+        if warmup is not None:
+            store_l_ref = warmup["store_l_ref"]
+            model_ref = warmup["model_ref"]
+            tf_ref = warmup["tf_ref"]
+        else:
+            store_l_ref = _build_arrow_store(canon, carry_cols)
+            model_ref = ray.put(model)
+            tf_ref = ray.put(tf_tables or {})
         store_r_ref = (
             store_l_ref if messy is canon else _build_arrow_store(messy, carry_cols)
         )
         _inc("fused.store_drain_sec", _time.perf_counter() - _t0)
-        model_ref = ray.put(model)
-        tf_ref = ray.put(tf_tables or {})
         internal_emit = emit_cols
         if dedupe_output and emit_cols is not None and "rule_idx" not in emit_cols:
             internal_emit = list(emit_cols) + ["rule_idx"]
@@ -1925,34 +1999,82 @@ def generate_and_score_pairs(
                 threshold=threshold_match_weight,
                 emit_cols=internal_emit,
             ),
+            base_index=(warmup or {}).get("warm_base"),
         )
-        scored = _bga(
-            keyed_l.union(keyed_r),
-            ["rule_idx", "block_key"],
-            make_fused_emit_score(
-                store_l_ref,
-                store_r_ref,
-                model_ref,
-                tf_ref,
-                payload_cols=payload_cols,
-                id_col=id_col,
-                threshold=threshold_match_weight,
-                emit_cols=internal_emit,
-                max_pairs_per_block=max_pairs_per_block,
-                ordered_self_pairs=ordered_self_pairs,
-                symmetric_rules=symmetric,
-                warm_ref=warm_ref,
-                partial_top1_per_r=partial_top1_per_r,
-            ),
-            # many fine buckets, independent of cpu count: scoring rides
-            # the bucket tasks, so the LARGEST bucket bounds the makespan
-            # (measured: 32 buckets left multi-M-pair stragglers that
-            # capped 8-cpu utilisation at ~60%).  Warm plasma state makes
-            # per-task setup ~free, so fine granularity costs little;
-            # callers with many tiny blocks (two-table gazetteer runs) can
-            # lower n_buckets to shrink the per-bucket fixed costs.
-            n_buckets=n_buckets or max(128, 4 * default_buckets()),
+        bucket_fn = make_fused_emit_score(
+            store_l_ref,
+            store_r_ref,
+            model_ref,
+            tf_ref,
+            payload_cols=payload_cols,
+            id_col=id_col,
+            threshold=threshold_match_weight,
+            emit_cols=internal_emit,
+            max_pairs_per_block=max_pairs_per_block,
+            ordered_self_pairs=ordered_self_pairs,
+            symmetric_rules=symmetric,
+            warm_ref=warm_ref,
+            partial_top1_per_r=partial_top1_per_r,
         )
+        # many fine buckets, independent of cpu count: scoring rides
+        # the bucket tasks, so the LARGEST bucket bounds the makespan
+        # (measured: 32 buckets left multi-M-pair stragglers that
+        # capped 8-cpu utilisation at ~60%).  Warm plasma state makes
+        # per-task setup ~free, so fine granularity costs little;
+        # callers with many tiny blocks (two-table gazetteer runs) can
+        # lower n_buckets to shrink the per-bucket fixed costs.
+        nb = n_buckets or max(128, 4 * default_buckets())
+        if os.environ.get("UAM_FUSED_EXCHANGE") == "sort":
+            # Dataset-native sort shuffle of an explicit keyed stream —
+            # kept for comparison; measured slower than the direct
+            # exchange (the Sort alone cost more wall than all the fused
+            # bucket tasks combined on the reference-shape two-table run)
+            keyed_l = canon.map_batches(
+                derive_block_keys,
+                batch_format="pyarrow",
+                fn_kwargs=dict(key_kwargs, side="l"),
+            )
+            keyed_r = messy.map_batches(
+                derive_block_keys,
+                batch_format="pyarrow",
+                fn_kwargs=dict(key_kwargs, side="r"),
+            )
+            scored = _bga(
+                keyed_l.union(keyed_r),
+                ["rule_idx", "block_key"],
+                bucket_fn,
+                n_buckets=nb,
+            )
+        else:
+            # raw-task hash exchange with IN-TASK key derivation: each
+            # split task reads a group of raw feature blocks (zero-copy
+            # plasma), flat-maps them through derive_block_keys, assigns
+            # buckets and emits per-bucket slices — the keyed stream never
+            # exists as a dataset (no map stage, no materialize, no
+            # re-read; measured ~2s of the two-table score phase).  For a
+            # self-join both sides derive in the same pass over one ds.
+            def _pre(t: pa.Table, _sides) -> pa.Table:
+                parts = [
+                    derive_block_keys(t, side=s, **key_kwargs) for s in _sides
+                ]
+                return (
+                    parts[0]
+                    if len(parts) == 1
+                    else pa.concat_tables(parts, promote_options="default")
+                )
+
+            import functools
+
+            if messy is canon:
+                sources = [(canon, functools.partial(_pre, _sides=("l", "r")))]
+            else:
+                sources = [
+                    (canon, functools.partial(_pre, _sides=("l",))),
+                    (messy, functools.partial(_pre, _sides=("r",))),
+                ]
+            scored = _dbas(
+                sources, ["rule_idx", "block_key"], bucket_fn, n_buckets=nb
+            )
         if not dedupe_output:
             return scored
         deduped = dedupe_pairs_first_rule_wins(scored, id_col=id_col)
