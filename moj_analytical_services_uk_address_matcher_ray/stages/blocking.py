@@ -33,6 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..state.metrics import gauge_max_metric, inc_metric
@@ -750,12 +751,19 @@ class _BroadcastScorer:
         self.tab_r: pa.Table = (
             self.tab_l if store_r_ref == store_l_ref else ray.get(store_r_ref)
         )
-        self.idx_l = pd.Index(self.tab_l[id_col].to_pandas())
-        self.idx_r = (
-            self.idx_l
+        # id -> store row resolution is Arrow ``pc.index_in`` against these
+        # (zero-copy from plasma); the per-worker ``pd.Index`` builds they
+        # replace cost 7+ cpu-s per job at the reference two-table shape
+        # (object-dtype conversion + hash build per worker PROCESS).  The
+        # pandas indexes remain as lazy properties for the unfused path.
+        self.ids_l: pa.Array = self.tab_l[id_col].combine_chunks()
+        self.ids_r: pa.Array = (
+            self.ids_l
             if self.tab_r is self.tab_l
-            else pd.Index(self.tab_r[id_col].to_pandas())
+            else self.tab_r[id_col].combine_chunks()
         )
+        self._idx_l = None
+        self._idx_r = None
         inc_metric("fused.init_store_sec", _time.perf_counter() - _t0)
         _t0 = _time.perf_counter()
         model = ray.get(model_ref)
@@ -883,6 +891,32 @@ class _BroadcastScorer:
     # caches are cheap to rebuild (scalar to_pylist / split_parts), so a
     # late shard is skipped rather than stalling the bucket task.
     _WARM_BLOCKING = frozenset({"packed", "codes", "tf", "isnull"})
+
+    @property
+    def idx_l(self) -> "pd.Index":
+        if self._idx_l is None:
+            self._idx_l = pd.Index(self.ids_l.to_pandas())
+        return self._idx_l
+
+    @property
+    def idx_r(self) -> "pd.Index":
+        if self.tab_r is self.tab_l:
+            return self.idx_l
+        if self._idx_r is None:
+            self._idx_r = pd.Index(self.ids_r.to_pandas())
+        return self._idx_r
+
+    def resolve_rows(self, ids: pa.Array, side: str) -> np.ndarray:
+        """id -> store row (int64, -1 for missing) via one C hash probe."""
+        import pyarrow.compute as pc
+
+        vs = self.ids_l if (side == "l" or self.tab_r is self.tab_l) else self.ids_r
+        pos = pc.index_in(ids, value_set=vs)
+        return (
+            pc.fill_null(pos, -1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
 
     def _adopt_warm(self, name: str) -> None:
         """First-use adoption of one warm-cache's shards from plasma.
@@ -1695,28 +1729,57 @@ def make_fused_emit_score(
         if g.num_rows == 0:
             return scorer.empty_scored()
         n = g.num_rows
-        rules = np.asarray(g["rule_idx"].to_pylist(), dtype=np.int64)
-        bkeys = g["block_key"].to_pylist()
-        sides = np.asarray(g["side"].to_pylist(), dtype=object)
-        ids = np.asarray(g[id_col].to_pylist(), dtype=object)
+        # Arrow-native decode of the bucket: int codes for block keys and
+        # LEXICOGRAPHIC integer ranks for member ids (dictionary-encode +
+        # one C sort over the uniques) — the object-array to_pylist /
+        # np.unique / lexsort-on-strings preamble this replaces was a
+        # visible slice of bucket CPU at gazetteer shapes (many small
+        # blocks, little scoring per member)
+        rules = (
+            g["rule_idx"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bk_codes = np.asarray(
+            g["block_key"].combine_chunks().dictionary_encode().indices,
+            dtype=np.int64,
+        )
+        ids_arr = g[id_col].combine_chunks()
+        l_side = np.asarray(pc.equal(g["side"].combine_chunks(), "l"))
         # bucket member -> broadcast-store row, resolved once per member
-        row_l = scorer.idx_l.get_indexer(pd.Index(ids))
+        row_l = scorer.resolve_rows(ids_arr, "l")
         row_r = (
             row_l
-            if scorer.idx_r is scorer.idx_l
-            else scorer.idx_r.get_indexer(pd.Index(ids))
+            if scorer.ids_r is scorer.ids_l
+            else scorer.resolve_rows(ids_arr, "r")
         )
-        # guard like the unfused __call__: a -1 from get_indexer would
-        # silently numpy-wrap to the LAST store row in score_taken's
-        # gathers, producing wrong pairs.  l-side members must resolve in
-        # the l store, r-side in the r store (self-dedup shares one store).
-        l_side = sides == "l"
+        # guard like the unfused __call__: a -1 would silently numpy-wrap
+        # to the LAST store row in score_taken's gathers, producing wrong
+        # pairs.  l-side members must resolve in the l store, r-side in
+        # the r store (self-dedup shares one store).
         bad = int((row_l[l_side] < 0).sum()) + int((row_r[~l_side] < 0).sum())
         if bad:
             raise KeyError(
                 f"pair ids missing from the broadcast feature store "
                 f"({bad} bucket members)"
             )
+        idd = ids_arr.dictionary_encode()
+        id_vals = idd.dictionary
+        id_codes = np.asarray(idd.indices, dtype=np.int64)
+        rank_of_code = np.empty(len(id_vals), dtype=np.int64)
+        rank_of_code[
+            np.asarray(pc.sort_indices(id_vals), dtype=np.int64)
+        ] = np.arange(len(id_vals))
+        id_rank = rank_of_code[id_codes]
+
+        def _ranks_for(col) -> np.ndarray:
+            """Lexicographic ranks for a result id column (every emitted id
+            is a bucket member, so the probe always resolves)."""
+            pos = pc.index_in(col.combine_chunks(), value_set=id_vals)
+            return rank_of_code[
+                pos.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ]
         # ---- vectorised per-block pair emission ----
         # One lexsort groups every (rule, key) block contiguously with its
         # l members first; cross products for ALL uncapped blocks are then
@@ -1730,15 +1793,13 @@ def make_fused_emit_score(
         # old unsalted-symmetric triangle shortcut emitted the id-ordered
         # upper triangle, which is precisely what cross-product + rank
         # filter yields — one code path now serves every block kind.
-        bkeys_arr = np.asarray(bkeys, dtype=object)
-        order = np.lexsort((sides, bkeys_arr, rules))
+        order = np.lexsort(((~l_side).view(np.int8), bk_codes, rules))
         rules_s = rules[order]
-        keys_s = bkeys_arr[order]
+        keys_s = bk_codes[order]
         lmask_s = l_side[order]
         row_l_s = row_l[order]
         row_r_s = row_r[order]
-        uniq = np.unique(ids)
-        rank_s = np.searchsorted(uniq, ids[order])
+        rank_s = id_rank[order]
         starts = np.flatnonzero(
             np.concatenate(
                 ([True], (rules_s[1:] != rules_s[:-1]) | (keys_s[1:] != keys_s[:-1]))
@@ -1762,7 +1823,7 @@ def make_fused_emit_score(
         # Exact: only pairs that provably cannot STRICTLY beat their
         # record's best are pruned (ties survive for the min-id_l break).
         best_by_rank = (
-            np.full(len(uniq), -np.inf) if partial_top1_per_r else None
+            np.full(len(id_vals), -np.inf) if partial_top1_per_r else None
         )
 
         def score_block_of_pairs(li: np.ndarray, ri: np.ndarray, rl: np.ndarray):
@@ -1790,14 +1851,15 @@ def make_fused_emit_score(
                 )
                 if res.num_rows:
                     if best_by_rank is not None:
-                        r_ids = np.asarray(
-                            res[f"{id_col}_r"].to_pylist(), dtype=object
-                        )
-                        mw_res = np.asarray(
-                            res["match_weight"].to_pylist(), dtype=np.float64
+                        mw_res = (
+                            res["match_weight"]
+                            .combine_chunks()
+                            .to_numpy(zero_copy_only=False)
                         )
                         np.maximum.at(
-                            best_by_rank, np.searchsorted(uniq, r_ids), mw_res
+                            best_by_rank,
+                            _ranks_for(res[f"{id_col}_r"]),
+                            mw_res,
                         )
                     out_tables.append(res)
 
@@ -1848,9 +1910,11 @@ def make_fused_emit_score(
             return scorer.empty_scored()
         res = pa.concat_tables(out_tables, promote_options="default")
         if partial_top1_per_r and res.num_rows > 1:
-            mw = np.asarray(res["match_weight"].to_pylist(), dtype=np.float64)
-            rid = np.asarray(res[f"{id_col}_r"].to_pylist(), dtype=object)
-            lid = np.asarray(res[f"{id_col}_l"].to_pylist(), dtype=object)
+            mw = (
+                res["match_weight"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            rid = _ranks_for(res[f"{id_col}_r"])
+            lid = _ranks_for(res[f"{id_col}_l"])
             order = np.lexsort((lid, -mw, rid))
             rid_sorted = rid[order]
             first = np.concatenate(
