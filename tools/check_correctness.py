@@ -56,8 +56,15 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict = {}
 
     import logging
 
@@ -92,6 +99,8 @@ def main():
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL  {name:24s} ray error: {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         wall = time.time() - t0
@@ -100,17 +109,26 @@ def main():
                 f"rows  {name:24s} rows={len(ray_df):7d} cols={sorted(ray_df.columns)}"
                 f" ({wall:.1f}s, rows-only)"
             )
+            report[name] = {"rows_match": True, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(ray_df),
+                            "oracle_rows": None, "err": None,
+                            "note": "rows-only (no oracle_sql entry)"}
             n_pass += 1
             continue
         try:
             ora_df = con.sql(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name:24s} oracle error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"oracle: {e}"}
             n_fail += 1
             continue
         ok_rows = len(ray_df) == len(ora_df)
         ok_cols = sorted(ray_df.columns) == sorted(ora_df.columns)
         ok_hash = ok_cols and value_hash(ray_df) == value_hash(ora_df)
+        report[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": ok_hash, "spark_rows": len(ray_df),
+                        "oracle_rows": len(ora_df), "err": None}
         if ok_rows and ok_cols and ok_hash:
             print(f"PASS  {name:24s} rows={len(ray_df):7d} ({wall:.1f}s)")
             n_pass += 1
@@ -132,6 +150,11 @@ def main():
                     print("   ora-only:", x[:160])
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(report, fh, indent=1)
     ray.shutdown()
     return 1 if n_fail else 0
 
