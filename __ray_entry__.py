@@ -1742,10 +1742,17 @@ def _q_token_freq_table(sf_dir: str):
 
 def _q_media_decode(sf_dir: str):
     """REAL stdlib media decode end-to-end (stages/multimodal.py): per doc,
-    a deterministic constant-fill PNG (even doc_id) or constant-sample WAV
-    (odd doc_id) is ENCODED, then strict-decoded back — pixel/sample sums
-    and decoded shapes are closed-form in doc_id, so the DuckDB oracle
-    checks the whole encode->zlib->unfilter->decode path by value."""
+    a deterministic constant-fill PNG (doc_id % 4 == 0), constant-gray
+    baseline JPEG (doc_id % 4 == 2, functions/jpeg.py — at quality 100
+    every quantiser step is 1 and a uniform plane has one exact-integer DC
+    coefficient, so the lossy codec round-trips a solid gray EXACTLY) or
+    constant-sample WAV (odd doc_id) is ENCODED, then strict-decoded back
+    — pixel/sample sums and decoded shapes are closed-form in doc_id (the
+    same formulas for PNG and JPEG), so the DuckDB oracle checks the whole
+    encode -> entropy-code -> decode path by value."""
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        encode_jpeg,
+    )
     from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
         decode_media,
         encode_png,
@@ -1761,8 +1768,11 @@ def _q_media_decode(sf_dir: str):
         for d in ids:
             if d % 2 == 0:
                 h, w, fill = 8 + d % 12, 8 + d % 16, d % 251
+                img = np.full((h, w, 3), fill, dtype=np.uint8)
                 payloads.append(
-                    encode_png(np.full((h, w, 3), fill, dtype=np.uint8))
+                    encode_png(img)
+                    if d % 4 == 0
+                    else encode_jpeg(img, quality=100)
                 )
                 mods.append("image")
             else:

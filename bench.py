@@ -450,7 +450,16 @@ def run_actor_curve() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--virtual-nodes" in sys.argv:
+        # cluster-relevant N->4N: independent 1-cpu Ray processes on
+        # disjoint shards (tools/virtual_node_scaling.py), with the
+        # same-occupancy hardware envelope reported alongside
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.virtual_node_scaling import main as vnode_main
+
+        os.environ.setdefault("UAM_BENCH_SCALE", "30")
+        print(json.dumps(vnode_main()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--actor-curve" in sys.argv:
         print(json.dumps(run_actor_curve()))

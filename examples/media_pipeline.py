@@ -3,10 +3,14 @@ decode -> content features -> near-duplicate image groups.
 
 Demonstrates the media column path working on genuine bytes (no codec
 libraries): constant/gradient PNGs and PCM WAVs are synthesized, strictly
-decoded (`stages/multimodal.py:decode_png` / `decode_wav`), and the
-content-derived 16-dim features feed the embedding near-dup operator —
-re-encoded duplicates land in the same group because the features are
-functions of the decoded PIXELS, not the container bytes.
+decoded (`stages/multimodal.py:decode_png` / `decode_wav`,
+`functions/jpeg.py:decode_jpeg`), and the content-derived 16-dim features
+feed the embedding near-dup operator — re-encoded duplicates land in the
+same group because the features are functions of the decoded PIXELS, not
+the container bytes.  Each image group carries THREE encodings of the same
+picture: filter-0 PNG, a decode->re-encode PNG, and a baseline JPEG (a
+lossy codec — near-dup still groups it with its PNG siblings because the
+pixel loss at quality 95 barely moves the grid feature).
 
 Run:  PYTHONPATH=. python examples/media_pipeline.py
 """
@@ -25,6 +29,9 @@ def build_media_table(n_groups: int = 40):
     import numpy as np
     import pyarrow as pa
 
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        encode_jpeg,
+    )
     from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
         decode_png,
         encode_png,
@@ -44,6 +51,11 @@ def build_media_table(n_groups: int = 40):
             payload.append(encode_png(v))
             meta.append("{}")
             truth.append(g)
+        ids.append(f"img_{g:03d}_jpeg")
+        modality.append("image")
+        payload.append(encode_jpeg(base, quality=95))
+        meta.append("{}")
+        truth.append(g)
     for a in range(10):
         ids.append(f"aud_{a:02d}")
         modality.append("audio")

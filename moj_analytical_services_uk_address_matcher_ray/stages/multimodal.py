@@ -413,18 +413,26 @@ class MediaDecoder:
         if self.decode == "strict":
             b = payload or b""
             is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
+            is_jpeg = b[:2] == b"\xff\xd8"
             is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-            if (is_png and modality != "image") or (is_wav and modality != "audio"):
+            if ((is_png or is_jpeg) and modality != "image") or (
+                is_wav and modality != "audio"
+            ):
                 # the natural place to catch an upstream labeling bug:
                 # decoding a mislabeled payload under the wrong modality
                 # would silently index e.g. RMS features into an image space
                 raise ValueError(
                     f"strict decode: payload container "
-                    f"({'png' if is_png else 'wav'}) does not match "
-                    f"modality={modality!r}"
+                    f"({'png' if is_png else 'jpeg' if is_jpeg else 'wav'}) "
+                    f"does not match modality={modality!r}"
                 )
-            if is_png:
-                pixels = decode_png(b)
+            if is_png or is_jpeg:
+                if is_png:
+                    pixels = decode_png(b)
+                else:
+                    from ..functions.jpeg import decode_jpeg
+
+                    pixels = decode_jpeg(b)
                 return {
                     "shape": list(pixels.shape),
                     "checksum": hashlib.blake2b(
@@ -445,8 +453,8 @@ class MediaDecoder:
                 }
             raise ValueError(
                 f"strict decode: unsupported container for {modality!r} "
-                "(stdlib codecs cover PNG and 16-bit PCM WAV; JPEG/video "
-                "need external codec libraries)"
+                "(stdlib codecs cover PNG, baseline JPEG and 16-bit PCM "
+                "WAV; progressive JPEG / video remain out of envelope)"
             )
         if self.decode in ("headers", "auto"):
             if self.pil is not None and modality == "image":

@@ -612,3 +612,109 @@ def test_image_feature_gray_alpha_drops_alpha():
     la[..., 1] = 255
     f = image_feature(la)
     assert abs(f[0] - 10 / 255.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_gray_roundtrips_exactly():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # at quality 100 every quantiser step is 1 and a uniform plane has one
+    # exact-integer DC coefficient -> the lossy codec is exact here (the
+    # media_decode oracle depends on this invariant)
+    for v in (0, 7, 60, 128, 200, 255):
+        img = np.full((13, 21, 3), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        assert out.shape == (13, 21, 3)
+        assert (out == img).all(), v
+
+
+def test_jpeg_roundtrip_tolerance_and_shapes():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    g = np.zeros((41, 57, 3), np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, 57, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(0, 255, 41, dtype=np.uint8)[:, None]
+    g[:, :, 2] = np.add.outer(np.arange(41), np.arange(57)).astype(np.uint8)
+    for kw in (
+        dict(subsample="444"),
+        dict(subsample="420"),
+        dict(subsample="420", restart_interval=2),
+        dict(subsample="444", restart_interval=3),
+    ):
+        out = decode_jpeg(encode_jpeg(g, quality=92, **kw))
+        assert out.shape == g.shape, kw
+        diff = np.abs(out.astype(int) - g.astype(int))
+        # smooth gradients survive q92 within a tight band; 4:2:0 averages
+        # chroma 2x2 so its band is wider
+        limit = 8 if kw.get("subsample") == "420" else 4
+        assert diff.max() <= limit, (kw, int(diff.max()))
+    # grayscale path
+    gray = (np.add.outer(np.arange(24), np.arange(40)) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert out.shape == (24, 40, 1)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_jpeg_progressive_rejected_by_name():
+    import pytest as _pytest
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    import numpy as np
+
+    payload = bytearray(
+        encode_jpeg(np.zeros((8, 8), np.uint8), quality=90)
+    )
+    # flip the SOF0 marker (FFC0) to SOF2 (progressive)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(payload))
+
+
+def test_media_decoder_strict_jpeg_pixels():
+    import hashlib
+
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((16, 16, 3), 77, dtype=np.uint8)
+    payload = encode_jpeg(img, quality=100)
+    dec = MediaDecoder(decode="strict")
+    t = pa.table(
+        {
+            "media_id": pa.array(["j1"], pa.string()),
+            "modality": pa.array(["image"], pa.string()),
+            "payload": pa.array([payload], pa.binary()),
+            "meta": pa.array(["{}"], pa.string()),
+        }
+    )
+    out = dec(t)
+    assert out["shape"].to_pylist() == [[16, 16, 3]]
+    assert out["pixel_sum"].to_pylist() == [16 * 16 * 3 * 77]
+    pixels = decode_jpeg(payload)
+    assert (
+        out["payload_checksum"].to_pylist()[0]
+        == hashlib.blake2b(pixels.tobytes(), digest_size=16).hexdigest()
+    )
