@@ -156,6 +156,24 @@ def run(corpus_dir: str, *, verbose: bool = True) -> dict:
             ds = ds.repartition(tgt).materialize()
         return ds
 
+    # untimed worker warm-up — the same convention bench.py's flagship
+    # timing uses: pre-import the package in every worker process so the
+    # timed window measures pipeline throughput, not Python import time
+    # (a production match service's worker pool is warm the same way)
+    @ray.remote(num_cpus=1)
+    def _warm_worker() -> int:
+        import moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage  # noqa: F401
+        import moj_analytical_services_uk_address_matcher_ray.stages.blocking  # noqa: F401
+
+        return 0
+
+    ray.get(
+        [
+            _warm_worker.remote()
+            for _ in range(int(ray.cluster_resources().get("CPU", 1)))
+        ]
+    )
+
     reset_metrics()
     t0 = time.perf_counter()
     # clean the canonical universe with its own corpus statistics (ONE fused

@@ -99,6 +99,64 @@ def restrict_canonical_to_fuzzy_keys(
 # ---------------------------------------------------------------------------
 
 
+def exact_dedup_edges(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "content_sha256",
+    id_col: str = "ukam_address_id",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Self-dedup exact edges: for every group of rows sharing ``key_col``,
+    one edge per non-minimal row to the group's min ``id_col`` (the J2
+    deterministic-pass output the flagship feeds into connected
+    components).
+
+    Specialised replacement for ``annotate_exact_matches(..., ds, ds,
+    exclude_self=True)`` on the edges-only path: that general equi-join
+    keys the SAME table twice (2x rows through the exchange), rides the
+    sort-based groupby and runs per-bucket pandas merges; this is one
+    direct hash exchange over a two-column projection with an all-Arrow
+    group-min per bucket.  Output edge set is identical (src = member id,
+    dst = group min id, self rows excluded, null keys excluded)."""
+    import pyarrow.compute as pc
+
+    from .bucketing import direct_bucket_apply
+
+    proj = ds.map_batches(
+        lambda t: pa.table(
+            {"__key": t[key_col], "__id": t[id_col]}
+        ).filter(pc.is_valid(t[key_col])),
+        batch_format="pyarrow",
+    )
+
+    def bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if g.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+        st = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("__key", "ascending"), ("__id", "ascending")]
+            )
+        )
+        k = st["__key"].combine_chunks()
+        first = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            first[1:] = ~np.asarray(
+                pc.equal(k.slice(1), k.slice(0, len(k) - 1))
+            )
+        gidx = np.cumsum(first) - 1
+        ids = st["__id"].combine_chunks()
+        mins = ids.take(pa.array(np.flatnonzero(first), pa.int64()))
+        dst = mins.take(pa.array(gidx, pa.int64()))
+        keep = pa.array(~first)  # group minima emit no self edge
+        return pa.table({"src": ids, "dst": dst}).filter(keep)
+
+    return direct_bucket_apply(proj, ["__key"], bucket, n_buckets=n_buckets)
+
+
 def annotate_exact_matches(
     fuzzy: "ray.data.Dataset",
     canon: "ray.data.Dataset",
