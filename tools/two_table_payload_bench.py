@@ -27,6 +27,8 @@ def main() -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["broadcast", "shuffle", "auto"], required=True)
     ap.add_argument("--clusters", type=int, default=2500)
+    ap.add_argument("--singletons", type=int, default=0)
+    ap.add_argument("--stems", type=int, default=None)
     ap.add_argument(
         "--reference-shape",
         action="store_true",
@@ -62,7 +64,11 @@ def main() -> dict:
         read_parquet,
     )
 
-    corpus_kwargs = dict(REFERENCE_SHAPE) if args.reference_shape else {}
+    corpus_kwargs = (
+        dict(REFERENCE_SHAPE)
+        if args.reference_shape
+        else {"extra_singletons": args.singletons, "n_stems": args.stems}
+    )
     n_clusters = corpus_kwargs.pop("n_clusters", args.clusters)
     corpus_dir = build_corpus(n_clusters, **corpus_kwargs)
 
