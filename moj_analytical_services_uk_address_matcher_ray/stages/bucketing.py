@@ -131,11 +131,21 @@ def bucketed_group_apply(
     *,
     n_buckets: int | None = None,
     batch_format: str = "pyarrow",
+    exchange: str = "sort",
 ) -> "ray.data.Dataset":
     """One hash shuffle on ``hash(keys) % n_buckets``; ``bucket_fn`` receives
     a whole bucket (all rows of every group that hashed there, ``__bucket``
     column already dropped) and must do its own per-group logic vectorised.
+
+    ``exchange="direct"`` routes through :func:`direct_bucket_apply` (raw-
+    task hash exchange, no Dataset sort) — ONLY valid when ``bucket_fn`` is
+    insensitive to row order within its bucket AND tolerates being invoked
+    on empty buckets; call sites opt in after auditing both.
     """
+    if exchange == "direct":
+        return direct_bucket_apply(
+            ds, keys, bucket_fn, n_buckets=n_buckets, batch_format=batch_format
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     nb = n_buckets or default_buckets()
     keyed = ds.map_batches(

@@ -113,7 +113,9 @@ def exact_dedup(
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return bucketed_group_apply(hashed, "__h", pick_bucket)
+    # audited for exchange="direct": per-group MIN is order-insensitive and
+    # the empty branch returns a schema-correct table
+    return bucketed_group_apply(hashed, "__h", pick_bucket, exchange="direct")
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +289,12 @@ def minhash_candidate_pairs(
         n_hashes=n_hashes,
         bands=bands,
     )
-    pairs = bucketed_group_apply(banded, "bucket", verify_bucket)
+    # audited for exchange="direct": the cap keeps the lexicographically
+    # smallest ids, pair emission sorts ids, duplicate collisions carry
+    # identical n_eq — all order-insensitive; empties return fixed schemas
+    pairs = bucketed_group_apply(
+        banded, "bucket", verify_bucket, exchange="direct"
+    )
 
     # cross-band dedup (a pair may collide in several bands): keep first
     def first_bucket(g: pa.Table) -> pa.Table:
@@ -296,7 +303,9 @@ def minhash_candidate_pairs(
         df = g.to_pandas().drop_duplicates(["id_a", "id_b"])
         return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
-    return bucketed_group_apply(pairs, ["id_a", "id_b"], first_bucket)
+    return bucketed_group_apply(
+        pairs, ["id_a", "id_b"], first_bucket, exchange="direct"
+    )
 
 
 def minhash_lsh_dedup(
@@ -454,7 +463,10 @@ def simhash_candidate_pairs(
         )
 
     blocks = ds.map_batches(to_blocks, batch_format="pyarrow")
-    pairs = bucketed_group_apply(blocks, "bucket", verify_bucket)
+    # audited for exchange="direct": see minhash_candidate_pairs
+    pairs = bucketed_group_apply(
+        blocks, "bucket", verify_bucket, exchange="direct"
+    )
 
     def first_bucket(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -462,7 +474,9 @@ def simhash_candidate_pairs(
         df = g.to_pandas().drop_duplicates(["id_a", "id_b"])
         return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
-    return bucketed_group_apply(pairs, ["id_a", "id_b"], first_bucket)
+    return bucketed_group_apply(
+        pairs, ["id_a", "id_b"], first_bucket, exchange="direct"
+    )
 
 
 def simhash_dedup(
@@ -628,8 +642,13 @@ def ngram_jaccard_pairs(
         return pa.Table.from_pandas(df, preserve_index=False).cast(g.schema)
 
     posting_rows = sigs.map_batches(postings, batch_format="pyarrow")
-    cand = bucketed_group_apply(posting_rows, "bucket", emit_pairs)
-    cand = bucketed_group_apply(cand, ["id_a", "id_b"], first_bucket)
+    # audited for exchange="direct": see minhash_candidate_pairs
+    cand = bucketed_group_apply(
+        posting_rows, "bucket", emit_pairs, exchange="direct"
+    )
+    cand = bucketed_group_apply(
+        cand, ["id_a", "id_b"], first_bucket, exchange="direct"
+    )
 
     # attach both hash arrays (narrow join payloads) and verify exactly
     def side(s: str):
