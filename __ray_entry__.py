@@ -1266,6 +1266,49 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_kmv(ds, group_col="source", value_col="text", k=64)
 
 
+def _q_curriculum(sf_dir: str):
+    """Deterministic weighted source interleave
+    (stages/packing.py:curriculum_interleave): integer stride scheduling
+    over the md5 per-source shuffle; weights cycle 1/2/3 by source number
+    so every stride value is exercised.  The oracle reproduces the exact
+    integer priorities and the (priority, source, rank) order in SQL."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.packing import (
+        curriculum_interleave,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    weights = {f"src{i}": (i % 3) + 1 for i in range(200)}
+    return curriculum_interleave(
+        ds,
+        source_col="source",
+        id_col="doc_id",
+        weights=weights,
+        shard_docs=100,
+    )
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable bottom-k-by-hash quantile sketch
+    (stages/aggregates.py:approx_quantiles_sample): per-lang quartiles of
+    n_chars from a k=64 deterministic sample — at sf0.01 every lang group
+    exceeds k, so the SAMPLING path (not the exact small-group regime) is
+    what the oracle verifies; the md5 convention makes the sketch
+    bit-reproducible in DuckDB at any scale."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_quantiles_sample,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+    return approx_quantiles_sample(
+        ds,
+        group_col="lang",
+        id_col="doc_id",
+        value_col="n_chars",
+        qs=(0.25, 0.5, 0.75),
+        k=64,
+    )
+
+
 def _q_rolling_window(sf_dir: str):
     import pandas as pd
 
@@ -1882,6 +1925,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window": _q_rolling_window,
         "running_total": _q_running_total,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
+        "curriculum": _q_curriculum,
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
@@ -2321,6 +2366,65 @@ def oracle_sql() -> dict[str, str]:
         # KMV distinct-count sketch (stages/aggregates.py:approx_distinct_kmv):
         # k smallest distinct 32-bit md5 prefixes per group; estimate is
         # integer-exact so both engines agree bit-for-bit
+        "curriculum": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id || ':'), doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            keyed AS (
+                SELECT doc_id, source,
+                       rn - 1 AS source_rank,
+                       rn * (6 // ((CAST(SUBSTR(source, 4) AS INT) % 3) + 1))
+                           AS priority
+                FROM ranked
+            ),
+            pos AS (
+                SELECT doc_id, source, source_rank,
+                       CAST(priority AS BIGINT) AS priority,
+                       ROW_NUMBER() OVER (
+                           ORDER BY priority, source, source_rank
+                       ) - 1 AS interleave_pos
+                FROM keyed
+            )
+            SELECT doc_id, source, source_rank, priority, interleave_pos,
+                   interleave_pos // 100 AS shard
+            FROM pos
+        """,
+        "approx_quantiles": """
+            WITH h AS (
+                SELECT lang, n_chars,
+                       ('0x' || substr(md5(doc_id || ':'), 1, 8))::UBIGINT AS hv,
+                       CAST(doc_id AS VARCHAR) AS sid
+                FROM documents
+                WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+            ),
+            ranked AS (
+                SELECT lang, n_chars, hv, sid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY hv, sid
+                       ) AS rn
+                FROM h
+            ),
+            sample AS (SELECT * FROM ranked WHERE rn <= 64),
+            ordered AS (
+                SELECT lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY n_chars, hv, sid
+                       ) - 1 AS vr,
+                       COUNT(*) OVER (PARTITION BY lang) AS m
+                FROM sample
+            )
+            SELECT o.lang,
+                   qs.q,
+                   CAST(o.n_chars AS DOUBLE) AS quantile_value
+            FROM ordered o
+            JOIN (VALUES (0.25), (0.5), (0.75)) qs(q)
+              ON o.vr = CAST(FLOOR(qs.q * (o.m - 1)) AS BIGINT)
+        """,
         "approx_distinct": """
             WITH hashed AS (
                 SELECT DISTINCT source,

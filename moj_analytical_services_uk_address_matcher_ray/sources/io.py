@@ -118,8 +118,24 @@ def read_jsonl(
 
     JSON has no columnar pushdown, so ``columns`` projects immediately
     after parse — blocks shed unused fields before anything downstream
-    touches them (the closest JSONL gets to a pruned read)."""
-    ds = ray.data.read_json(path, **kwargs)
+    touches them (the closest JSONL gets to a pruned read).
+
+    Underscore-prefixed basenames (``_MANIFEST.json``, ``_SUCCESS`` — the
+    standard sidecar convention, which this repo's own manifest sinks
+    follow) are excluded when ``path`` is a local directory; Ray's JSON
+    reader would otherwise parse the manifest as data."""
+    import os as _os
+
+    src: "str | list[str]" = path
+    if isinstance(path, str) and _os.path.isdir(path):
+        files = sorted(
+            _os.path.join(path, f)
+            for f in _os.listdir(path)
+            if not f.startswith("_") and f.endswith((".json", ".jsonl"))
+        )
+        if files:
+            src = files
+    ds = ray.data.read_json(src, **kwargs)
     if columns:
         ds = ds.select_columns(columns)
     if rename:
@@ -316,6 +332,57 @@ def write_parquet_with_manifest(
     rows = 0
     for f in files:
         n = pq.read_metadata(f"{root}/{f}", filesystem=fs).num_rows
+        rows += n
+        partitions.append({"file": f, "rows": n, "bytes": infos[f].size})
+    manifest = {
+        "rows": rows,
+        "files": files,
+        "partitions": partitions,
+        "metrics": {k: v for k, v in sorted(read_metrics().items())},
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with fs.open_output_stream(manifest_path) as f:
+        f.write(json.dumps(manifest, indent=1).encode())
+    return manifest
+
+
+def write_jsonl_with_manifest(ds: "ray.data.Dataset", out_dir: str) -> dict:
+    """S4 parity for line-delimited JSON: partitioned ``.jsonl`` sink +
+    the same resumable lineage manifest the parquet sink writes.
+
+    JSONL has no footer metadata, so per-file row counts come from a
+    newline count streamed per file (O(bytes) once, at write time only —
+    a resumed run returns the existing manifest without touching data).
+    Exists for pipelines whose downstream tooling consumes JSONL (common
+    for training-data mixtures); parquet remains the default sink."""
+    from pyarrow import fs as pafs
+
+    from ..state.metrics import read_metrics
+
+    fs, root = fs_for(out_dir)
+    root = root.rstrip("/")
+    manifest_path = f"{root}/_MANIFEST.json"
+    if _fs_exists(fs, manifest_path):
+        with fs.open_input_stream(manifest_path) as f:
+            return json.loads(f.read().decode())
+    fs.create_dir(root, recursive=True)
+    ds.write_json(out_dir)
+    infos = {
+        i.base_name: i
+        for i in fs.get_file_info(pafs.FileSelector(root))
+        if i.base_name.endswith((".json", ".jsonl"))
+    }
+    files = sorted(infos)
+    partitions = []
+    rows = 0
+    for f in files:
+        n = 0
+        with fs.open_input_stream(f"{root}/{f}") as stream:
+            while True:
+                chunk = stream.read(1 << 20)
+                if not chunk:
+                    break
+                n += chunk.count(b"\n")
         rows += n
         partitions.append({"file": f, "rows": n, "bytes": infos[f].size})
     manifest = {

@@ -432,3 +432,141 @@ def filter_by_quantile(
         return t.filter(mask)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def approx_quantiles_sample(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    k: int = 256,
+    salt: str = "",
+    out_col: str = "quantile_value",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Mergeable approximate per-group quantiles from a DETERMINISTIC
+    bottom-k-by-hash sample — the sketch alternative to
+    ``global_quantile_cont``'s histogram refinement when one pass and a
+    tiny mergeable state matter more than tight error.
+
+    Each row's sampling key is the engine-wide ``md5(id || ':' || salt)``
+    convention (stages/sampling.py), so the k kept rows per group are a
+    uniform random sample WITHOUT any engine-side RNG, and a SQL oracle
+    reproduces the sketch bit-for-bit at ANY scale — unlike coin-flip
+    compactor sketches (KLL, Karnin-Lang-Liberty 2016) whose state depends
+    on private randomness.  Rank error is O(1/sqrt(k)) (vs KLL's
+    O(1/k) at equal state — the price of engine-independent determinism;
+    swap in KLL with a value-derived coin if tighter error is ever worth
+    losing SQL parity).
+
+    Combiner shape: per-batch partial keeps each group's k smallest
+    (hash, id) rows; ONE bucketed shuffle merges partials and re-keeps;
+    the estimate for quantile q is the sample's value at rank
+    ``floor(q * (m - 1))`` under ``(value, hash, id)`` ordering (nearest-
+    rank on the sample; dyadic q values keep the floor exact in float).
+    NULL values are ignored.  Output: one row per (group, q):
+    ``(group_col, q, out_col)`` with the value cast to float64."""
+    import hashlib
+
+    from .bucketing import bucketed_group_apply
+
+    if k < 2:
+        raise ValueError("approx_quantiles_sample: k must be >= 2")
+    qs = tuple(float(q) for q in qs)
+
+    def _keep_bottom_k(keys, hashes, ids, vals):
+        order = np.lexsort((ids, hashes, keys))
+        keys, hashes, ids, vals = (
+            keys[order],
+            hashes[order],
+            ids[order],
+            vals[order],
+        )
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        pos = np.arange(len(keys))
+        first_pos = pos[new_key][np.cumsum(new_key) - 1]
+        rank = pos - first_pos
+        take = rank < k
+        return keys[take], hashes[take], ids[take], vals[take]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        sub = t.select([group_col, id_col, value_col]).filter(
+            pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[id_col]))
+        )
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], gtype),
+                    "__h": pa.array([], pa.int64()),
+                    "__sid": pa.array([], pa.string()),
+                    "__v": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(
+            [str(v) for v in sub[id_col].to_pylist()], dtype=object
+        )
+        hashes = np.fromiter(
+            (
+                int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keys = np.asarray(sub[group_col].to_pylist(), dtype=object)
+        vals = np.asarray(sub[value_col].to_pylist(), dtype=np.float64)
+        keys, hashes, ids, vals = _keep_bottom_k(keys, hashes, ids, vals)
+        return pa.table(
+            {
+                group_col: pa.array(keys.tolist(), gtype),
+                "__h": pa.array(hashes, pa.int64()),
+                "__sid": pa.array(ids.tolist(), pa.string()),
+                "__v": pa.array(vals, pa.float64()),
+            }
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        gtype = g.schema.field(group_col).type
+        empty = pa.table(
+            {
+                group_col: pa.array([], gtype),
+                "q": pa.array([], pa.float64()),
+                out_col: pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        keys = np.asarray(g[group_col].to_pylist(), dtype=object)
+        hashes = np.asarray(g["__h"].to_pylist(), dtype=np.int64)
+        ids = np.asarray(g["__sid"].to_pylist(), dtype=object)
+        vals = np.asarray(g["__v"].to_pylist(), dtype=np.float64)
+        keys, hashes, ids, vals = _keep_bottom_k(keys, hashes, ids, vals)
+        # estimate: per group, order the sample by (value, hash, id)
+        order = np.lexsort((ids, hashes, vals, keys))
+        keys, vals = keys[order], vals[order]
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.r_[starts, len(keys)])
+        out_k: list = []
+        out_q: list[float] = []
+        out_v: list[float] = []
+        for q in qs:
+            idx = starts + np.floor(q * (sizes - 1)).astype(np.int64)
+            out_k.extend(keys[starts].tolist())
+            out_q.extend([q] * len(starts))
+            out_v.extend(vals[idx].tolist())
+        return pa.table(
+            {
+                group_col: pa.array(out_k, gtype),
+                "q": pa.array(out_q, pa.float64()),
+                out_col: pa.array(out_v, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return bucketed_group_apply(
+        partials, group_col, _merge, n_buckets=n_buckets, exchange="direct"
+    )

@@ -142,3 +142,118 @@ def pack_sequences(
     # ONE 256-way exchange of the narrow table; ranges are hash-balanced by
     # construction (md5 first byte), so no salt/skew handling is needed
     return narrow.groupby("__r").map_groups(per_range, batch_format="pandas")
+
+
+def curriculum_interleave(
+    ds: "ray.data.Dataset",
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weights: dict[str, int],
+    salt: str = "",
+    shard_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Deterministic weighted interleave of sources into ONE training
+    curriculum order — the "mixture stream" operator that sits between
+    per-source preparation and sequence packing: any prefix of the output
+    order contains the sources in ~their weight ratios (stride
+    scheduling / weighted round-robin).
+
+    Entirely integer-exact and engine-independent:
+
+    * within each source, docs are shuffled by the engine-wide
+      ``(md5(id || ':' || salt), id)`` lottery -> ``source_rank``;
+    * each doc's ``priority = (source_rank + 1) * (W / w_source)`` where
+      ``W = lcm(weights)`` — the classic stride key, kept INTEGRAL so no
+      float comparison can disagree across engines;
+    * ``interleave_pos`` = rank under ``(priority, source, source_rank)``,
+      computed in CLOSED FORM from the per-source totals (for source s'
+      with stride d' = W/w_s', the count of its docs strictly ahead of
+      priority P is ``min(n_s', max(0, ceil(P / d') - 1))``, plus the tie
+      term) — so the global rank costs NO second shuffle.
+
+    Scale shape mirrors :func:`pack_sequences`: one narrow pass, <=256 x
+    sources tiny combiner rows to the driver, ONE 256-way exchange.
+    ``shard_docs`` additionally emits ``shard = interleave_pos //
+    shard_docs`` for a partitioned writer.  Rows whose source is missing
+    from ``weights`` raise (silent drops would skew the mixture)."""
+    import math
+
+    if not weights or any(
+        (not isinstance(w, int)) or w <= 0 for w in weights.values()
+    ):
+        raise ValueError("weights must be a non-empty {source: positive int}")
+    sources = sorted(weights)
+    W = math.lcm(*weights.values())
+    strides = {s: W // weights[s] for s in sources}
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        srcs = t[source_col].to_pylist()
+        bad = {s for s in srcs if s not in weights}
+        if bad:
+            raise ValueError(
+                f"curriculum_interleave: sources without weights: {sorted(bad)!r}"
+            )
+        keys = [hashlib.md5(f"{v}:{salt}".encode()).hexdigest() for v in ids]
+        rng = np.fromiter(
+            (int(k[:2], 16) for k in keys), np.int32, count=len(keys)
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                source_col: t[source_col],
+                "__k": pa.array(keys, pa.string()),
+                "__r": pa.array(rng, pa.int32()),
+            }
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+
+    # per-(range, source) counts -> driver reduce -> per-source range offsets
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["__r", source_col]).aggregate([("__k", "count")])
+
+    cnt = np.zeros((_RANGES, len(sources)), np.int64)
+    s_index = {s: i for i, s in enumerate(sources)}
+    for row in narrow.map_batches(partial, batch_format="pyarrow").take_all():
+        cnt[row["__r"], s_index[row[source_col]]] += row["__k_count"]
+    # offset of each (range, source) within that source's md5 order
+    src_off = np.zeros_like(cnt)
+    src_off[1:] = np.cumsum(cnt, axis=0)[:-1]
+    n_total = cnt.sum(axis=0)  # docs per source
+    stride_vec = np.array([strides[s] for s in sources], np.int64)
+
+    def per_range(df):
+        import pandas as pd
+
+        r = int(df["__r"].iloc[0])
+        df = df.sort_values(["__k", id_col], kind="mergesort")
+        si = df[source_col].map(s_index).to_numpy(np.int64)
+        # rank within source = source's offset into this range + occurrence
+        occ = pd.Series(si).groupby(si).cumcount().to_numpy(np.int64)
+        rank = src_off[r, si] + occ
+        prio = (rank + 1) * stride_vec[si]
+        # closed-form global rank over all sources
+        pos = np.zeros(len(df), np.int64)
+        for j, s in enumerate(sources):
+            d = stride_vec[j]
+            ahead = np.minimum(
+                n_total[j], np.maximum(0, -(-prio // d) - 1)
+            )  # ceil(P/d) - 1, clamped
+            tie = (prio % d == 0) & (prio // d <= n_total[j]) & (j < si)
+            same = si == j
+            # for the doc's own source, docs ahead are exactly `rank`
+            pos += np.where(same, rank, ahead + tie)
+        out = {
+            id_col: df[id_col].to_numpy(),
+            source_col: df[source_col].to_numpy(),
+            "source_rank": rank,
+            "priority": prio,
+            "interleave_pos": pos,
+        }
+        if shard_docs:
+            out["shard"] = pos // shard_docs
+        return pd.DataFrame(out)
+
+    return narrow.groupby("__r").map_groups(per_range, batch_format="pandas")

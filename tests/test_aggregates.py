@@ -147,3 +147,69 @@ def test_approx_distinct_kmv_ignores_nulls(ray_session):
         rd.from_pandas(df), group_col="g", value_col="v", k=8
     ).to_pandas()
     assert out["n_distinct_est"].tolist() == [2]
+
+
+def test_approx_quantiles_sample_rank_error_bound(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_quantiles_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    vals = rng.exponential(100, n)
+    rows = [
+        {"g": "a" if i % 2 == 0 else "b", "id": i, "v": float(vals[i])}
+        for i in range(n)
+    ]
+    out = (
+        approx_quantiles_sample(
+            rd.from_items(rows),
+            group_col="g",
+            id_col="id",
+            value_col="v",
+            qs=(0.25, 0.5, 0.75),
+            k=256,
+        )
+        .to_pandas()
+        .set_index(["g", "q"])["quantile_value"]
+    )
+    assert len(out) == 6
+    for g in ("a", "b"):
+        gv = np.sort(vals[::2] if g == "a" else vals[1::2])
+        for q in (0.25, 0.5, 0.75):
+            est = out[(g, q)]
+            # rank of the estimate in the TRUE distribution must be within
+            # ~4/sqrt(k) of q (bottom-k sampling rank error; generous CI)
+            true_rank = np.searchsorted(gv, est) / len(gv)
+            assert abs(true_rank - q) < 4 / (256 ** 0.5), (g, q, true_rank)
+
+
+def test_approx_quantiles_sample_exact_when_group_fits(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        approx_quantiles_sample,
+    )
+
+    # m <= k: the sample IS the group, so the estimate is the exact
+    # nearest-rank quantile regardless of hash order
+    vals = list(range(100))
+    rows = [{"g": "x", "id": i, "v": float(v)} for i, v in enumerate(vals)]
+    out = (
+        approx_quantiles_sample(
+            rd.from_items(rows),
+            group_col="g",
+            id_col="id",
+            value_col="v",
+            qs=(0.0, 0.5, 1.0),
+            k=256,
+        )
+        .to_pandas()
+        .set_index("q")["quantile_value"]
+    )
+    assert out[0.0] == 0.0 and out[1.0] == 99.0
+    assert out[0.5] == float(int(np.floor(0.5 * 99)))

@@ -296,3 +296,58 @@ def test_dsir_weights_formula_and_ranking(ray_session):
     assert out[5] == 0.0
     # the en-vocabulary fr doc outranks the genuinely-fr docs
     assert out[3] > out[2] and out[3] > out[4]
+
+
+def test_curriculum_interleave_mixture_and_determinism(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.packing import (
+        curriculum_interleave,
+    )
+
+    rows = []
+    for s, n in (("a", 300), ("b", 300), ("c", 300)):
+        rows += [{"doc_id": f"{s}{i}", "source": s} for i in range(n)]
+    out = (
+        curriculum_interleave(
+            rd.from_items(rows),
+            id_col="doc_id",
+            weights={"a": 3, "b": 2, "c": 1},
+            shard_docs=90,
+        )
+        .to_pandas()
+        .sort_values("interleave_pos")
+    )
+    assert len(out) == 900
+    # positions are a permutation of 0..899
+    assert sorted(out["interleave_pos"]) == list(range(900))
+    # stride scheduling: an early prefix respects the 3:2:1 mixture while
+    # every source still has docs left
+    prefix = out.head(180)["source"].value_counts()
+    assert prefix["a"] == 90 and prefix["b"] == 60 and prefix["c"] == 30
+    # shards follow positions
+    assert (out["shard"] == out["interleave_pos"] // 90).all()
+    # per-source ranks are each a permutation of 0..n-1
+    for s, n in (("a", 300), ("b", 300), ("c", 300)):
+        assert sorted(out[out["source"] == s]["source_rank"]) == list(range(n))
+    # determinism: a second run is byte-identical
+    again = (
+        curriculum_interleave(
+            rd.from_items(rows),
+            id_col="doc_id",
+            weights={"a": 3, "b": 2, "c": 1},
+            shard_docs=90,
+        )
+        .to_pandas()
+        .sort_values("interleave_pos")
+    )
+    assert (again.values == out.values).all()
+    # unknown source -> loud error, not a silently skewed mixture
+    with pytest.raises(Exception, match="sources without weights"):
+        curriculum_interleave(
+            rd.from_items([{"doc_id": "z", "source": "zz"}]),
+            id_col="doc_id",
+            weights={"a": 1},
+        ).materialize()

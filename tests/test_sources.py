@@ -75,3 +75,24 @@ def test_source_config_formats_identical(ray_session, tmp_path):
         ]
     )
     assert u.count() == 6
+
+
+def test_jsonl_sink_manifest_and_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.sources.io import (
+        read_jsonl,
+        write_jsonl_with_manifest,
+    )
+
+    out = str(tmp_path / "jsonl_out")
+    ds = rd.from_items([{"a": i, "b": f"x{i}"} for i in range(250)])
+    m1 = write_jsonl_with_manifest(ds, out)
+    assert m1["rows"] == 250
+    assert sum(p["rows"] for p in m1["partitions"]) == 250
+    # resume: a second write returns the existing manifest, writes nothing
+    m2 = write_jsonl_with_manifest(ds.limit(1), out)
+    assert m2 == m1
+    # the sidecar manifest must NOT be parsed as data on read-back
+    back = read_jsonl(out).to_pandas()
+    assert len(back) == 250 and set(back.columns) == {"a", "b"}
