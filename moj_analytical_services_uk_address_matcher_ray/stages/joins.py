@@ -376,7 +376,13 @@ def hash_join(
 
     from .bucketing import bucketed_group_apply
 
-    joined = bucketed_group_apply(lt.union(rt), _JK, merge_bucket)
+    # audited for exchange="direct": each output row is a (left, right)
+    # match pair fully determined by the data (within-bucket emission
+    # order is not part of the join contract), and every empty/degenerate
+    # branch returns the full output schema
+    joined = bucketed_group_apply(
+        lt.union(rt), _JK, merge_bucket, exchange="direct"
+    )
     if null_keys is not None:
         joined = joined.union(null_keys)
     return joined
