@@ -1266,6 +1266,60 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct_kmv(ds, group_col="source", value_col="text", k=64)
 
 
+def _q_gif_frames(sf_dir: str):
+    """Animated-GIF frame sampling end-to-end (functions/gif.py +
+    stages/multimodal.py:sample_media_frames): per doc, a deterministic
+    animation of 2 + doc_id%3 solid-gray frames is ENCODED (real LZW),
+    then the frame sampler decodes it back to one row per frame.  GIF is
+    lossless indexed colour, so frame sums and dims are closed-form in
+    (doc_id, frame_idx) and the oracle verifies the whole
+    encode -> LZW -> composite -> per-frame-feature path by value."""
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        encode_gif,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        sample_media_frames,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for d in ids:
+            h, w, nf = 8 + d % 5, 8 + d % 7, 2 + d % 3
+            frames = [
+                np.full((h, w, 3), (d * 7 + f * 31) % 256, dtype=np.uint8)
+                for f in range(nf)
+            ]
+            payloads.append(
+                encode_gif(frames, delays=[f + 1 for f in range(nf)])
+            )
+        return pa.table(
+            {
+                "media_id": pc.cast(t["doc_id"], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    sampled = sample_media_frames(
+        ds.map_batches(synth, batch_format="pyarrow"), concurrency=(1, 4)
+    )
+    return sampled.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["media_id"], pa.int64()),
+                "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+                "delay_cs": pc.cast(t["delay_cs"], pa.int64()),
+                "pixel_sum": t["pixel_sum"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_curriculum(sf_dir: str):
     """Deterministic weighted source interleave
     (stages/packing.py:curriculum_interleave): integer stride scheduling
@@ -1927,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "curriculum": _q_curriculum,
+        "gif_frames": _q_gif_frames,
         "range_join": _q_range_join,
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
@@ -2366,6 +2421,16 @@ def oracle_sql() -> dict[str, str]:
         # KMV distinct-count sketch (stages/aggregates.py:approx_distinct_kmv):
         # k smallest distinct 32-bit md5 prefixes per group; estimate is
         # integer-exact so both engines agree bit-for-bit
+        "gif_frames": """
+            SELECT d.doc_id,
+                   f.f AS frame_idx,
+                   f.f + 1 AS delay_cs,
+                   (8 + d.doc_id % 5) * (8 + d.doc_id % 7) * 3
+                       * ((d.doc_id * 7 + f.f * 31) % 256) AS pixel_sum
+            FROM documents d
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS f) f
+            WHERE f.f <= 1 + d.doc_id % 3
+        """,
         "curriculum": """
             WITH ranked AS (
                 SELECT doc_id, source,

@@ -414,18 +414,38 @@ class MediaDecoder:
             b = payload or b""
             is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
             is_jpeg = b[:2] == b"\xff\xd8"
+            is_gif = b[:6] in (b"GIF87a", b"GIF89a")
             is_wav = b[:4] == b"RIFF" and b[8:12] == b"WAVE"
-            if ((is_png or is_jpeg) and modality != "image") or (
-                is_wav and modality != "audio"
+            if (
+                ((is_png or is_jpeg) and modality != "image")
+                or (is_gif and modality not in ("image", "video"))
+                or (is_wav and modality != "audio")
             ):
                 # the natural place to catch an upstream labeling bug:
                 # decoding a mislabeled payload under the wrong modality
                 # would silently index e.g. RMS features into an image space
+                kind = (
+                    "png"
+                    if is_png
+                    else "jpeg" if is_jpeg else "gif" if is_gif else "wav"
+                )
                 raise ValueError(
-                    f"strict decode: payload container "
-                    f"({'png' if is_png else 'jpeg' if is_jpeg else 'wav'}) "
+                    f"strict decode: payload container ({kind}) "
                     f"does not match modality={modality!r}"
                 )
+            if is_gif:
+                from ..functions.gif import decode_gif
+
+                frames, _delays = decode_gif(b)
+                return {
+                    "shape": list(frames.shape),
+                    "checksum": hashlib.blake2b(
+                        frames.tobytes(), digest_size=16
+                    ).hexdigest(),
+                    # representative feature: first frame's content grid
+                    "feature": image_feature(frames[0], self.feature_dim),
+                    "pixel_sum": int(frames.sum(dtype=np.int64)),
+                }
             if is_png or is_jpeg:
                 if is_png:
                     pixels = decode_png(b)
@@ -620,4 +640,75 @@ def make_fake_media_table(n: int, *, seed: int = 5) -> pa.Table:
             "payload": pa.array(payload, pa.binary()),
             "meta": pa.array(meta, pa.string()),
         }
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: animated-GIF payloads -> one row per SAMPLED
+    frame (``every_n`` stride) with real decoded-pixel features — the
+    frame-sampling shape a video pipeline needs, runnable end-to-end on
+    stdlib-decodable bytes (``functions/gif.py``).  Real video codecs stay
+    out of envelope; the Ray-side plumbing (binary column in, per-frame
+    feature rows out, actor-pool batch stage) is identical."""
+
+    def __init__(self, *, every_n: int = 1, feature_dim: int = 16):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+        self.feature_dim = feature_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.gif import decode_gif
+
+        ids: list[str] = []
+        fidx: list[int] = []
+        delays_out: list[int] = []
+        shapes: list[list[int]] = []
+        checks: list[str] = []
+        feats: list[list[float]] = []
+        sums: list[int] = []
+        for i in range(t.num_rows):
+            frames, delays = decode_gif(t["payload"][i].as_py())
+            mid = t["media_id"][i].as_py()
+            for f in range(0, len(frames), self.every_n):
+                px = frames[f]
+                ids.append(mid)
+                fidx.append(f)
+                delays_out.append(delays[f])
+                shapes.append(list(px.shape))
+                checks.append(
+                    hashlib.blake2b(px.tobytes(), digest_size=16).hexdigest()
+                )
+                feats.append(
+                    [float(x) for x in image_feature(px, self.feature_dim)]
+                )
+                sums.append(int(px.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "delay_cs": pa.array(delays_out, pa.int32()),
+                "shape": pa.array(shapes, pa.list_(pa.int32())),
+                "frame_checksum": pa.array(checks, pa.string()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "pixel_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def sample_media_frames(
+    ds: "ray.data.Dataset",
+    *,
+    every_n: int = 1,
+    concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Per-frame flat-map over animated binary payloads (small batches —
+    each input row can fan out to many frame rows)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )

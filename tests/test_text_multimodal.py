@@ -718,3 +718,122 @@ def test_media_decoder_strict_jpeg_pixels():
         out["payload_checksum"].to_pylist()[0]
         == hashlib.blake2b(pixels.tobytes(), digest_size=16).hexdigest()
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF codec + frame sampling (functions/gif.py, stages/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animated_roundtrip_exact():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    frames = []
+    for f in range(4):
+        img = np.zeros((23, 31, 3), np.uint8)
+        img[:, :, 0] = (f * 40) % 256
+        img[5:15, 7:20, 1] = 200
+        img[f : f + 5, :, 2] = 90
+        frames.append(img)
+    out, delays = decode_gif(encode_gif(frames, delays=[5, 10, 15, 20]))
+    assert out.shape == (4, 23, 31, 3) and delays == [5, 10, 15, 20]
+    assert all((out[f] == frames[f]).all() for f in range(4))
+
+
+def test_gif_lzw_table_overflow_and_wide_palette():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(2)
+    noisy = (rng.integers(0, 4, (128, 128, 3)) * 80).astype(np.uint8)
+    out, _ = decode_gif(encode_gif(noisy))
+    assert (out[0] == noisy).all()
+    grad = np.zeros((16, 16, 3), np.uint8)
+    grad[:, :, 0] = np.arange(256).reshape(16, 16)
+    out, _ = decode_gif(encode_gif(grad))
+    assert (out[0] == grad).all()
+
+
+def test_gif_interlace_and_transparency_disposal():
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    # hand-build an INTERLACED variant of an encoder-produced GIF: encode a
+    # row-permuted image, then set the interlace flag so the decoder's
+    # 4-pass deinterlace must restore the original
+    h, w = 16, 9
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 1] = (np.arange(h) * 16)[:, None] % 256
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4),
+         np.arange(1, h, 2)]
+    )
+    payload = bytearray(encode_gif(img[order]))
+    # image descriptor = 0x2C ... flags byte at +9; single-frame encoder
+    # layout: header(13) + GCT + GCE(8) + descriptor
+    i = payload.index(0x2C, 13)
+    payload[i + 9] |= 0x40  # interlace flag
+    out, _ = decode_gif(bytes(payload))
+    assert (out[0] == img).all()
+
+    # transparency + disposal=2 (restore background): frame 2's transparent
+    # pixels must show frame-region background, not frame 1's pixels
+    base = np.full((8, 8, 3), 10, np.uint8)
+    f2 = np.full((8, 8, 3), 200, np.uint8)
+    payload = bytearray(encode_gif([base, f2], delays=[1, 1]))
+    # first GCE: set disposal=2 (packed byte at offset +3 of the 0x21 0xF9
+    # block) — find the first extension
+    j = payload.index(0xF9) + 2  # points at packed byte (after size byte)
+    payload[j] |= 0x08  # disposal method 2
+    out, _ = decode_gif(bytes(payload))
+    assert (out[0] == base).all() and (out[1] == f2).all()
+
+
+def test_gif_frame_sampler_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        encode_gif,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.multimodal import (
+        sample_media_frames,
+    )
+
+    rows = []
+    for d in range(6):
+        nf = 2 + d % 3
+        frames = [
+            np.full((8, 8, 3), (d * 11 + f * 17) % 256, np.uint8)
+            for f in range(nf)
+        ]
+        rows.append(
+            {
+                "media_id": f"m{d}",
+                "payload": encode_gif(frames, delays=list(range(1, nf + 1))),
+            }
+        )
+    out = sample_media_frames(
+        rd.from_items(rows), every_n=2, concurrency=(1, 2)
+    ).to_pandas()
+    # every_n=2 keeps frames 0, 2
+    for d in range(6):
+        nf = 2 + d % 3
+        sub = out[out["media_id"] == f"m{d}"].sort_values("frame_idx")
+        assert list(sub["frame_idx"]) == list(range(0, nf, 2))
+        for _, r in sub.iterrows():
+            v = (d * 11 + int(r["frame_idx"]) * 17) % 256
+            assert r["pixel_sum"] == 8 * 8 * 3 * v
