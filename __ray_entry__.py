@@ -282,16 +282,41 @@ def _q_group_agg(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Sum
+    # combiner shape: each block collapses to <= |groups| rows before the
+    # exchange (6 groups at TPC-H shape), then one tiny direct-exchange
+    # merge — Ray's sort-based groupby moved every lineitem row instead
+    keys = ["l_returnflag", "l_linestatus"]
 
-    out = (
-        ds.map_batches(cents, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Count(alias_name="n_rows"),
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            cents(t)
+            .group_by(keys)
+            .aggregate(
+                [("l_quantity", "sum"), ("price_cents", "sum"), ("price_cents", "count")]
+            )
         )
+        return agg.rename_columns(
+            keys + ["sum_qty", "sum_price_cents", "n_rows"]
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        cols = keys + ["sum_qty", "sum_price_cents", "n_rows"]
+        if g.num_rows == 0:
+            return g.select(cols)
+        agg = g.group_by(keys).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("n_rows", "sum")]
+        )
+        return agg.rename_columns(cols)
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        bucketed_group_apply,
+    )
+
+    out = bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        merge,
+        exchange="direct",
     )
     return out.map_batches(
         lambda t: pa.table(
@@ -390,11 +415,34 @@ def _q_join_agg(sf_dir: str):
         right_on="c_custkey",
     )
     ocn = inner_join(oc, nation, on="c_nationkey", right_on="n_nationkey")
-    out = ocn.groupby("n_name").aggregate(
-        Sum("price_cents", alias_name="revenue_cents"),
-        Count(alias_name="n_orders"),
+
+    # combiner + direct-exchange merge (25 nation groups): Ray's sort-based
+    # groupby shuffled every joined order row for a 25-row result
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("n_name").aggregate(
+            [("price_cents", "sum"), ("price_cents", "count")]
+        )
+        return agg.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    def merge(g: pa.Table) -> pa.Table:
+        cols = ["n_name", "revenue_cents", "n_orders"]
+        if g.num_rows == 0:
+            return g.select(cols)
+        agg = g.group_by("n_name").aggregate(
+            [("revenue_cents", "sum"), ("n_orders", "sum")]
+        )
+        return agg.rename_columns(cols)
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        bucketed_group_apply,
     )
-    return out
+
+    return bucketed_group_apply(
+        ocn.map_batches(partial, batch_format="pyarrow"),
+        "n_name",
+        merge,
+        exchange="direct",
+    )
 
 
 def _q_left_join(sf_dir: str):
@@ -1406,28 +1454,49 @@ def _q_running_total(sf_dir: str):
 
 
 def _q_events_window(sf_dir: str):
-    import pandas as pd
-
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    # combiner shape (ray_guide: pre-aggregate inside map_batches): each
+    # batch collapses to one row per (user, hour) BEFORE the exchange, so
+    # the shuffle moves ~distinct-windows-per-block rows, not events; the
+    # merge is a tiny per-bucket sum over partials on the direct exchange
+    def partial(t: pa.Table) -> pa.Table:
         ts = t["ts"].combine_chunks()
         hour = pc.floor_temporal(ts, unit="hour")
-        cents = pc.round(pc.multiply(t["value"], pa.scalar(100.0)), round_mode="half_towards_infinity").cast(pa.int64())
-        return pa.table(
+        cents = pc.round(
+            pc.multiply(t["value"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        tbl = pa.table(
             {"user_id": t["user_id"], "window_start": hour, "value_cents": cents}
         )
-
-    from ray.data.aggregate import Count, Sum
-
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents")
+        agg = tbl.group_by(["user_id", "window_start"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
         )
+        return agg.rename_columns(
+            ["user_id", "window_start", "sum_cents", "n_events"]
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # match the non-empty branch's column order
+            return g.select(["user_id", "window_start", "n_events", "sum_cents"])
+        agg = g.group_by(["user_id", "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["user_id", "window_start", "n_events", "sum_cents"]
+        )
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.bucketing import (
+        bucketed_group_apply,
     )
-    return out
+
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        merge,
+        exchange="direct",
+    )
 
 
 def _q_code_clusters(sf_dir: str):
