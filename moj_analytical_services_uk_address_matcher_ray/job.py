@@ -75,10 +75,21 @@ def _read_input(path: str, columns: list[str]):
     return read_parquet(path, columns=columns)
 
 
+def _write_output(ds, args) -> dict:
+    """Manifest sink in the requested format (parquet default, jsonl for
+    downstream tooling that consumes line-delimited records)."""
+    if getattr(args, "output_format", "parquet") == "jsonl":
+        from .sources.io import write_jsonl_with_manifest
+
+        return write_jsonl_with_manifest(ds, args.output)
+    from .sources.io import write_parquet_with_manifest
+
+    return write_parquet_with_manifest(ds, args.output)
+
+
 def cmd_dedup(args: argparse.Namespace) -> dict:
     """Self-dedup: corpus parquet -> (unique_id, content_sha256, cluster_id)."""
     from .pipelines.code_linkage import dedup_code_corpus
-    from .sources.io import write_parquet_with_manifest
     from .state.metrics import read_metrics, reset_metrics
 
     reset_metrics()
@@ -92,7 +103,7 @@ def cmd_dedup(args: argparse.Namespace) -> dict:
         use_rescore=args.use_rescore,
         checkpoint_dir=args.checkpoint_dir,
     )
-    manifest = write_parquet_with_manifest(clusters, args.output)
+    manifest = _write_output(clusters, args)
     return {
         "job": "dedup",
         "input": args.input,
@@ -108,7 +119,6 @@ def cmd_match(args: argparse.Namespace) -> dict:
     """Two-table match: messy corpus vs canonical corpus -> best match per
     messy record (the reference's clean -> predict -> improve flow)."""
     from .pipelines.code_linkage import match_code_corpora
-    from .sources.io import write_parquet_with_manifest
     from .state.metrics import read_metrics, reset_metrics
 
     reset_metrics()
@@ -121,7 +131,7 @@ def cmd_match(args: argparse.Namespace) -> dict:
         predict_threshold=args.score_threshold,
         checkpoint_dir=args.checkpoint_dir,
     )
-    manifest = write_parquet_with_manifest(best, args.output)
+    manifest = _write_output(best, args)
     return {
         "job": "match",
         "input": args.input,
@@ -138,14 +148,13 @@ def cmd_clean(args: argparse.Namespace) -> dict:
     """Clean/tokenise only: corpus parquet -> comparison-ready table (the
     reference's clean_data_using_precomputed_rel_tok_freq surface)."""
     from .pipelines.code_linkage import prepare_code_dataset
-    from .sources.io import write_parquet_with_manifest
     from .state.metrics import read_metrics, reset_metrics
 
     reset_metrics()
     t0 = time.perf_counter()
     files = _read_input(args.input, CONTRACT_COLUMNS)
     cleaned = prepare_code_dataset(files)
-    manifest = write_parquet_with_manifest(cleaned, args.output)
+    manifest = _write_output(cleaned, args)
     return {
         "job": "clean",
         "input": args.input,
@@ -179,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--checkpoint-dir",
         default=None,
         help="phase-checkpoint dir (resume after last complete phase)",
+    )
+    common.add_argument(
+        "--output-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="sink format; both write the same resumable lineage manifest",
     )
 
     d = sub.add_parser("dedup", parents=[common], help="self-dedup into clusters")
