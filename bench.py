@@ -294,16 +294,16 @@ def run_scaling() -> dict:
     )
     results = {}
     for ncpu in levels:
-        # SCALE=10 (~180k files): large enough that per-leg fixed costs
-        # (sort-barrier setup, actor-pool ramp, driver-serial constants —
-        # all O(1) in corpus size) don't dominate the 2-cpu leg now that
-        # the per-row kernels are vectorised; every leg reads the SAME
-        # cached corpus bytes, which is what the two-cluster-size
-        # criterion requires.
+        # SCALE=30 (~540k files): large enough that per-leg fixed costs
+        # (exchange setup, actor-pool ramp, driver-serial constants — all
+        # O(1) in corpus size) don't dominate the 2-cpu leg; every leg
+        # reads the SAME cached corpus bytes, which is what the
+        # two-cluster-size criterion requires.  Round-5 measured 2->8 =
+        # 0.913/0.871/0.941 at this scale (BASELINE.md).
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            UAM_BENCH_SCALE=os.environ.get("UAM_BENCH_SCALE", "10"),
+            UAM_BENCH_SCALE=os.environ.get("UAM_BENCH_SCALE", "30"),
             # the scaling legs time the flagship only; the fixed-size
             # two-table workload would add ~3 long runs per leg
             UAM_BENCH_SKIP_TWO_TABLE="1",

@@ -29,6 +29,9 @@ def build_media_table(n_groups: int = 40):
     import numpy as np
     import pyarrow as pa
 
+    from moj_analytical_services_uk_address_matcher_ray.functions.gif import (
+        encode_gif,
+    )
     from moj_analytical_services_uk_address_matcher_ray.functions.jpeg import (
         encode_jpeg,
     )
@@ -56,6 +59,17 @@ def build_media_table(n_groups: int = 40):
         payload.append(encode_jpeg(base, quality=95))
         meta.append("{}")
         truth.append(g)
+        if g % 4 == 0:  # a handful of single-frame GIFs of the same picture
+            # (GIF needs <=256 distinct colours: quantise to 6 levels per
+            # channel — still the same picture, and the content feature is
+            # robust to it, so these rows belong to their group's near-dup
+            # cluster like the lossy JPEG siblings do)
+            q = (base // 43 * 43).astype("uint8")
+            ids.append(f"img_{g:03d}_gif")
+            modality.append("image")
+            payload.append(encode_gif(q))
+            meta.append("{}")
+            truth.append(g)
     for a in range(10):
         ids.append(f"aud_{a:02d}")
         modality.append("audio")
