@@ -430,18 +430,30 @@ def dedupe_pairs_first_rule_wins(pairs: "ray.data.Dataset", *, id_col: str = "uk
         n = g.num_rows
         if n == 0:
             return g
-        ids_l = g[kl].to_pylist()
-        ids_r = g[kr].to_pylist()
-        rules = np.asarray(g["rule_idx"].to_pylist(), dtype=np.int64)
-        comb = np.fromiter(
-            (f"{a}\x1f{b}" for a, b in zip(ids_l, ids_r)), dtype=object, count=n
+        # Arrow-native pair keys: one C join + dictionary-encode (codes
+        # group equal pairs; min-rule keep needs only adjacency, not
+        # lexicographic order).  The per-row f-string loop this replaces
+        # was the dedup barrier's CPU at 10^7-pair rescore streams.
+        key = pc.binary_join_element_wise(
+            g[kl].combine_chunks().cast(pa.string()),
+            g[kr].combine_chunks().cast(pa.string()),
+            "\x1f",
         )
-        order = np.lexsort((rules, comb))
-        comb_sorted = comb[order]
-        first = np.concatenate(([True], comb_sorted[1:] != comb_sorted[:-1]))
+        codes = np.asarray(key.dictionary_encode().indices, dtype=np.int64)
+        rules = (
+            g["rule_idx"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.lexsort((rules, codes))
+        cs = codes[order]
+        first = np.concatenate(([True], cs[1:] != cs[:-1]))
         return g.take(pa.array(order[first], pa.int64()))
 
-    return bucketed_group_apply(pairs, [kl, kr], pick_bucket)
+    # audited for exchange="direct": min-rule-per-pair is order-insensitive
+    # and the empty branch passes the input schema through
+    return bucketed_group_apply(pairs, [kl, kr], pick_bucket, exchange="direct")
 
 
 def generate_candidate_pairs(
