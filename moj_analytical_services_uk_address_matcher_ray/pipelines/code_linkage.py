@@ -374,16 +374,32 @@ def dedup_code_corpus(
     #    Without the rescore pass only edge candidates are needed, so the
     #    fused threshold IS the edge threshold — everything below is pruned
     #    inside the scoring task.
-    from ..stages.blocking import generate_and_score_pairs
+    from ..stages.blocking import generate_and_score_pairs, prepare_scoring_warmup
 
-    from ..stages.rescore import RESCORE_EMIT_COLS
+    from ..stages.rescore import RESCORE_NARROW_EMIT_COLS
 
     fused_threshold = score_threshold if use_rescore else edge_threshold - 1e-9
+    # both modes emit NARROW pairs: the rescore path re-gathers its address
+    # /histogram payload from the broadcast feature store inside the
+    # rescore bucket tasks (improve_predictions store_l_ref form), so the
+    # scored stream and the cross-rule dedup exchange stay 3 columns wide
     emit = (
-        RESCORE_EMIT_COLS  # rescore reads exactly these; wide payload stays put
+        RESCORE_NARROW_EMIT_COLS
         if use_rescore
         else ["ukam_address_id_l", "ukam_address_id_r", "match_weight"]
     )
+    warmup = (
+        prepare_scoring_warmup(
+            cleaned,
+            model,
+            carry_cols=DEDUP_CARRY_COLS,
+            threshold_match_weight=fused_threshold,
+            emit_cols=emit,
+        )
+        if use_rescore  # the rescore stage needs the store ref anyway
+        else None
+    )
+
     def _block_and_score(c: "ray.data.Dataset") -> "ray.data.Dataset":
         return generate_and_score_pairs(
             c,
@@ -399,6 +415,7 @@ def dedup_code_corpus(
             # precombine), so the cross-rule dedup barrier is pure overhead
             # on the edges-only path; rescore needs unique pairs.
             dedupe_output=use_rescore,
+            warmup=warmup,
         )
 
     if checkpoint_dir and not use_rescore:  # flat emit schema -> parquet-safe
@@ -412,7 +429,9 @@ def dedup_code_corpus(
         scored = _block_and_score(cleaned)
     if use_rescore:
         scored = improve_predictions_using_distinguishing_tokens(
-            scored, match_weight_threshold=score_threshold
+            scored,
+            match_weight_threshold=score_threshold,
+            store_l_ref=warmup["store_l_ref"],
         )
     def _edges(t: pa.Table) -> pa.Table:
         kept = t.filter(pc.greater_equal(t["match_weight"], edge_threshold))

@@ -270,6 +270,61 @@ def _empty_out(use_bigrams: bool, extra: list[str] | None = None) -> pd.DataFram
     return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
 
 
+#: the NARROW pair columns sufficient when the payload is re-gathered from
+#: the broadcast feature store inside the rescore bucket (see
+#: ``improve_predictions_using_distinguishing_tokens(store_l_ref=...)``)
+RESCORE_NARROW_EMIT_COLS = [
+    "ukam_address_id_l",
+    "ukam_address_id_r",
+    "match_weight",
+]
+
+#: store column -> per-side pair column, as the group fn expects them
+_STORE_GATHER_L = {
+    "unique_id": "unique_id_l",
+    "original_address_concat": "original_address_concat_l",
+    "postcode": "postcode_l",
+}
+_STORE_GATHER_R = {
+    "unique_id": "unique_id_r",
+    "original_address_concat": "original_address_concat_r",
+    "postcode": "postcode_r",
+    "common_end_tokens_hist": "common_end_tokens_hist_r",
+}
+
+
+def _attach_payload_from_store(
+    g, store_l, store_r, id_col: str
+):
+    """Per-bucket payload gather: one ``pc.index_in`` probe per side
+    against the broadcast store's id column, then zero-copy takes of the
+    columns the rescore group fn reads.  Lets the scored pair stream (and
+    the cross-rule dedup exchange before it) stay 3 columns wide instead
+    of carrying address strings + a histogram list through two shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gather(side_tbl, pair_col, mapping):
+        pos = pc.index_in(
+            g[pair_col].combine_chunks(),
+            value_set=side_tbl[id_col].combine_chunks(),
+        )
+        if pos.null_count:
+            raise KeyError(
+                f"rescore store gather: {pos.null_count} pair ids missing "
+                f"from the broadcast store ({pair_col})"
+            )
+        return {
+            out: side_tbl[src].combine_chunks().take(pos)
+            for src, out in mapping.items()
+        }
+
+    cols = dict(zip(g.column_names, g.columns))
+    cols.update(gather(store_l, f"{id_col}_l", _STORE_GATHER_L))
+    cols.update(gather(store_r, f"{id_col}_r", _STORE_GATHER_R))
+    return pa.table(cols)
+
+
 def improve_predictions_using_distinguishing_tokens(
     pairs: "ray.data.Dataset",
     *,
@@ -277,13 +332,25 @@ def improve_predictions_using_distinguishing_tokens(
     top_n_matches: int = 5,
     use_bigrams: bool = True,
     additional_columns_to_retain: list[str] | None = None,
+    store_l_ref=None,
+    store_r_ref=None,
+    id_col: str = "ukam_address_id",
     **multipliers,
 ) -> "ray.data.Dataset":
     """P1 as one groupby-shuffle + per-group function.
 
     A global pre-filter on ``match_weight`` shrinks the shuffle before the
     groupby (the threshold is re-applied inside the group fn, harmlessly).
+
+    ``store_l_ref``/``store_r_ref`` (optional): broadcast feature-store
+    refs (the same objects ``generate_and_score_pairs`` scores from — e.g.
+    ``prepare_scoring_warmup()['store_l_ref']``).  When given, ``pairs``
+    needs only ``RESCORE_NARROW_EMIT_COLS`` and the address/histogram
+    payload is re-gathered from the store INSIDE each rescore bucket task
+    (one C hash probe per side) — the wide columns never ride the pair
+    shuffles.  Without them, ``pairs`` must carry ``RESCORE_EMIT_COLS``.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     pairs = pairs.map_batches(
@@ -297,6 +364,53 @@ def improve_predictions_using_distinguishing_tokens(
         additional_columns_to_retain=additional_columns_to_retain,
         **multipliers,
     )
-    from .bucketing import bucketed_pandas_groupby
+    if store_l_ref is None:
+        from .bucketing import bucketed_pandas_groupby
 
-    return bucketed_pandas_groupby(pairs, "ukam_address_id_r", fn)
+        return bucketed_pandas_groupby(pairs, "ukam_address_id_r", fn)
+
+    import ray
+
+    from .bucketing import bucketed_group_apply
+
+    r_ref = store_r_ref if store_r_ref is not None else store_l_ref
+
+    extra = list(additional_columns_to_retain or [])
+    _FLOAT_COLS = {"match_weight_original", "mw_adjustment", "match_weight"}
+
+    def _typed_empty() -> pa.Table:
+        # explicit Arrow types (the pandas object-dtype empty frame would
+        # land as `null`-typed columns and poison downstream schema unify
+        # when a direct-exchange bucket happens to be empty)
+        cols = _empty_out(use_bigrams, extra).columns
+        return pa.table(
+            {
+                c: pa.array(
+                    [], pa.float64() if c in _FLOAT_COLS else pa.string()
+                )
+                for c in cols
+            }
+        )
+
+    def bucket(g: pa.Table):
+        if g.num_rows == 0:
+            return _typed_empty()
+        store_l = ray.get(store_l_ref)  # zero-copy from the local store
+        store_r = store_l if r_ref == store_l_ref else ray.get(r_ref)
+        g = _attach_payload_from_store(g, store_l, store_r, id_col)
+        df = g.to_pandas()
+        outs = [
+            fn(sub)
+            for _, sub in df.groupby("ukam_address_id_r", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return _typed_empty()
+        res = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(
+            res, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return bucketed_group_apply(
+        pairs, "ukam_address_id_r", bucket, exchange="direct"
+    )

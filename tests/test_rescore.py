@@ -114,3 +114,118 @@ def test_threshold_filters_group():
     fn = make_rescore_group_fn(match_weight_threshold=5.0)
     out = fn(_group("10 X", ["10 X"]))  # mw = 0 < 5
     assert len(out) == 0
+
+
+def test_improve_store_gather_matches_wide_path(ray_session):
+    """The narrow-pairs + broadcast-store-gather form of improve_predictions
+    must produce EXACTLY the wide-pairs form's output (same corpus, same
+    scored stream)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        CODE_BLOCKING_RULES,
+        DEDUP_CARRY_COLS,
+        prepare_code_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        generate_and_score_pairs,
+        prepare_scoring_warmup,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.rescore import (
+        RESCORE_EMIT_COLS,
+        RESCORE_NARROW_EMIT_COLS,
+        improve_predictions_using_distinguishing_tokens,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
+
+    files, _ = generate_corpus(GenConfig(seed=9, n_clusters=80, n_repos=30))
+    cleaned = prepare_code_dataset(rd.from_arrow(files)).materialize()
+    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+
+    def score(emit, warmup=None):
+        return generate_and_score_pairs(
+            cleaned,
+            cleaned,
+            model,
+            carry_cols=DEDUP_CARRY_COLS,
+            threshold_match_weight=-20.0,
+            emit_cols=emit,
+            max_pairs_per_block=50_000,
+            ordered_self_pairs=True,
+            dedupe_output=True,
+            warmup=warmup,
+        )
+
+    wide = improve_predictions_using_distinguishing_tokens(
+        score(RESCORE_EMIT_COLS), match_weight_threshold=-20.0
+    ).to_pandas()
+    warmup = prepare_scoring_warmup(
+        cleaned,
+        model,
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=-20.0,
+        emit_cols=RESCORE_NARROW_EMIT_COLS,
+    )
+    narrow = improve_predictions_using_distinguishing_tokens(
+        score(RESCORE_NARROW_EMIT_COLS, warmup=warmup),
+        match_weight_threshold=-20.0,
+        store_l_ref=warmup["store_l_ref"],
+    ).to_pandas()
+
+    assert len(wide) == len(narrow) and len(wide) > 0
+    key = ["ukam_address_id_l", "ukam_address_id_r"]
+    w = wide.sort_values(key).reset_index(drop=True)
+    n = narrow.sort_values(key).reset_index(drop=True)
+    assert sorted(w.columns) == sorted(n.columns)
+    for c in sorted(w.columns):
+        if w[c].dtype.kind == "f":
+            assert np.allclose(
+                w[c].to_numpy(dtype=float),
+                n[c].to_numpy(dtype=float),
+                equal_nan=True,
+                rtol=0,
+                atol=0,
+            ), c
+        else:
+            assert (w[c].astype(str) == n[c].astype(str)).all(), c
+
+
+def test_dedup_code_corpus_use_rescore_end_to_end(ray_session):
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        dedup_code_corpus,
+    )
+
+    files, labels = generate_corpus(GenConfig(seed=13, n_clusters=60, n_repos=25))
+    out = dedup_code_corpus(
+        rd.from_arrow(files), use_rescore=True
+    ).to_pandas()
+    lab = labels.to_pandas()
+    m = out.merge(lab, on="unique_id", suffixes=("_pred", "_true"))
+    # pairwise F1 against planted clusters stays high through the rescore path
+    from collections import Counter
+
+    def pair_count(series):
+        return sum(n * (n - 1) // 2 for n in Counter(series).values())
+
+    tp = sum(
+        n * (n - 1) // 2
+        for n in Counter(
+            zip(m["cluster_id_pred"], m["cluster_id_true"])
+        ).values()
+    )
+    prec = tp / max(1, pair_count(m["cluster_id_pred"]))
+    rec = tp / max(1, pair_count(m["cluster_id_true"]))
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 > 0.95, (prec, rec, f1)
