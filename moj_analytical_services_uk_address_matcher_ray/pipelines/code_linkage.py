@@ -411,10 +411,11 @@ def dedup_code_corpus(
             max_pairs_per_block=max_pairs_per_block,
             hot_key_threshold=hot_key_threshold,
             ordered_self_pairs=True,
-            # CC dedups edges itself (driver union-find / per-round
-            # precombine), so the cross-rule dedup barrier is pure overhead
-            # on the edges-only path; rescore needs unique pairs.
-            dedupe_output=use_rescore,
+            # no dedup barrier on EITHER path: CC dedups edges itself, and
+            # the narrow-emit rescore stream's cross-rule duplicates are
+            # byte-identical rows that improve_predictions' store-gather
+            # form collapses inside its own partial/bucket stages
+            dedupe_output=False,
             warmup=warmup,
         )
 

@@ -272,10 +272,14 @@ def _empty_out(use_bigrams: bool, extra: list[str] | None = None) -> pd.DataFram
 
 #: the NARROW pair columns sufficient when the payload is re-gathered from
 #: the broadcast feature store inside the rescore bucket (see
-#: ``improve_predictions_using_distinguishing_tokens(store_l_ref=...)``)
+#: ``improve_predictions_using_distinguishing_tokens(store_l_ref=...)``).
+#: ``unique_id_l`` rides along because the reference's top-N order is
+#: (match_weight DESC, unique_id_l DESC) — the map-side partial top-N
+#: needs the tie-break before the payload gather happens.
 RESCORE_NARROW_EMIT_COLS = [
     "ukam_address_id_l",
     "ukam_address_id_r",
+    "unique_id_l",
     "match_weight",
 ]
 
@@ -305,6 +309,11 @@ def _attach_payload_from_store(
     import pyarrow.compute as pc
 
     def gather(side_tbl, pair_col, mapping):
+        todo = {
+            src: out for src, out in mapping.items() if out not in g.column_names
+        }
+        if not todo:
+            return {}
         pos = pc.index_in(
             g[pair_col].combine_chunks(),
             value_set=side_tbl[id_col].combine_chunks(),
@@ -316,7 +325,7 @@ def _attach_payload_from_store(
             )
         return {
             out: side_tbl[src].combine_chunks().take(pos)
-            for src, out in mapping.items()
+            for src, out in todo.items()
         }
 
     cols = dict(zip(g.column_names, g.columns))
@@ -375,6 +384,31 @@ def improve_predictions_using_distinguishing_tokens(
 
     r_ref = store_r_ref if store_r_ref is not None else store_l_ref
 
+    # map-side partial top-N: a block's rows for messy record r are a
+    # SUBSET of r's global candidates, so any global top-N row ranks <= N
+    # within its block too — keeping each block's per-record top N (over
+    # DISTINCT candidates, reference order mw DESC / unique_id_l DESC)
+    # provably preserves the exact global top-N while shrinking the
+    # exchange from every threshold survivor (~125/record measured at the
+    # 180k shape) to <= N x blocks-touched.  Cross-rule duplicate rows are
+    # byte-identical in the narrow emit, so drop_duplicates here + in the
+    # bucket replaces the dedupe barrier entirely.
+    def partial_topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["ukam_address_id_r", "match_weight", "unique_id_l"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        ).drop_duplicates(["ukam_address_id_r", "ukam_address_id_l"])
+        df = df.groupby("ukam_address_id_r", sort=False).head(top_n_matches)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    pairs = pairs.map_batches(partial_topn, batch_format="pyarrow")
+
     extra = list(additional_columns_to_retain or [])
     _FLOAT_COLS = {"match_weight_original", "mw_adjustment", "match_weight"}
 
@@ -399,6 +433,10 @@ def improve_predictions_using_distinguishing_tokens(
         store_r = store_l if r_ref == store_l_ref else ray.get(r_ref)
         g = _attach_payload_from_store(g, store_l, store_r, id_col)
         df = g.to_pandas()
+        # cross-BLOCK duplicates of a pair (identical narrow rows emitted
+        # under different blocking rules) collapse here — exact because
+        # the duplicates are byte-identical
+        df = df.drop_duplicates(["ukam_address_id_r", "ukam_address_id_l"])
         outs = [
             fn(sub)
             for _, sub in df.groupby("ukam_address_id_r", sort=False)

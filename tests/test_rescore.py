@@ -148,7 +148,7 @@ def test_improve_store_gather_matches_wide_path(ray_session):
     cleaned = prepare_code_dataset(rd.from_arrow(files)).materialize()
     model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
 
-    def score(emit, warmup=None):
+    def score(emit, warmup=None, dedupe=True):
         return generate_and_score_pairs(
             cleaned,
             cleaned,
@@ -158,7 +158,7 @@ def test_improve_store_gather_matches_wide_path(ray_session):
             emit_cols=emit,
             max_pairs_per_block=50_000,
             ordered_self_pairs=True,
-            dedupe_output=True,
+            dedupe_output=dedupe,
             warmup=warmup,
         )
 
@@ -172,8 +172,11 @@ def test_improve_store_gather_matches_wide_path(ray_session):
         threshold_match_weight=-20.0,
         emit_cols=RESCORE_NARROW_EMIT_COLS,
     )
+    # production config: NO dedup barrier — the store-gather form's
+    # partial top-N + in-bucket drop_duplicates must absorb the
+    # byte-identical cross-rule duplicate rows exactly
     narrow = improve_predictions_using_distinguishing_tokens(
-        score(RESCORE_NARROW_EMIT_COLS, warmup=warmup),
+        score(RESCORE_NARROW_EMIT_COLS, warmup=warmup, dedupe=False),
         match_weight_threshold=-20.0,
         store_l_ref=warmup["store_l_ref"],
     ).to_pandas()
