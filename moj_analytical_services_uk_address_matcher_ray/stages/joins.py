@@ -374,14 +374,36 @@ def hash_join(
             data[rout[c]] = rpart[rout[c]]
         return pa.table(data)
 
-    from .bucketing import bucketed_group_apply
+    from .bucketing import direct_bucket_apply_sources
 
     # audited for exchange="direct": each output row is a (left, right)
     # match pair fully determined by the data (within-bucket emission
     # order is not part of the join contract), and every empty/degenerate
-    # branch returns the full output schema
-    joined = bucketed_group_apply(
-        lt.union(rt), _JK, merge_bucket, exchange="direct"
+    # branch returns the full output schema.
+    #
+    # The two sides enter the exchange as SEPARATE sources (each side is
+    # materialised in its own streaming execution) rather than via
+    # ``lt.union(rt)``: executing a union whose branches both need CPU —
+    # one of them an AllToAll aggregate — deadlocks Ray Data 2.49 on a
+    # 1-CPU cluster (the read generator of one branch holds the only CPU
+    # slot under streaming backpressure while the other branch's tasks
+    # pend forever).  Separate executions also skip the union operator's
+    # extra full-table block copies.  Ray Data skips map UDFs on 0-row
+    # blocks, so a fully-filtered side can arrive as one schema-degenerate
+    # empty block WITHOUT the prep columns — ``fix`` swaps those for a
+    # schema-carrying empty keyed table.
+    keyed_schema = pa.schema(
+        [pa.field(c, lschema.field(c).type) for c in lcols]
+        + [pa.field(_JK, pa.string()), pa.field(_SIDE, pa.string())]
+        + [pa.field(rout[c], rtypes[c]) for c in rcols_payload]
+    )
+    empty_keyed = keyed_schema.empty_table()
+
+    def fix(t: pa.Table) -> pa.Table:
+        return t if _JK in t.column_names else empty_keyed
+
+    joined = direct_bucket_apply_sources(
+        [(lt, fix), (rt, fix)], _JK, merge_bucket
     )
     if null_keys is not None:
         joined = joined.union(null_keys)

@@ -89,3 +89,62 @@ def test_full_outer_rejects_broadcast(ray_session):
     rt = ray.data.from_arrow(pa.table({"k": [1]}))
     with pytest.raises(ValueError):
         hash_join(lt, rt, "k", how="full", broadcast=True)
+
+
+def test_shuffle_join_schema_degenerate_empty_side(ray_session):
+    """Ray Data skips map UDFs on 0-row blocks, so a side whose rows are
+    all filtered upstream reaches the exchange as schema-degenerate empty
+    blocks WITHOUT the prep columns — the sources-mode `fix` swap must
+    return the full joined schema, not crash the split task."""
+    lt = ray.data.from_arrow(pa.table({"k": [1, 2], "lv": ["a", "b"]}))
+    # two blocks; the filter keeps only block 1's row, so block 2 reaches
+    # the exchange as a 0-row block with the PRE-map schema (no prep cols)
+    rt = ray.data.from_arrow_refs(
+        [
+            ray.put(pa.table({"k": [1], "rv": [1.5]})),
+            ray.put(pa.table({"k": [9], "rv": [2.5]})),
+        ]
+    ).map_batches(
+        lambda t: t.filter(pa.compute.less(t["k"], 5)),
+        batch_format="pyarrow",
+    )
+    out = hash_join(lt, rt, "k", how="left", broadcast=False).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2]
+    assert out.loc[out["k"] == 1, "rv"].iloc[0] == 1.5
+    assert pd.isna(out.loc[out["k"] == 2, "rv"]).all()
+
+
+def test_shuffle_join_one_cpu_no_deadlock(tmp_path):
+    """Regression: executing `aggregate_side.union(map_side)` in ONE Ray
+    Data streaming run deadlocks on a 1-CPU cluster (Ray 2.49: a read
+    generator holds the only CPU slot under backpressure while the other
+    branch's tasks pend).  The shuffle join therefore exchanges each side
+    as its own source; this pins that a full-outer join with an
+    aggregate-derived left side completes at num_cpus=1."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import ray
+ray.init(address="local", num_cpus=1, include_dashboard=False)
+import ray.data as rd
+from ray.data.aggregate import Count
+from moj_analytical_services_uk_address_matcher_ray.stages.joins import full_outer_join
+left = (rd.from_items([{"k": i % 7, "v": i} for i in range(500)])
+          .groupby("k").aggregate(Count(alias_name="n")))
+right = rd.from_items([{"rk": i, "name": str(i)} for i in range(3, 12)])
+out = full_outer_join(left, right, on="k", right_on="rk").to_pandas()
+assert len(out) == 12, len(out)  # 7 left keys (0..6) + 5 right-only (7..11)
+print("OK", len(out))
+ray.shutdown()
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd()
+    env.pop("RAY_ADDRESS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env=env, cwd=os.getcwd(),
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "OK" in r.stdout
