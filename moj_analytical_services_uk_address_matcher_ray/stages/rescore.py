@@ -94,6 +94,209 @@ def _map_json(d: dict, *, tuple_keys: bool = False) -> str:
     return json.dumps(dict(items), separators=(",", ":"))
 
 
+def _rescore_span(
+    v: dict[str, list],
+    s: int,
+    e: int,
+    out: dict[str, list],
+    *,
+    extra: list[str],
+    use_bigrams: bool,
+    reward_multiplier: float,
+    punishment_multiplier: float,
+    bigram_reward_multiplier: float,
+    bigram_punishment_multiplier: float,
+    missing_token_penalty: float,
+) -> None:
+    """Token logic for ONE messy record's candidate span ``v[col][s:e]``
+    (already thresholded, sorted mw DESC / unique_id_l DESC, top-N'd);
+    appends one output row per pair to the ``out`` column lists.
+
+    Operating on plain Python lists rather than per-group pandas frames is
+    what makes the bucket fast: the block/pair semantics below are a
+    line-for-line copy of the reference's chained relations
+    (identify_distinguishing_tokens.py:4-476)."""
+    hist_r = v["common_end_tokens_hist_r"][s]
+    common = {h["tok"] for h in hist_r} if hist_r is not None else set()
+
+    addr_l = [
+        _strip_common_end(a, common)
+        for a in v["original_address_concat_l"][s:e]
+    ]
+    addr_r = [
+        _strip_common_end(a, common)
+        for a in v["original_address_concat_r"][s:e]
+    ]
+    pc_l = v["postcode_l"][s:e]
+
+    tokens_r = _tokens(addr_r[0], v["postcode_r"][s])
+    tokens_r_set = set(tokens_r)
+
+    tokens_l_per_pair = [_tokens(a, p) for a, p in zip(addr_l, pc_l)]
+    tokens_in_block_l: list[str] = [t for toks in tokens_l_per_pair for t in toks]
+    hist_all_tokens_block = Counter(tokens_in_block_l)
+    hist_overlap_r_block = {
+        k: c for k, c in hist_all_tokens_block.items() if k in tokens_r_set
+    }
+
+    if use_bigrams:
+        bigrams_block = _bigrams(tokens_in_block_l)
+        hist_all_bigrams_block = Counter(bigrams_block)
+        bigrams_r = _bigrams(tokens_r)
+        bigrams_r_set = set(bigrams_r)
+        hist_overlap_bigrams_r_block = {
+            k: c for k, c in hist_all_bigrams_block.items() if k in bigrams_r_set
+        }
+
+    for i in range(e - s):
+        tokens_l = tokens_l_per_pair[i]
+        tokens_l_set = set(tokens_l)
+        overlapping = {
+            k: c for k, c in hist_overlap_r_block.items() if k in tokens_l_set
+        }
+        toks_r_not_in_l = {t for t in tokens_r if t not in tokens_l_set}
+        elsewhere = {
+            k: c for k, c in hist_all_tokens_block.items() if k in toks_r_not_in_l
+        }
+        missing = [t for t in tokens_l if t not in tokens_r_set]
+
+        adj = (
+            reward_multiplier * sum(1.0 / (c * c) for c in overlapping.values())
+            - punishment_multiplier * len(elsewhere)
+            - missing_token_penalty * len(missing)
+        )
+
+        j = s + i
+        mw = v["match_weight"][j]
+        out["unique_id_l"].append(v["unique_id_l"][j])
+        out["unique_id_r"].append(v["unique_id_r"][j])
+        out["ukam_address_id_r"].append(v["ukam_address_id_r"][j])
+        out["ukam_address_id_l"].append(v["ukam_address_id_l"][j])
+        out["match_weight_original"].append(mw)
+        out["overlapping_tokens_this_l_and_r"].append(_map_json(overlapping))
+        out["tokens_elsewhere_in_block_but_not_this"].append(_map_json(elsewhere))
+        out["missing_tokens"].append(json.dumps(missing))
+        out["original_address_concat_l"].append(addr_l[i])
+        out["postcode_l"].append(v["postcode_l"][j])
+        out["original_address_concat_r"].append(addr_r[i])
+        out["postcode_r"].append(v["postcode_r"][j])
+        for c in extra:  # reference identify_distinguishing_tokens.py:33-35
+            out[f"{c}_l"].append(v[f"{c}_l"][j] if f"{c}_l" in v else None)
+            out[f"{c}_r"].append(v[f"{c}_r"][j] if f"{c}_r" in v else None)
+
+        if use_bigrams:
+            bigrams_l = set(_bigrams(tokens_l))
+            overlap_bg = {
+                k: c
+                for k, c in hist_overlap_bigrams_r_block.items()
+                if k in bigrams_l
+            }
+            bg_r_not_in_l = {b for b in bigrams_r if b not in bigrams_l}
+            elsewhere_bg = {
+                k: c
+                for k, c in hist_all_bigrams_block.items()
+                if k in bg_r_not_in_l
+            }
+            # redundancy filter vs unigram maps (reference :367-401)
+            overlap_bg_f = {
+                k: c
+                for k, c in overlap_bg.items()
+                if not (
+                    k[0] in overlapping
+                    and overlapping[k[0]] <= c
+                    and k[1] in overlapping
+                    and overlapping[k[1]] <= c
+                )
+            }
+            elsewhere_bg_f = {
+                k: c
+                for k, c in elsewhere_bg.items()
+                if not (
+                    k[0] in elsewhere
+                    and elsewhere[k[0]] <= c
+                    and k[1] in elsewhere
+                    and elsewhere[k[1]] <= c
+                )
+            }
+            adj += bigram_reward_multiplier * sum(
+                1.0 / (c * c) for c in overlap_bg_f.values()
+            ) - bigram_punishment_multiplier * len(elsewhere_bg_f)
+            out["overlapping_bigrams_this_l_and_r"].append(
+                _map_json(overlap_bg, tuple_keys=True)
+            )
+            out["bigrams_elsewhere_in_block_but_not_this"].append(
+                _map_json(elsewhere_bg, tuple_keys=True)
+            )
+            out["overlapping_bigrams_this_l_and_r_filtered"].append(
+                _map_json(overlap_bg_f, tuple_keys=True)
+            )
+            out["bigrams_elsewhere_in_block_but_not_this_filtered"].append(
+                _map_json(elsewhere_bg_f, tuple_keys=True)
+            )
+
+        out["mw_adjustment"].append(adj)
+        out["match_weight"].append(mw + adj)
+
+
+def _frame_rescore(
+    df: pd.DataFrame,
+    *,
+    match_weight_threshold: float,
+    top_n_matches: int,
+    use_bigrams: bool,
+    extra: list[str],
+    reward_multiplier: float,
+    punishment_multiplier: float,
+    bigram_reward_multiplier: float,
+    bigram_punishment_multiplier: float,
+    missing_token_penalty: float,
+) -> pd.DataFrame:
+    """Rescore a frame holding ANY number of messy-record groups: ONE
+    vectorised threshold + lexsort + per-group head over the whole frame,
+    then the span core over contiguous key runs — no per-group pandas
+    objects (the per-tiny-group sort_values/DataFrame/concat pattern was
+    ~4.5x the span core's own cost)."""
+    if len(df) == 0 or "match_weight" not in df.columns:
+        # empty buckets can arrive schema-degenerate (Ray Data skips map
+        # UDFs on 0-row blocks)
+        return _empty_out(use_bigrams, extra)
+    df = df[df["match_weight"] > match_weight_threshold]
+    if len(df) == 0:
+        return _empty_out(use_bigrams, extra)
+    # per group: ORDER BY match_weight DESC, unique_id_l DESC (reference
+    # :48-56); the leading group key makes runs contiguous
+    df = df.sort_values(
+        ["ukam_address_id_r", "match_weight", "unique_id_l"],
+        ascending=[True, False, False],
+        kind="mergesort",
+    )
+    df = df.groupby("ukam_address_id_r", sort=False).head(top_n_matches)
+    v = {c: df[c].tolist() for c in df.columns}
+    keys = v["ukam_address_id_r"]
+    out: dict[str, list] = {
+        c: [] for c in _empty_out(use_bigrams, extra).columns
+    }
+    n = len(keys)
+    s = 0
+    for i in range(1, n + 1):
+        if i == n or keys[i] != keys[s]:
+            _rescore_span(
+                v,
+                s,
+                i,
+                out,
+                extra=extra,
+                use_bigrams=use_bigrams,
+                reward_multiplier=reward_multiplier,
+                punishment_multiplier=punishment_multiplier,
+                bigram_reward_multiplier=bigram_reward_multiplier,
+                bigram_punishment_multiplier=bigram_punishment_multiplier,
+                missing_token_penalty=missing_token_penalty,
+            )
+            s = i
+    return pd.DataFrame(out)
+
+
 def make_rescore_group_fn(
     *,
     match_weight_threshold: float = -20.0,
@@ -106,138 +309,26 @@ def make_rescore_group_fn(
     bigram_punishment_multiplier: float = BIGRAM_PUNISHMENT_MULTIPLIER,
     missing_token_penalty: float = MISSING_TOKEN_PENALTY,
 ):
-    """Build the per-group rescoring function for ``map_groups``."""
+    """Build the rescoring function for ``map_groups``.  The returned
+    callable accepts one messy record's candidate group OR a frame holding
+    many groups (it runs per contiguous ``ukam_address_id_r`` run either
+    way), so per-group and whole-bucket callers share one implementation."""
 
     extra = list(additional_columns_to_retain or [])
 
     def rescore(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["match_weight"] > match_weight_threshold]
-        if len(g) == 0:
-            return _empty_out(use_bigrams, extra)
-        # top-N: ORDER BY match_weight DESC, unique_id_l DESC (reference :48-56)
-        g = g.sort_values(
-            ["match_weight", "unique_id_l"], ascending=[False, False], kind="mergesort"
-        ).head(top_n_matches)
-
-        hist_r = g["common_end_tokens_hist_r"].iloc[0]
-        common = {e["tok"] for e in hist_r} if hist_r is not None else set()
-
-        addr_l = [_strip_common_end(a, common) for a in g["original_address_concat_l"]]
-        addr_r = [_strip_common_end(a, common) for a in g["original_address_concat_r"]]
-        pc_l = list(g["postcode_l"])
-        pc_r = list(g["postcode_r"])
-
-        tokens_r = _tokens(addr_r[0], pc_r[0])
-        tokens_r_set = set(tokens_r)
-
-        tokens_l_per_pair = [_tokens(a, p) for a, p in zip(addr_l, pc_l)]
-        tokens_in_block_l: list[str] = [t for toks in tokens_l_per_pair for t in toks]
-        hist_all_tokens_block = Counter(tokens_in_block_l)
-        hist_overlap_r_block = {
-            k: v for k, v in hist_all_tokens_block.items() if k in tokens_r_set
-        }
-
-        if use_bigrams:
-            bigrams_block = _bigrams(tokens_in_block_l)
-            hist_all_bigrams_block = Counter(bigrams_block)
-            bigrams_r = _bigrams(tokens_r)
-            bigrams_r_set = set(bigrams_r)
-            hist_overlap_bigrams_r_block = {
-                k: v for k, v in hist_all_bigrams_block.items() if k in bigrams_r_set
-            }
-
-        rows = []
-        for i in range(len(g)):
-            row = g.iloc[i]
-            tokens_l = tokens_l_per_pair[i]
-            tokens_l_set = set(tokens_l)
-            overlapping = {
-                k: v for k, v in hist_overlap_r_block.items() if k in tokens_l_set
-            }
-            toks_r_not_in_l = {t for t in tokens_r if t not in tokens_l_set}
-            elsewhere = {
-                k: v for k, v in hist_all_tokens_block.items() if k in toks_r_not_in_l
-            }
-            missing = [t for t in tokens_l if t not in tokens_r_set]
-
-            adj = (
-                reward_multiplier * sum(1.0 / (v * v) for v in overlapping.values())
-                - punishment_multiplier * len(elsewhere)
-                - missing_token_penalty * len(missing)
-            )
-
-            out = {
-                "unique_id_l": row["unique_id_l"],
-                "unique_id_r": row["unique_id_r"],
-                "ukam_address_id_r": row["ukam_address_id_r"],
-                "ukam_address_id_l": row["ukam_address_id_l"],
-                "match_weight_original": row["match_weight"],
-                "overlapping_tokens_this_l_and_r": _map_json(overlapping),
-                "tokens_elsewhere_in_block_but_not_this": _map_json(elsewhere),
-                "missing_tokens": json.dumps(missing),
-                "original_address_concat_l": addr_l[i],
-                "postcode_l": row["postcode_l"],
-                "original_address_concat_r": addr_r[i],
-                "postcode_r": row["postcode_r"],
-            }
-            for c in extra:  # reference identify_distinguishing_tokens.py:33-35
-                out[f"{c}_l"] = row.get(f"{c}_l")
-                out[f"{c}_r"] = row.get(f"{c}_r")
-
-            if use_bigrams:
-                bigrams_l = set(_bigrams(tokens_l))
-                overlap_bg = {
-                    k: v
-                    for k, v in hist_overlap_bigrams_r_block.items()
-                    if k in bigrams_l
-                }
-                bg_r_not_in_l = {b for b in bigrams_r if b not in bigrams_l}
-                elsewhere_bg = {
-                    k: v
-                    for k, v in hist_all_bigrams_block.items()
-                    if k in bg_r_not_in_l
-                }
-                # redundancy filter vs unigram maps (reference :367-401)
-                overlap_bg_f = {
-                    k: v
-                    for k, v in overlap_bg.items()
-                    if not (
-                        k[0] in overlapping
-                        and overlapping[k[0]] <= v
-                        and k[1] in overlapping
-                        and overlapping[k[1]] <= v
-                    )
-                }
-                elsewhere_bg_f = {
-                    k: v
-                    for k, v in elsewhere_bg.items()
-                    if not (
-                        k[0] in elsewhere
-                        and elsewhere[k[0]] <= v
-                        and k[1] in elsewhere
-                        and elsewhere[k[1]] <= v
-                    )
-                }
-                adj += bigram_reward_multiplier * sum(
-                    1.0 / (v * v) for v in overlap_bg_f.values()
-                ) - bigram_punishment_multiplier * len(elsewhere_bg_f)
-                out["overlapping_bigrams_this_l_and_r"] = _map_json(
-                    overlap_bg, tuple_keys=True
-                )
-                out["bigrams_elsewhere_in_block_but_not_this"] = _map_json(
-                    elsewhere_bg, tuple_keys=True
-                )
-                out["overlapping_bigrams_this_l_and_r_filtered"] = _map_json(
-                    overlap_bg_f, tuple_keys=True
-                )
-                out["bigrams_elsewhere_in_block_but_not_this_filtered"] = _map_json(
-                    elsewhere_bg_f, tuple_keys=True
-                )
-
-            out["mw_adjustment"] = adj
-            out["match_weight"] = row["match_weight"] + adj
-            rows.append(out)
-        return pd.DataFrame(rows)
+        return _frame_rescore(
+            g,
+            match_weight_threshold=match_weight_threshold,
+            top_n_matches=top_n_matches,
+            use_bigrams=use_bigrams,
+            extra=extra,
+            reward_multiplier=reward_multiplier,
+            punishment_multiplier=punishment_multiplier,
+            bigram_reward_multiplier=bigram_reward_multiplier,
+            bigram_punishment_multiplier=bigram_punishment_multiplier,
+            missing_token_penalty=missing_token_penalty,
+        )
 
     return rescore
 
@@ -374,9 +465,13 @@ def improve_predictions_using_distinguishing_tokens(
         **multipliers,
     )
     if store_l_ref is None:
-        from .bucketing import bucketed_pandas_groupby
+        from .bucketing import bucketed_group_apply
 
-        return bucketed_pandas_groupby(pairs, "ukam_address_id_r", fn)
+        # fn handles a whole bucket (any number of groups) in one call —
+        # one vectorised sort + per-run span core, no per-group frames
+        return bucketed_group_apply(
+            pairs, "ukam_address_id_r", fn, batch_format="pandas"
+        )
 
     import ray
 
@@ -437,14 +532,9 @@ def improve_predictions_using_distinguishing_tokens(
         # under different blocking rules) collapse here — exact because
         # the duplicates are byte-identical
         df = df.drop_duplicates(["ukam_address_id_r", "ukam_address_id_l"])
-        outs = [
-            fn(sub)
-            for _, sub in df.groupby("ukam_address_id_r", sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if not outs:
+        res = fn(df)  # whole-bucket: one sort, span core per key run
+        if not len(res):
             return _typed_empty()
-        res = pd.concat(outs, ignore_index=True)
         return pa.Table.from_pandas(
             res, preserve_index=False
         ).replace_schema_metadata(None)
