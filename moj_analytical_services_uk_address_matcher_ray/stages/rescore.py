@@ -475,6 +475,7 @@ def improve_predictions_using_distinguishing_tokens(
 
     import ray
 
+    from ..state.metrics import inc_metric
     from .bucketing import bucketed_group_apply
 
     r_ref = store_r_ref if store_r_ref is not None else store_l_ref
@@ -491,6 +492,9 @@ def improve_predictions_using_distinguishing_tokens(
     def partial_topn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
+        import time as _time
+
+        _t0 = _time.perf_counter()
         df = t.to_pandas()
         df = df.sort_values(
             ["ukam_address_id_r", "match_weight", "unique_id_l"],
@@ -498,9 +502,11 @@ def improve_predictions_using_distinguishing_tokens(
             kind="mergesort",
         ).drop_duplicates(["ukam_address_id_r", "ukam_address_id_l"])
         df = df.groupby("ukam_address_id_r", sort=False).head(top_n_matches)
-        return pa.Table.from_pandas(
+        out = pa.Table.from_pandas(
             df, preserve_index=False
         ).replace_schema_metadata(None)
+        inc_metric("rescore.partial_topn_cpu_sec", _time.perf_counter() - _t0)
+        return out
 
     pairs = pairs.map_batches(partial_topn, batch_format="pyarrow")
 
@@ -524,6 +530,9 @@ def improve_predictions_using_distinguishing_tokens(
     def bucket(g: pa.Table):
         if g.num_rows == 0:
             return _typed_empty()
+        import time as _time
+
+        _t0 = _time.perf_counter()
         store_l = ray.get(store_l_ref)  # zero-copy from the local store
         store_r = store_l if r_ref == store_l_ref else ray.get(r_ref)
         g = _attach_payload_from_store(g, store_l, store_r, id_col)
@@ -532,7 +541,10 @@ def improve_predictions_using_distinguishing_tokens(
         # under different blocking rules) collapse here — exact because
         # the duplicates are byte-identical
         df = df.drop_duplicates(["ukam_address_id_r", "ukam_address_id_l"])
+        _t1 = _time.perf_counter()
+        inc_metric("rescore.gather_cpu_sec", _t1 - _t0)
         res = fn(df)  # whole-bucket: one sort, span core per key run
+        inc_metric("rescore.fn_cpu_sec", _time.perf_counter() - _t1)
         if not len(res):
             return _typed_empty()
         return pa.Table.from_pandas(
