@@ -232,3 +232,58 @@ def test_dedup_code_corpus_use_rescore_end_to_end(ray_session):
     rec = tp / max(1, pair_count(m["cluster_id_true"]))
     f1 = 2 * prec * rec / max(1e-9, prec + rec)
     assert f1 > 0.95, (prec, rec, f1)
+
+
+def test_multi_group_frame_equals_per_group_concat():
+    """The group fn accepts a frame holding MANY messy-record groups and
+    must produce exactly the concat of per-group invocations (the
+    whole-bucket fast path relies on this)."""
+    fn = make_rescore_group_fn(match_weight_threshold=-100, top_n_matches=3)
+    frames = []
+    for gi in range(1, 6):
+        g = _group(
+            f"{gi} HIGH STREET TOWN{gi}",
+            [f"{gi} HIGH STREET TOWN{gi}", f"{gi+1} LOW ROAD TOWN{gi}"],
+            common_end_token="TOWN1" if gi == 1 else None,
+        )
+        g["ukam_address_id_r"] = gi
+        g["unique_id_r"] = f"r{gi}"
+        frames.append(g)
+    whole = pd.concat(frames, ignore_index=True)
+    got = fn(whole).sort_values(
+        ["ukam_address_id_r", "ukam_address_id_l"]
+    ).reset_index(drop=True)
+    want = (
+        pd.concat([fn(f) for f in frames], ignore_index=True)
+        .sort_values(["ukam_address_id_r", "ukam_address_id_l"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_no_bigrams_schema_and_adjustment():
+    fn = make_rescore_group_fn(
+        match_weight_threshold=-100, top_n_matches=5, use_bigrams=False
+    )
+    out = fn(_group("1 HIGH STREET", ["1 HIGH STREET", "2 LOW ROAD"]))
+    assert "overlapping_bigrams_this_l_and_r" not in out.columns
+    assert "mw_adjustment" in out.columns and len(out) == 2
+    # the exact match: all 4 tokens overlap (each count 1 within its own
+    # list; HIGH/STREET appear once in block, 1 appears once, W1A twice)
+    exact = out[out["unique_id_l"] == "l1"].iloc[0]
+    overlap = json.loads(exact["overlapping_tokens_this_l_and_r"])
+    assert set(overlap) == {"1", "HIGH", "STREET", "W1A"}
+
+
+def test_additional_columns_retained_and_null_padded():
+    fn = make_rescore_group_fn(
+        match_weight_threshold=-100,
+        top_n_matches=5,
+        additional_columns_to_retain=["source"],
+    )
+    g = _group("1 HIGH STREET", ["1 HIGH STREET"])
+    g["source_l"] = ["corpusA"]
+    # source_r deliberately absent -> must come back as None
+    out = fn(g)
+    assert out["source_l"].tolist() == ["corpusA"]
+    assert out["source_r"].isna().all() or out["source_r"].tolist() == [None]
