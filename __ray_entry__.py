@@ -1061,6 +1061,20 @@ def _q_distinct_per_group(sf_dir: str):
     )
 
 
+def _q_mode_per_group(sf_dir: str):
+    """Per-source most frequent language (ties -> smallest lang) — the
+    exact distributed mode (stages/aggregates.py:mode_per_group)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        mode_per_group,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    return mode_per_group(
+        ds, group_col="source", value_col="lang",
+        out_value_col="mode_lang", out_count_col="mode_count",
+    )
+
+
 def _q_upsample(sf_dir: str):
     """Deterministic mixture upsampling (stages/sampling.py:
     upsample_by_weight): weights with exact binary fractions (2.5 / 0.5 /
@@ -2064,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "duplicate_spans": _q_duplicate_spans,
         "distinct_per_group": _q_distinct_per_group,
+        "mode_per_group": _q_mode_per_group,
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
@@ -2710,6 +2725,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # two-level exact distinct aggregate (stages/aggregates.py)
+        "mode_per_group": """
+            SELECT source, lang AS mode_lang,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM (
+                SELECT source, lang, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY count(*) DESC, lang ASC
+                       ) AS rn
+                FROM documents
+                WHERE lang IS NOT NULL
+                GROUP BY source, lang
+            ) WHERE rn = 1
+        """,
         "distinct_per_group": """
             SELECT o_orderpriority,
                    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust

@@ -570,3 +570,83 @@ def approx_quantiles_sample(
     return bucketed_group_apply(
         partials, group_col, _merge, n_buckets=n_buckets, exchange="direct"
     )
+
+
+def mode_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    value_col: str,
+    out_value_col: str = "mode_value",
+    out_count_col: str = "mode_count",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT per-group mode: the most frequent ``value_col`` (ties broken
+    by the smallest value — SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER
+    BY COUNT(*) DESC, v ASC) = 1``).  NULL values are ignored (callers
+    wanting SQL parity should also filter, or accept COUNT(v) semantics).
+
+    Combiner shape: each batch collapses to its distinct ``(group,
+    value)`` pair counts (one Arrow hash-groupby); ONE shuffle bucketed on
+    ``hash(group)`` co-locates every pair count of a group (the argmax
+    needs them together); the per-bucket merge sums partials and keeps the
+    first row of each group after an Arrow sort on (group ASC, count
+    DESC, value ASC).  Bytes shuffled ∝ distinct pairs, never rows."""
+    from .bucketing import bucketed_group_apply
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).filter(pc.is_valid(t[value_col]))
+        c = t.group_by([group_col, value_col]).aggregate([(value_col, "count")])
+        return pa.table(
+            {
+                group_col: c[group_col],
+                value_col: c[value_col],
+                "__part": c[f"{value_col}_count"].cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        gt = g.schema.field(group_col).type if group_col in g.column_names else pa.string()
+        vt = g.schema.field(value_col).type if value_col in g.column_names else pa.string()
+        empty = pa.table(
+            {
+                group_col: pa.array([], gt),
+                out_value_col: pa.array([], vt),
+                out_count_col: pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        merged = g.group_by([group_col, value_col]).aggregate([("__part", "sum")])
+        srt = merged.sort_by(
+            [
+                (group_col, "ascending"),
+                ("__part_sum", "descending"),
+                (value_col, "ascending"),
+            ]
+        )
+        keys = srt[group_col].combine_chunks()
+        n = len(keys)
+        if n == 1:
+            first = pa.array([True])
+        else:
+            neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+            if isinstance(neq, pa.ChunkedArray):
+                neq = neq.combine_chunks()
+            first = pa.concat_arrays([pa.array([True]), neq])
+        top = srt.filter(first)
+        return pa.table(
+            {
+                group_col: top[group_col],
+                out_value_col: top[value_col],
+                out_count_col: top["__part_sum"].cast(pa.int64()),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        group_col,
+        per_bucket,
+        n_buckets=n_buckets,
+        exchange="direct",
+    )

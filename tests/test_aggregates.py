@@ -213,3 +213,32 @@ def test_approx_quantiles_sample_exact_when_group_fits(ray_session):
     )
     assert out[0.0] == 0.0 and out[1.0] == 99.0
     assert out[0.5] == float(int(np.floor(0.5 * 99)))
+
+
+def test_mode_per_group_ties_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        mode_per_group,
+    )
+
+    t = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 4 + ["c"] * 2,
+            # a: x=2, y=2 (tie -> x), z=1;  b: nulls ignored -> q=1, p=2
+            # c: single value
+            "v": ["y", "x", "y", "x", "z", None, "p", "q", "p", "solo", "solo"],
+        }
+    )
+    out = (
+        mode_per_group(
+            ray.data.from_arrow(t), group_col="g", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out["g"].tolist() == ["a", "b", "c"]
+    assert out["mode_value"].tolist() == ["x", "p", "solo"]
+    assert out["mode_count"].tolist() == [2, 2, 2]
