@@ -1061,6 +1061,20 @@ def _q_distinct_per_group(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted top-k sample (weight = n_chars) —
+    deterministic md5 draw, block-partial top-k, one k-row reduce
+    (stages/sampling.py:weighted_sample_topk)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        weighted_sample_topk,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_sample_topk(
+        ds, id_col="doc_id", weight_col="n_chars", k=100
+    )
+
+
 def _q_mode_per_group(sf_dir: str):
     """Per-source most frequent language (ties -> smallest lang) — the
     exact distributed mode (stages/aggregates.py:mode_per_group)."""
@@ -2079,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": _q_duplicate_spans,
         "distinct_per_group": _q_distinct_per_group,
         "mode_per_group": _q_mode_per_group,
+        "weighted_sample": _q_weighted_sample,
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
@@ -2725,6 +2740,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # two-level exact distinct aggregate (stages/aggregates.py)
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln((('0x' || substr(md5(doc_id || ':es'), 1, 8))::UBIGINT
+                            + 1) / 4294967296.0) / n_chars AS es_key
+                FROM documents WHERE n_chars > 0
+            ) ORDER BY es_key DESC, doc_id DESC LIMIT 100
+        """,
         "mode_per_group": """
             SELECT source, lang AS mode_lang,
                    CAST(cnt AS BIGINT) AS mode_count

@@ -314,3 +314,84 @@ def select_to_token_budget(
     return bucketed_group_apply(
         narrow_ds, [source_col, "__r"], per_group, batch_format="pandas"
     )
+
+
+def weighted_sample_topk(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "es",
+    keep_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: the
+    global top-``k`` rows by key ``u^(1/w)`` (equivalently ``ln(u)/w``),
+    where ``u = (md5_prefix(id:salt) + 1) / 2^32`` ∈ (0, 1] is the
+    deterministic md5 lottery draw (the +1 keeps ``ln`` finite, unlike the
+    module's [0,1) split fraction).  Inclusion probability is proportional
+    to weight, the draw is reproducible from ids alone, and the whole
+    selection is ANSI-SQL re-derivable (one window-free ORDER BY ... LIMIT
+    k), so it is oracle-able end to end.
+
+    Scale shape: each block keeps its own top-``k`` partial (a global
+    top-k row always ranks ≤ k within its block), then ONE k×blocks-row
+    reduce — no global sort, no shuffle of the data itself.  Rows with
+    NULL or non-positive weights are excluded (ln(u)/w needs w > 0).
+    Near-ties are broken by ``id`` DESC so the Ray and SQL orders agree
+    even at equal keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .bucketing import bucketed_group_apply
+
+    cols = [id_col, weight_col] + [
+        c for c in (keep_cols or []) if c not in (id_col, weight_col)
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        w = t[weight_col]
+        t = t.filter(
+            pc.and_(pc.is_valid(w), pc.greater(w.cast(pa.float64()), 0.0))
+        )
+        df = t.to_pandas()
+        if len(df) == 0:
+            df["__es"] = pd.Series(dtype=float)
+        else:
+            u = np.array(
+                [
+                    (
+                        int(
+                            hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:8],
+                            16,
+                        )
+                        + 1
+                    )
+                    / _HASH_SPACE
+                    for v in df[id_col]
+                ]
+            )
+            df["__es"] = np.log(u) / df[weight_col].to_numpy(dtype=float)
+        df = df.sort_values(["__es", id_col], ascending=[False, False]).head(k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.select(cols)
+        df = g.to_pandas()
+        df = df.sort_values(["__es", id_col], ascending=[False, False]).head(k)
+        return pa.Table.from_pandas(
+            df[cols], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("__one", pa.array([1] * t.num_rows, pa.int32())),
+        batch_format="pyarrow",
+    )
+    return bucketed_group_apply(
+        partials, "__one", merge, n_buckets=1, exchange="direct"
+    )

@@ -246,3 +246,59 @@ def test_select_to_token_budget_int_budget_all_sources(ray_session):
     got = out.groupby("source")["n_tokens"].sum()
     assert set(got.index) == {"s0", "s1", "s2"}
     assert (got >= 6).all()
+
+
+def test_weighted_sample_topk_proportional_and_exact(ray_session):
+    """Heavy-weight rows must be sampled far more often, and the selection
+    must equal the brute-force E-S top-k computed driver-side."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        weighted_sample_topk,
+    )
+
+    n = 2000
+    ids = list(range(n))
+    # first 100 ids are 50x heavier
+    weights = [50.0 if i < 100 else 1.0 for i in ids]
+    t = pa.table({"id": ids, "w": weights})
+    out = weighted_sample_topk(
+        ray.data.from_arrow(t), id_col="id", weight_col="w", k=200
+    ).to_pandas()
+    assert len(out) == 200
+
+    def key(i, w):
+        u = (
+            int(hashlib.md5(f"{i}:es".encode()).hexdigest()[:8], 16) + 1
+        ) / 2**32
+        return math.log(u) / w
+
+    brute = sorted(
+        zip(ids, weights), key=lambda p: (key(*p), p[0]), reverse=True
+    )[:200]
+    assert sorted(out["id"].tolist()) == sorted(i for i, _ in brute)
+    # proportionality: the 100 heavy rows (5% of rows, ~72% of weight)
+    # must dominate the sample
+    heavy = (out["id"] < 100).sum()
+    assert heavy > 60, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sampling import (
+        weighted_sample_topk,
+    )
+
+    t = pa.table(
+        {"id": [1, 2, 3, 4], "w": [1.0, 0.0, None, -2.0]}
+    )
+    out = weighted_sample_topk(
+        ray.data.from_arrow(t), id_col="id", weight_col="w", k=10
+    ).to_pandas()
+    assert out["id"].tolist() == [1]
