@@ -1061,6 +1061,32 @@ def _q_distinct_per_group(sf_dir: str):
     )
 
 
+def _q_accuracy_sets(sf_dir: str):
+    """A10 grouping-sets accuracy rollup over a deterministic results
+    table derived from orders (stages/accuracy.py:calculate_accuracy_metrics,
+    reference benchmarking/analysis/accuracy.py:9-92)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.accuracy import (
+        calculate_accuracy_metrics,
+    )
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "dataset_name": t["o_orderpriority"],
+                "match_reason": t["o_orderstatus"],
+                "is_correct": pc.greater(
+                    t["o_totalprice"], 150000.0
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return calculate_accuracy_metrics(ds)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Efraimidis-Spirakis weighted top-k sample (weight = n_chars) —
     deterministic md5 draw, block-partial top-k, one k-row reduce
@@ -2094,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_per_group": _q_distinct_per_group,
         "mode_per_group": _q_mode_per_group,
         "weighted_sample": _q_weighted_sample,
+        "accuracy_sets": _q_accuracy_sets,
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
@@ -2740,6 +2767,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # two-level exact distinct aggregate (stages/aggregates.py)
+        "accuracy_sets": """
+            SELECT o_orderpriority AS dataset_name,
+                   o_orderstatus AS match_reason,
+                   CAST(sum(CASE WHEN o_totalprice > 150000.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS correct_count,
+                   CAST(count(*) AS BIGINT) AS total_count,
+                   100.0 * sum(CASE WHEN o_totalprice > 150000.0
+                               THEN 1 ELSE 0 END) / count(*) AS accuracy_pct
+            FROM orders
+            GROUP BY GROUPING SETS (
+                (o_orderpriority, o_orderstatus),
+                (o_orderpriority), (o_orderstatus), ()
+            )
+        """,
         "weighted_sample": """
             SELECT doc_id, n_chars FROM (
                 SELECT doc_id, n_chars,

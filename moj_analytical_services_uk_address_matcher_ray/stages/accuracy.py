@@ -183,31 +183,59 @@ def calculate_accuracy_metrics(
     reason_col: str = "match_reason",
     correct_col: str = "is_correct",
 ) -> pd.DataFrame:
-    """A10: GROUPING SETS over (dataset, match_reason) emulated by running
-    each grouping level as its own aggregate and unioning (small outputs)."""
+    """A10: GROUPING SETS over (dataset, match_reason) — SQL ``GROUP BY
+    GROUPING SETS ((d, r), (d), (r), ())``, rolled-up columns NULL.
+
+    ONE distributed pass: each batch collapses to its (dataset, reason)
+    -> (sum, count) partials (an Arrow hash-groupby combiner), the tiny
+    partial table lands on the driver, and every coarser grouping level
+    is an exact pandas re-aggregation of the finest level — no second
+    shuffle, no per-level job, no row-level driver data."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([dataset_col, reason_col, correct_col]).group_by(
+            [dataset_col, reason_col]
+        ).aggregate([(correct_col, "sum"), (correct_col, "count")])
+        return pa.table(
+            {
+                dataset_col: g[dataset_col],
+                reason_col: g[reason_col],
+                "correct_count": g[f"{correct_col}_sum"].cast(pa.int64()),
+                "total_count": g[f"{correct_col}_count"].cast(pa.int64()),
+            }
+        )
+
+    fine = (
+        results.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby([dataset_col, reason_col], as_index=False)[
+            ["correct_count", "total_count"]
+        ]
+        .sum()
+    )
     frames = []
     for keys in ([dataset_col, reason_col], [dataset_col], [reason_col], []):
         if keys:
-            agg = results.groupby(keys).sum(correct_col).to_pandas()
-            cnt = results.groupby(keys).count().to_pandas()
-            merged = agg.merge(cnt, on=keys)
+            lvl = fine.groupby(keys, as_index=False)[
+                ["correct_count", "total_count"]
+            ].sum()
         else:
-            total = results.count()
-            correct = sum(
-                r[correct_col]
-                for r in results.select_columns([correct_col]).take_all()
-            )
-            merged = pd.DataFrame(
-                {f"sum({correct_col})": [correct], "count()": [total]}
+            lvl = pd.DataFrame(
+                {
+                    "correct_count": [fine["correct_count"].sum()],
+                    "total_count": [fine["total_count"].sum()],
+                }
             )
         for col in (dataset_col, reason_col):
-            if col not in merged.columns:
-                merged[col] = None
-        merged = merged.rename(
-            columns={f"sum({correct_col})": "correct_count", "count()": "total_count"}
+            if col not in lvl.columns:
+                lvl[col] = None
+        lvl["accuracy_pct"] = (
+            100.0 * lvl["correct_count"] / lvl["total_count"]
         )
-        merged["accuracy_pct"] = 100.0 * merged["correct_count"] / merged["total_count"]
-        frames.append(merged[[dataset_col, reason_col, "correct_count", "total_count", "accuracy_pct"]])
+        frames.append(
+            lvl[[dataset_col, reason_col, "correct_count", "total_count", "accuracy_pct"]]
+        )
     return pd.concat(frames, ignore_index=True)
 
 

@@ -74,3 +74,26 @@ def test_analyse_mismatches(ray_session):
     assert worst.iloc[0]["similarity_score"] < worst.iloc[1]["similarity_score"]
     samples = out["random_samples"]
     assert set(samples["unique_id"]) == {"m2", "m3"}
+
+
+def test_calculate_accuracy_metrics_grouping_sets(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.accuracy import (
+        calculate_accuracy_metrics,
+    )
+
+    rows = [
+        {"dataset_name": "a", "match_reason": "x", "is_correct": 1},
+        {"dataset_name": "a", "match_reason": "x", "is_correct": 0},
+        {"dataset_name": "a", "match_reason": "y", "is_correct": 1},
+        {"dataset_name": "b", "match_reason": "x", "is_correct": 1},
+    ]
+    out = calculate_accuracy_metrics(rd.from_items(rows))
+    # 4 levels: (d,r)=3 rows, (d)=2, (r)=2, ()=1
+    assert len(out) == 8
+    fine = out[out["dataset_name"].notna() & out["match_reason"].notna()]
+    assert len(fine) == 3
+    ax = fine[(fine["dataset_name"] == "a") & (fine["match_reason"] == "x")]
+    assert ax["correct_count"].iloc[0] == 1 and ax["total_count"].iloc[0] == 2
+    assert ax["accuracy_pct"].iloc[0] == 50.0
+    top = out[out["dataset_name"].isna() & out["match_reason"].isna()]
+    assert top["correct_count"].iloc[0] == 3 and top["total_count"].iloc[0] == 4
