@@ -1656,7 +1656,7 @@ def _abm_l_side(t: pa.Table) -> pa.Table:
     )
 
 
-def _q_address_best_match(sf_dir: str):
+def _abm_best(sf_dir: str):
     """P1+P2 second pass over a DETERMINISTIC scored-pairs table (value-hash
     oracle).  The pairs are derived from ``customer`` with SQL-reproducible
     arithmetic; the REAL rescore + best-match operators run on them
@@ -1738,7 +1738,11 @@ def _q_address_best_match(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    best = best_matches_with_distinguishability(improved, messy)
+    return best_matches_with_distinguishability(improved, messy)
+
+
+def _q_address_best_match_finalize(sf_dir: str):
+    best = _abm_best(sf_dir)
 
     def finalize(t: pa.Table) -> pa.Table:
         def round6(col) -> pa.Array:
@@ -1764,6 +1768,17 @@ def _q_address_best_match(sf_dir: str):
         )
 
     return best.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_best_match_summary(sf_dir: str):
+    """P3 summary (reference analyse_results.py:164-236): category counts +
+    percentage strings over the SAME deterministic second-pass chain the
+    ``address_best_match`` oracle reproduces end to end."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.best_match import (
+        best_matches_summary,
+    )
+
+    return best_matches_summary(_abm_best(sf_dir))
 
 
 # DuckDB reproduction of the full second-pass chain (see
@@ -2132,7 +2147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "code_clusters": _q_code_clusters,
         "linkage_f1": _q_linkage_f1,
-        "address_best_match": _q_address_best_match,
+        "address_best_match": _q_address_best_match_finalize,
+        "best_match_summary": _q_best_match_summary,
         "media_decode": _q_media_decode,
         "token_budget_mix": _q_token_budget_mix,
     }
@@ -3472,6 +3488,13 @@ def oracle_sql() -> dict[str, str]:
         # position-filtered keys) to mirror Python dict iteration; outputs
         # are rounded to 1e-6 so last-ulp differences cannot flip the hash.
         "address_best_match": _ABM_ORACLE_SQL,
+        "best_match_summary": (
+            "SELECT distinguishability_category, "
+            "CAST(count(*) AS BIGINT) AS count, "
+            "printf('%.2f', 100.0 * count(*) / sum(count(*)) OVER ()) || '%' "
+            "AS percentage FROM (" + _ABM_ORACLE_SQL + ") base "
+            "GROUP BY distinguishability_category"
+        ),
         # Planted-cluster F1 gate pinned to its exact expected metric values
         # (the pipeline must recover the synthetic clusters perfectly).
         "linkage_f1": """
