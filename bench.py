@@ -174,6 +174,26 @@ def run_bench() -> dict:
         if k.startswith(("cc.", "relabel."))
     }
 
+    # full predict->improve shape (distinguishing-token rescore ON) as its
+    # own top-level leg — reported separately so the headline suite sum
+    # stays comparable across rounds.  Skipped in --scaling/linkage-only
+    # legs and when the main flagship already ran rescore-on.
+    rescore_sec = None
+    if not os.environ.get("UAM_BENCH_LINKAGE_ONLY") and not (
+        os.environ.get("UAM_BENCH_RESCORE", "").lower() in ("1", "true", "yes")
+    ):
+        reset_metrics()
+        t0 = time.perf_counter()
+        dedup_code_corpus(
+            uam_read_parquet(corpus_path),
+            scorer_concurrency=max(2, NUM_CPUS // 4),
+            max_pairs_per_block=int(
+                os.environ.get("UAM_MAX_PAIRS_PER_BLOCK", "50000")
+            ),
+            use_rescore=True,
+        ).materialize().count()
+        rescore_sec = round(time.perf_counter() - t0, 3)
+
     # --- representative operator pipelines over the sf tables --------------
     queries = entrymod.queries()
     bench_queries = [
@@ -266,6 +286,7 @@ def run_bench() -> dict:
         "linkage_fused": fused,
         "linkage_cc": cc_split,
         "pairs_scored": pairs_scored,
+        "linkage_rescore_sec": rescore_sec,
         "pairs_per_sec": round(pairs_scored / timings["linkage_dedup"], 1)
         if timings["linkage_dedup"]
         else None,
