@@ -115,3 +115,17 @@ def test_media_pipeline_example(ray_session):
     assert out["decoded_rows"] == out["media_rows"]
     assert out["near_dup_pairs"] >= 40  # one per planted group, at least
     assert out["same_group_pairs"] == out["near_dup_pairs"]  # no false pairs
+
+
+def test_training_mix_example(ray_session, tmp_path):
+    from examples.training_mix import main
+
+    out = main("/root/testdata/sf0.001", str(tmp_path / "mix"), verbose=False)
+    assert out["pool_docs"] <= out["input_docs"]
+    assert 0 < out["budgeted_docs"] <= out["pool_docs"]
+    # curriculum and packing plans cover exactly the budgeted docs
+    assert out["curriculum_rows"] == out["budgeted_docs"]
+    assert out["packed_rows"] == out["budgeted_docs"]
+    assert out["n_sequences"] > 0
+    # every source got a dominant-language diagnostic
+    assert len(out["dominant_lang_per_source"]) == len(out["weights"])
