@@ -558,6 +558,7 @@ def asof_join(
     from .bucketing import bucketed_group_apply
 
     by = [by] if isinstance(by, str) else list(by)
+    left, right = _arrowize(left), _arrowize(right)  # pandas-block inputs
     l_schema, r_schema = left.schema(), right.schema()
     r_types = dict(zip(r_schema.names, r_schema.types))
     renamed = [c + suffix for c in right_cols]
@@ -676,6 +677,7 @@ def range_join(
 
     from .bucketing import bucketed_group_apply
 
+    left, right = _arrowize(left), _arrowize(right)  # pandas-block inputs
     l_schema, r_schema = left.schema(), right.schema()
     r_types = dict(zip(r_schema.names, r_schema.types))
     renamed = [c + suffix for c in right_cols]

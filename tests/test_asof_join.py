@@ -132,3 +132,68 @@ def test_range_join_one_to_many_fanout(ray_session):
         right_val="t", right_cols=["rid"],
     ).to_pandas()
     assert sorted(out["rid_r"]) == list(range(100))
+
+
+def test_asof_randomized_matches_duckdb(ray_session):
+    """Randomized DuckDB ASOF-JOIN parity: backward/forward x inner/left on
+    data with duplicate timestamps, missing keys and one hot key."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 400, 300
+    keys = np.array(["a", "b", "c", "d", "hot"])
+    lk = keys[rng.integers(0, 5, n_l)]
+    # hot key: half the right rows
+    rk = np.concatenate(
+        [keys[rng.integers(0, 4, n_r // 2)], np.array(["hot"] * (n_r - n_r // 2))]
+    )
+    ldf = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": lk,
+            "t": rng.integers(0, 100, n_l),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": rk,
+            "t": rng.integers(0, 100, n_r),
+            "v": rng.integers(0, 1000, n_r).astype(float),
+        }
+    )
+    # drop duplicate (k, t) on the right: at equal timestamps DuckDB ASOF
+    # picks an arbitrary row while ours picks the deterministic value-tuple
+    # winner — dedupe to make the expected winner unique
+    rdf = rdf.drop_duplicates(["k", "t"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    for direction, op in (("backward", ">="), ("forward", "<=")):
+        for how in ("inner", "left"):
+            got = (
+                asof_join(
+                    rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False)),
+                    rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False)),
+                    on="t",
+                    by="k",
+                    right_cols=["v"],
+                    direction=direction,
+                    how=how,
+                )
+                .to_pandas()[["lid", "v_r"]]
+                .sort_values("lid")
+                .reset_index(drop=True)
+            )
+            join_kw = "ASOF JOIN" if how == "inner" else "ASOF LEFT JOIN"
+            want = con.sql(
+                f"SELECT l.lid, r.v AS v_r FROM l {join_kw} r "
+                f"ON l.k = r.k AND l.t {op} r.t ORDER BY lid"
+            ).df()
+            got["v_r"] = got["v_r"].astype(float)
+            want["v_r"] = want["v_r"].astype(float)
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False,
+            ), (direction, how)
