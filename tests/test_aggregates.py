@@ -242,3 +242,49 @@ def test_mode_per_group_ties_and_nulls(ray_session):
     assert out["g"].tolist() == ["a", "b", "c"]
     assert out["mode_value"].tolist() == ["x", "p", "solo"]
     assert out["mode_count"].tolist() == [2, 2, 2]
+
+
+def test_group_quantiles_randomized_matches_duckdb(ray_session):
+    """Randomized quantile_cont parity incl. single-row groups and skew."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        group_quantiles,
+    )
+
+    rng = np.random.default_rng(23)
+    sizes = {"g0": 1, "g1": 2, "g2": 37, "g3": 400, "g4": 5}
+    rows = []
+    for g, n in sizes.items():
+        vals = rng.normal(0, 100, n)
+        rows += [{"g": g, "v": float(v)} for v in vals]
+    df = pd.DataFrame(rows)
+    got = (
+        group_quantiles(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            group_col="g",
+            value_col="v",
+            quantiles=[0.0, 0.25, 0.5, 0.9, 1.0],
+            round_to=None,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT g, quantile_cont(v, 0.0) AS q0, quantile_cont(v, 0.25) AS q25, "
+        "quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.9) AS q90, "
+        "quantile_cont(v, 1.0) AS q100 FROM t GROUP BY g ORDER BY g"
+    ).df()
+    qcols = [c for c in got.columns if c != "g"]
+    assert len(got) == len(want)
+    for rg, rw in zip(
+        got[qcols].to_numpy(), want[[c for c in want.columns if c != "g"]].to_numpy()
+    ):
+        np.testing.assert_allclose(sorted(rg), sorted(rw), rtol=1e-12)

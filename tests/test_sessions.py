@@ -45,3 +45,47 @@ def test_session_summary(ray_session):
     assert rows == {(1, 0): 3, (1, 1): 2, (2, 0): 3}
     u1s1 = out[(out["user_id"] == 1) & (out["session_id"] == 1)].iloc[0]
     assert (u1s1["session_end"] - u1s1["session_start"]) == pd.Timedelta(minutes=5)
+
+
+def test_sessionize_randomized_matches_duckdb(ray_session):
+    """Randomized parity vs the SQL sessionization idiom: session_id =
+    SUM(CASE WHEN ts - lag(ts) > gap THEN 1 ELSE 0 END) OVER (PARTITION BY
+    user ORDER BY ts, id).  Duplicate timestamps included (id tie-break)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    n = 600
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 12, n),
+            # coarse grid -> plenty of exact duplicate timestamps per user
+            "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.integers(0, 300, n)],
+        }
+    )
+    got = (
+        sessionize(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            key_col="user_id",
+            ts_col="ts",
+            gap=pd.Timedelta(minutes=20),
+            id_col="event_id",
+        )
+        .to_pandas()[["event_id", "session_id"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    want = con.sql(
+        "SELECT event_id, CAST(SUM(CASE WHEN diff > INTERVAL 20 MINUTE "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS BIGINT) AS session_id FROM ("
+        "  SELECT event_id, user_id, ts, "
+        "         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff"
+        "  FROM e) ORDER BY event_id"
+    ).df()
+    assert got["session_id"].astype(int).tolist() == want["session_id"].astype(int).tolist()
