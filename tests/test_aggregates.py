@@ -288,3 +288,50 @@ def test_group_quantiles_randomized_matches_duckdb(ray_session):
         got[qcols].to_numpy(), want[[c for c in want.columns if c != "g"]].to_numpy()
     ):
         np.testing.assert_allclose(sorted(rg), sorted(rw), rtol=1e-12)
+
+
+def test_pivot_counts_randomized_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.aggregates import (
+        pivot_counts,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i}" for i in rng.integers(0, 9, n)],
+            "cat": np.array(["red", "green", "blue", "other"])[
+                rng.integers(0, 4, n)
+            ],
+        }
+    )
+    got = (
+        pivot_counts(
+            ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+            group_col="g",
+            category_col="cat",
+            categories=["red", "green", "blue"],
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT g, CAST(sum(CASE WHEN cat='red' THEN 1 ELSE 0 END) AS BIGINT) AS n_red, "
+        "CAST(sum(CASE WHEN cat='green' THEN 1 ELSE 0 END) AS BIGINT) AS n_green, "
+        "CAST(sum(CASE WHEN cat='blue' THEN 1 ELSE 0 END) AS BIGINT) AS n_blue "
+        "FROM t GROUP BY g ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["g", "n_red", "n_green", "n_blue"]].astype({c: "int64" for c in ("n_red", "n_green", "n_blue")}),
+        want,
+        check_dtype=False,
+    )

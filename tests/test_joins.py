@@ -148,3 +148,54 @@ ray.shutdown()
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_inner_left_join_randomized_null_keys_match_duckdb(ray_session):
+    """Randomized inner/left parity vs DuckDB incl. NULL keys on both
+    sides (SQL three-valued equality: NULL keys never match; left rows
+    with NULL keys still survive a left join), both routes."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(53)
+    n_l, n_r = 300, 200
+    lk = rng.integers(0, 40, n_l).astype(float)
+    lk[rng.random(n_l) < 0.1] = np.nan
+    rk = rng.integers(0, 40, n_r).astype(float)
+    rk[rng.random(n_r) < 0.1] = np.nan
+    ldf = pd.DataFrame({"lid": np.arange(n_l), "k": pd.array(lk).astype("Int64")})
+    rdf = pd.DataFrame(
+        {"k": pd.array(rk).astype("Int64"), "rv": np.arange(n_r) * 10}
+    )
+    con = duckdb.connect()
+    con.register("l", ldf)
+    con.register("r", rdf)
+    for how in ("inner", "left"):
+        for bcast in (True, False):
+            got = (
+                hash_join(
+                    ray.data.from_arrow(
+                        pa.Table.from_pandas(ldf, preserve_index=False)
+                    ),
+                    ray.data.from_arrow(
+                        pa.Table.from_pandas(rdf, preserve_index=False)
+                    ),
+                    "k",
+                    how=how,
+                    broadcast=bcast,
+                )
+                .to_pandas()[["lid", "rv"]]
+                .sort_values(["lid", "rv"])
+                .reset_index(drop=True)
+            )
+            kw = "JOIN" if how == "inner" else "LEFT JOIN"
+            want = con.sql(
+                f"SELECT l.lid, r.rv FROM l {kw} r ON l.k = r.k "
+                "ORDER BY lid, rv"
+            ).df()
+            assert len(got) == len(want), (how, bcast)
+            assert (
+                got["rv"].fillna(-1).astype(int).tolist()
+                == want["rv"].fillna(-1).astype(int).tolist()
+            ), (how, bcast)
