@@ -225,9 +225,14 @@ def parse_out_flat_position_and_letter(t: pa.Table) -> pa.Table:
 # C9 — numeric token extraction
 # ---------------------------------------------------------------------------
 
-_NUMERIC_RE = re.compile(rx.NUMERIC_TOKEN)
-_ALL_DIGITS_RE = re.compile(r"^\d+$")
-_DIGITS_RE = re.compile(rx.DIGITS)
+# re.ASCII: the reference executes these patterns under DuckDB's RE2,
+# whose \b / \d / \w are ASCII-only — Python's default unicode classes
+# would treat e.g. 'É' as a word char and disagree on '0É' (\b placement).
+# The Arrow kernels used for STRIPPING are RE2 too, so extraction must
+# match or strip/extract diverge (caught by tests/test_regex_fuzz.py).
+_NUMERIC_RE = re.compile(rx.NUMERIC_TOKEN, re.ASCII)
+_ALL_DIGITS_RE = re.compile(r"^\d+$", re.ASCII)
+_DIGITS_RE = re.compile(rx.DIGITS, re.ASCII)
 
 
 def parse_out_numbers(t: pa.Table) -> pa.Table:

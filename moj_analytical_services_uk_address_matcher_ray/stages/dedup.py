@@ -52,7 +52,10 @@ import ray
 from ..state.metrics import inc_metric
 from .cluster import connected_components
 
-_WORD = re.compile(r"\w+")
+# re.ASCII: the DuckDB oracles tokenize with RE2's ASCII \w — Python's
+# default unicode \w would include accented letters and diverge on
+# non-ASCII text (the ASCII rule is also what the oracles' SQL states)
+_WORD = re.compile(r"\w+", re.ASCII)
 
 _U64 = np.uint64
 _MOD64 = 1 << 64

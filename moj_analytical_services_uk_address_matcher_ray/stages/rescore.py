@@ -39,7 +39,9 @@ BIGRAM_REWARD_MULTIPLIER = 3.0
 BIGRAM_PUNISHMENT_MULTIPLIER = 1.5
 MISSING_TOKEN_PENALTY = 0.1
 
-_WS = re.compile(r"\s+")
+# re.ASCII: the reference splits with DuckDB/RE2 whose \s is ASCII —
+# Python's unicode \s would additionally split on U+00A0 etc.
+_WS = re.compile(r"\s+", re.ASCII)
 
 #: the exact pair columns the rescore group function reads — callers scoring
 #: with the fused narrow-pairs path (blocking.generate_and_score_pairs)

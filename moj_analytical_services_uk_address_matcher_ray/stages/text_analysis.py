@@ -135,7 +135,8 @@ def token_count(t: pa.Table, *, text_col: str = "text") -> pa.Table:
     texts = t[text_col].to_pylist()
     ws = []
     bpe = []
-    word_re = re.compile(r"\w+|[^\w\s]")
+    # re.ASCII for RE2/DuckDB-oracle parity (unicode \w diverges on accents)
+    word_re = re.compile(r"\w+|[^\w\s]", re.ASCII)
     for s in texts:
         s = s or ""
         ws.append(len(s.split()) if s.strip() else 0)
