@@ -94,3 +94,62 @@ def test_word_tokenizer_matches_duckdb_on_fuzzed_strings(strings):
     ]
     got = [_WORD.findall((s or "").lower()) for s in strings]
     assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ABC 12", min_size=0, max_size=12), min_size=1, max_size=8
+    )
+)
+def test_levenshtein_band_matches_duckdb(strings):
+    """Banded levenshtein (scoring comparison levels) vs DuckDB's builtin
+    on fuzzed short strings, all thresholds 0..3."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.scoring import (
+        levenshtein_leq,
+    )
+
+    pairs = [(a, b) for a in strings for b in strings][:40]
+    con = duckdb.connect()
+    for a, b in pairs:
+        d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for k in range(4):
+            assert levenshtein_leq(a, b, k) == (d <= k), (a, b, k, d)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["HOUSE", "A", "B2", "LANE", "END"]),
+        min_size=0,
+        max_size=7,
+    )
+)
+def test_remove_duplicate_end_tokens_matches_duckdb(tokens):
+    """The dup-end-token rule vs its SQL array form on fuzzed token lists
+    (1-token tail dup and 2-token tail dup, reference cleaning rule)."""
+    import pandas as pd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.cleaning import (
+        remove_duplicate_end_tokens,
+    )
+
+    s = " ".join(tokens)
+    t = pa.table({"address_concat": pa.array([s], pa.string())})
+    got = remove_duplicate_end_tokens(t)["address_concat"].to_pylist()[0]
+
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        WITH t AS (SELECT string_split(?, ' ') AS tk)
+        SELECT CASE
+            WHEN array_length(tk) >= 2 AND tk[-1] = tk[-2]
+                THEN array_to_string(tk[:-2], ' ')
+            WHEN array_length(tk) >= 4 AND tk[-4] = tk[-2] AND tk[-3] = tk[-1]
+                THEN array_to_string(tk[:-3], ' ')
+            ELSE array_to_string(tk, ' ')
+        END FROM t
+        """,
+        [s],
+    ).fetchone()[0]
+    assert got == want, (s, got, want)
