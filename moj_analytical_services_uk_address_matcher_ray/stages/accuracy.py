@@ -22,12 +22,14 @@ from .joins import inner_join, left_join
 
 def jaro_similarity(a: str, b: str) -> float:
     """Classic Jaro similarity (public algorithm; DuckDB exposes the same as
-    jaro_similarity)."""
-    if a == b:
-        return 1.0
+    jaro_similarity).  Empty-vs-empty is 0.0 to match DuckDB's convention
+    (the reference computes this metric in DuckDB; classic libraries say
+    1.0 — parity wins, fuzz-pinned in tests/test_regex_fuzz.py)."""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
+    if a == b:
+        return 1.0
     match_dist = max(la, lb) // 2 - 1
     a_flags = [False] * la
     b_flags = [False] * lb
@@ -57,11 +59,15 @@ def jaro_similarity(a: str, b: str) -> float:
 
 def jaro_winkler_similarity(a: str | None, b: str | None, p: float = 0.1) -> float:
     """Jaro-Winkler (prefix-boosted Jaro, standard scaling p=0.1, max prefix
-    4) — the similarity the reference's mismatch analysis ranks by
-    (benchmarking/analysis/mismatches.py:69-74, DuckDB builtin)."""
+    4, boost only above the standard 0.7 threshold — DuckDB's convention,
+    fuzz-pinned against the builtin) — the similarity the reference's
+    mismatch analysis ranks by (benchmarking/analysis/mismatches.py:69-74,
+    DuckDB builtin)."""
     if a is None or b is None:
         return 0.0
     jaro = jaro_similarity(a, b)
+    if jaro <= 0.7:  # Winkler boost threshold (DuckDB parity)
+        return jaro
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca == cb:

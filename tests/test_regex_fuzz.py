@@ -153,3 +153,21 @@ def test_remove_duplicate_end_tokens_matches_duckdb(tokens):
         [s],
     ).fetchone()[0]
     assert got == want, (s, got, want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="ABCDEF", min_size=0, max_size=10),
+    st.text(alphabet="ABCDEF", min_size=0, max_size=10),
+)
+def test_jaro_winkler_matches_duckdb(a, b):
+    from moj_analytical_services_uk_address_matcher_ray.stages.accuracy import (
+        jaro_winkler_similarity,
+    )
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    got = jaro_winkler_similarity(a, b)
+    assert abs(got - want) < 1e-9, (a, b, got, want)
