@@ -1991,7 +1991,11 @@ def generate_and_score_pairs(
         bucketed stage attaches the messy payload and scores in the same
         task.  The 10^12-row path: nothing is ever broadcast, the wide pair
         table exists only transiently inside bucket tasks.
-    ``auto`` picks broadcast when both sides fit ``broadcast_threshold``.
+    ``auto`` picks broadcast when both sides fit ``broadcast_threshold``
+    rows, and above that still prefers broadcast while the combined
+    payload bytes (``size_bytes``) fit a bounded slice of the object
+    store — the shuffle route's cost is O(pairs x payload), so it is the
+    right choice only when the CORPUS itself cannot be plasma-resident.
 
     ``emit_cols``: optional projection of the scored output (defaults to ids
     + rule + match weight/probability + all payload columns).
@@ -2022,7 +2026,31 @@ def generate_and_score_pairs(
     if payload_mode == "auto":
         same = canon is messy
         n = canon.count() + (0 if same else messy.count())
-        payload_mode = "broadcast" if n < broadcast_threshold else "shuffle"
+        if n < broadcast_threshold:
+            payload_mode = "broadcast"
+        else:
+            # Row count alone is the WRONG yardstick above the threshold:
+            # what must fit in plasma for the broadcast route is the
+            # carry-column STORE, O(corpus bytes) — while the shuffle
+            # route attaches payload per candidate PAIR, O(pairs x
+            # payload), which for a self-join dedup (pairs >> rows) is
+            # catastrophically larger (measured: a 2.16M-row flagship
+            # corpus chose shuffle at the old rule and spilled ~60 GB of
+            # half-joined pair payload to disk before dying OutOfDisk;
+            # its broadcast store was ~5 GB and fits plasma outright).
+            # Prefer broadcast while the store plausibly fits a bounded
+            # slice of the object store; fall back to shuffle only when
+            # the corpus itself is the thing that cannot be resident.
+            try:
+                sz = canon.size_bytes() or 0
+                if not same:
+                    sz += messy.size_bytes() or 0
+                cap = 0.25 * ray.cluster_resources().get(
+                    "object_store_memory", 8 << 30
+                )
+                payload_mode = "broadcast" if 0 < sz < cap else "shuffle"
+            except Exception:
+                payload_mode = "shuffle"
 
     if payload_mode == "broadcast":
         # FUSED path: key derivation -> ONE bucketed shuffle of the narrow
