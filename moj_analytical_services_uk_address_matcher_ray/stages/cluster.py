@@ -477,7 +477,18 @@ def connected_components(
             )
         )
 
-    if n_adj < driver_threshold:
+    # Gate on BYTES as well as rows: the thing the driver must hold is the
+    # id byte volume, and row count is a poor proxy (the same lesson as the
+    # payload-route cliff — a 4.32M-file corpus produced 30.3M adjacency
+    # rows, a hair over the row threshold, and paid 91 s of star rounds for
+    # a ~2 GB table the vectorised driver solver labels in seconds).  4 GB
+    # of ids is comfortably driver-sized on any node this engine targets;
+    # the distributed star loop remains the 10^9+-edge path.
+    # (``driver_threshold=0`` stays the explicit force-distributed hatch)
+    adj_bytes = adj.size_bytes() or 0
+    if n_adj < driver_threshold or (
+        driver_threshold > 0 and 0 < adj_bytes <= 4_000_000_000
+    ):
         # exact driver-side components, fully vectorised: factorize the node
         # ids to int codes (pandas C hashing), rank them lexicographically so
         # "min label" keeps the string-min cluster-id semantics, then iterate
@@ -597,9 +608,17 @@ def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
     # Arrow array (contiguous is the fast path — 0.75 s vs 6.8 s chunked
     # vs 3.0 s via object-array pandas factorize at 9.5M values)
     n_edges = len(tbl["node"])
-    enc = pa.concat_arrays(
-        list(tbl["node"].chunks) + list(tbl["nbr"].chunks)
-    ).dictionary_encode()
+    chunks = list(tbl["node"].chunks) + list(tbl["nbr"].chunks)
+    total_bytes = sum(
+        c.nbytes for c in chunks
+    )
+    if total_bytes >= (1 << 31) - (1 << 20):
+        # 2^31 string-offset ceiling: one contiguous pa.string() array
+        # cannot hold > 2 GiB of character data (hit at ~30M mirrored
+        # edges of ~35-byte ids) — concat as large_string instead; the
+        # dictionary_encode fast path works on either offset width
+        chunks = [c.cast(pa.large_string()) for c in chunks]
+    enc = pa.concat_arrays(chunks).dictionary_encode()
     uniques = enc.dictionary
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     n = len(uniques)
