@@ -594,6 +594,12 @@ def connected_components(
     )
 
 
+#: switch the driver CC's contiguous id concat to large_string above this
+#: (Arrow's 2^31 string-offset ceiling, minus headroom); module-level so
+#: tests can lower it to exercise the branch without 2 GiB of ids
+_LARGE_STRING_BYTES = (1 << 31) - (1 << 20)
+
+
 def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
     """Exact components of a mirrored adjacency Dataset, driver-side but
     vectorised end to end.  Returns (node, cluster_id) with cluster_id = the
@@ -612,7 +618,7 @@ def _vectorised_cc(adj: "ray.data.Dataset") -> pa.Table:
     total_bytes = sum(
         c.nbytes for c in chunks
     )
-    if total_bytes >= (1 << 31) - (1 << 20):
+    if total_bytes >= _LARGE_STRING_BYTES:
         # 2^31 string-offset ceiling: one contiguous pa.string() array
         # cannot hold > 2 GiB of character data (hit at ~30M mirrored
         # edges of ~35-byte ids) — concat as large_string instead; the

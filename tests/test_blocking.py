@@ -219,3 +219,48 @@ def test_partial_top1_running_best_pruning_is_exact(ray_session):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(full, pruned)
+
+
+def test_payload_auto_rule_prefers_broadcast_by_bytes(ray_session):
+    """Above the ROW threshold, auto must still pick the broadcast route
+    while the sides' byte volume fits the plasma slice (the 2M-row cliff:
+    the shuffle route costs O(pairs x payload) — regression for the
+    2.16M-file OutOfDisk).  The broadcast/fused route is identified by its
+    fused.* metrics; the shuffle route never emits them."""
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.datagen import (
+        GenConfig,
+        generate_corpus,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.pipelines.code_linkage import (
+        CODE_BLOCKING_RULES,
+        DEDUP_CARRY_COLS,
+        prepare_code_dataset,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.stages.blocking import (
+        generate_and_score_pairs,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        read_metrics,
+        reset_metrics,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.model import code_model
+
+    files, _ = generate_corpus(GenConfig(seed=5, n_clusters=25))
+    cleaned = prepare_code_dataset(rd.from_arrow(files)).materialize()
+    model = code_model(blocking_rules=list(CODE_BLOCKING_RULES))
+    reset_metrics()
+    out = generate_and_score_pairs(
+        cleaned,
+        cleaned,
+        model,
+        carry_cols=DEDUP_CARRY_COLS,
+        threshold_match_weight=10.0,
+        emit_cols=["ukam_address_id_l", "ukam_address_id_r", "match_weight"],
+        ordered_self_pairs=True,
+        payload_mode="auto",
+        broadcast_threshold=1,  # every corpus is "over" the row threshold
+    ).materialize()
+    assert out.count() > 0
+    assert "fused.store_drain_sec" in read_metrics()  # broadcast route ran

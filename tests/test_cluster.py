@@ -110,3 +110,48 @@ def test_long_path_converges(ray_session):
     out = connected_components(_edges(pairs), driver_threshold=0).materialize()
     got = {r["node"]: r["cluster_id"] for r in out.take_all()}
     assert set(got.values()) == {"p00"}
+
+
+def test_vectorised_cc_large_string_branch(ray_session, monkeypatch):
+    """The driver solver must produce identical labels through the
+    large_string concat branch (Arrow 2^31 offset ceiling path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages import cluster as C
+
+    t = pa.table(
+        {
+            "node": pa.array(["a", "b", "c", "c", "x"]),
+            "nbr": pa.array(["b", "a", "c", "d", "x"]),
+        }
+    )
+    normal = C._vectorised_cc(rd.from_arrow(t))
+    monkeypatch.setattr(C, "_LARGE_STRING_BYTES", 1)  # force the branch
+    large = C._vectorised_cc(rd.from_arrow(t))
+    assert normal.to_pydict() == large.to_pydict()
+
+
+def test_cc_byte_gate_prefers_driver_over_row_threshold(ray_session):
+    """An adjacency over the ROW threshold but tiny in bytes must take the
+    driver path (cc.driver_solve_sec recorded, no star metrics)."""
+    import ray.data as rd
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.cluster import (
+        connected_components,
+    )
+    from moj_analytical_services_uk_address_matcher_ray.state.metrics import (
+        read_metrics,
+        reset_metrics,
+    )
+
+    edges = rd.from_items(
+        [{"src": f"n{i}", "dst": f"n{i+1}"} for i in range(500)]
+    )
+    reset_metrics()
+    out = connected_components(edges, driver_threshold=10).materialize()
+    assert out.count() == 501
+    assert {r["cluster_id"] for r in out.take_all()} == {"n0"}
+    m = read_metrics()
+    assert m.get("cc.driver_solve_sec", 0) > 0
+    assert "cc.max_star_group_rows" not in m
