@@ -420,6 +420,7 @@ def connected_components(
     max_rounds: int = 50,
     num_partitions: int = 32,  # kept for API compat; groupby sizes itself
     driver_threshold: int = 30_000_000,
+    driver_threshold_bytes: int = 4_000_000_000,
     star_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Compute components of the undirected graph given by ``edges``.
@@ -487,7 +488,7 @@ def connected_components(
     # (``driver_threshold=0`` stays the explicit force-distributed hatch)
     adj_bytes = adj.size_bytes() or 0
     if n_adj < driver_threshold or (
-        driver_threshold > 0 and 0 < adj_bytes <= 4_000_000_000
+        driver_threshold > 0 and 0 < adj_bytes <= driver_threshold_bytes
     ):
         # exact driver-side components, fully vectorised: factorize the node
         # ids to int codes (pandas C hashing), rank them lexicographically so
