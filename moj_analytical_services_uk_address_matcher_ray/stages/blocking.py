@@ -2127,6 +2127,13 @@ def generate_and_score_pairs(
         # per-task setup ~free, so fine granularity costs little;
         # callers with many tiny blocks (two-table gazetteer runs) can
         # lower n_buckets to shrink the per-bucket fixed costs.
+        #
+        # NOTE a finer nb does NOT shrink the big-corpus memory footprint:
+        # per-reduce RSS is dominated by shared plasma mappings of the
+        # warm store (counted per process), not by bucket row count —
+        # measured at 4.32M files, nb 128 -> 519 left reduces at 5-8 GB
+        # RSS and cost ~20% wall.  The footprint that matters is the
+        # O(corpus) warm state, which a multi-node cluster divides.
         nb = n_buckets or max(128, 4 * default_buckets())
         if os.environ.get("UAM_FUSED_EXCHANGE") == "sort":
             # Dataset-native sort shuffle of an explicit keyed stream —
