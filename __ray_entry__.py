@@ -1061,6 +1061,36 @@ def _q_distinct_per_group(sf_dir: str):
     )
 
 
+def _q_lag_delta(sf_dir: str):
+    """LAG window over events: per-user previous value ordered by (ts,
+    event_id) plus the delta (stages/sessions.py:lag_over)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import lag_over
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = lag_over(
+        ds, key_col="user_id", order_col="ts", value_col="value",
+        id_col="event_id", out_col="prev_value",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        prev = t["prev_value"].combine_chunks()
+        if pa.types.is_null(prev.type):
+            prev = prev.cast(pa.float64())
+        else:
+            prev = prev.cast(pa.float64())
+        delta = pc.subtract(t["value"].combine_chunks().cast(pa.float64()), prev)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "prev_value": prev,
+                "delta": delta,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_accuracy_sets(sf_dir: str):
     """A10 grouping-sets accuracy rollup over a deterministic results
     table derived from orders (stages/accuracy.py:calculate_accuracy_metrics,
@@ -2136,6 +2166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_group": _q_mode_per_group,
         "weighted_sample": _q_weighted_sample,
         "accuracy_sets": _q_accuracy_sets,
+        "lag_delta": _q_lag_delta,
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
@@ -2783,6 +2814,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # two-level exact distinct aggregate (stages/aggregates.py)
+        "lag_delta": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_value,
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta
+            FROM events
+        """,
         "accuracy_sets": """
             SELECT o_orderpriority AS dataset_name,
                    o_orderstatus AS match_reason,

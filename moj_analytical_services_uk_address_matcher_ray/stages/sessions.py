@@ -242,3 +242,42 @@ def session_summary(
         return out.reset_index()
 
     return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")
+
+
+def lag_over(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    id_col: str | None = None,
+    offset: int = 1,
+    out_col: str = "lag_value",
+) -> "ray.data.Dataset":
+    """SQL ``LAG(value, offset) OVER (PARTITION BY key ORDER BY order
+    [, id])`` — per-key previous value; negative ``offset`` gives LEAD.
+    Rows without a predecessor (the first ``offset`` rows of a key) carry
+    NULL, exactly the SQL default.
+
+    ONE hash-bucketed shuffle on the key; inside each bucket one global
+    mergesort over (key, order, id) and one vectorised shift — rows of a
+    shifted-in DIFFERENT key are nulled by comparing the shifted key
+    column, so there is no per-group loop.  ``id_col`` breaks equal
+    ``order_col`` ties deterministically (required for a value-hash
+    oracle when order values repeat)."""
+    if offset == 0:
+        raise ValueError("lag_over: offset must be non-zero")
+    from .bucketing import bucketed_group_apply
+
+    sort_cols = [key_col, order_col] + ([id_col] if id_col else [])
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(**{out_col: np.array([], dtype=object)})
+        out = df.sort_values(sort_cols, kind="mergesort")
+        shifted = out[value_col].shift(offset)
+        same_key = out[key_col].eq(out[key_col].shift(offset))
+        out[out_col] = shifted.where(same_key)
+        return out
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")

@@ -89,3 +89,36 @@ def test_sessionize_randomized_matches_duckdb(ray_session):
         "  FROM e) ORDER BY event_id"
     ).df()
     assert got["session_id"].astype(int).tolist() == want["session_id"].astype(int).tolist()
+
+
+def test_lag_over_lead_and_nulls(ray_session):
+    import numpy as np
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import lag_over
+
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": 1.0},
+        {"id": 2, "k": "a", "t": 20, "v": 2.0},
+        {"id": 3, "k": "a", "t": 20, "v": 3.0},  # tie on t -> id breaks it
+        {"id": 4, "k": "b", "t": 5, "v": 9.0},
+    ]
+    lag = (
+        lag_over(
+            rd.from_items(rows), key_col="k", order_col="t",
+            value_col="v", id_col="id",
+        )
+        .to_pandas()
+        .set_index("id")["lag_value"]
+    )
+    assert np.isnan(lag[1]) and lag[2] == 1.0 and lag[3] == 2.0
+    assert np.isnan(lag[4])  # first row of its key
+    lead = (
+        lag_over(
+            rd.from_items(rows), key_col="k", order_col="t",
+            value_col="v", id_col="id", offset=-1, out_col="lead_value",
+        )
+        .to_pandas()
+        .set_index("id")["lead_value"]
+    )
+    assert lead[1] == 2.0 and lead[2] == 3.0 and np.isnan(lead[3])
+    assert np.isnan(lead[4])
