@@ -1091,6 +1091,24 @@ def _q_lag_delta(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_row_number(sf_dir: str):
+    """ROW_NUMBER window over events per user, ordered by (ts, event_id)
+    (stages/sessions.py:row_number_over)."""
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        row_number_over,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = row_number_over(
+        ds, key_col="user_id", order_col="ts", id_col="event_id",
+        out_col="rn",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rn"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_accuracy_sets(sf_dir: str):
     """A10 grouping-sets accuracy rollup over a deterministic results
     table derived from orders (stages/accuracy.py:calculate_accuracy_metrics,
@@ -2167,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "accuracy_sets": _q_accuracy_sets,
         "lag_delta": _q_lag_delta,
+        "row_number": _q_row_number,
         "upsample_mixture": _q_upsample,
         "doc_entropy": _q_doc_entropy,
         "group_topk_tokens": _q_group_topk_tokens,
@@ -2814,6 +2833,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # two-level exact distinct aggregate (stages/aggregates.py)
+        "row_number": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        """,
         "lag_delta": """
             SELECT event_id, user_id,
                    lag(value) OVER (

@@ -281,3 +281,32 @@ def lag_over(
         return out
 
     return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")
+
+
+def row_number_over(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    id_col: str | None = None,
+    out_col: str = "row_number",
+) -> "ray.data.Dataset":
+    """SQL ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order [, id])``
+    (1-based).  Same bucketed shape as :func:`lag_over`: one shuffle on
+    the key, one in-bucket mergesort, and the per-key counter from a
+    global cumcount minus each key's first position — no per-group loop."""
+    from .bucketing import bucketed_group_apply
+
+    sort_cols = [key_col, order_col] + ([id_col] if id_col else [])
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return df.assign(**{out_col: np.array([], dtype=np.int64)})
+        out = df.sort_values(sort_cols, kind="mergesort")
+        pos = np.arange(len(out), dtype=np.int64)
+        new_key = out[key_col].ne(out[key_col].shift()).to_numpy()
+        first = pd.Series(np.where(new_key, pos, np.nan)).ffill().to_numpy()
+        out[out_col] = pos - first.astype(np.int64) + 1
+        return out
+
+    return bucketed_group_apply(ds, [key_col], per_bucket, batch_format="pandas")

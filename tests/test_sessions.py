@@ -122,3 +122,25 @@ def test_lag_over_lead_and_nulls(ray_session):
     )
     assert lead[1] == 2.0 and lead[2] == 3.0 and np.isnan(lead[3])
     assert np.isnan(lead[4])
+
+
+def test_row_number_over_per_key(ray_session):
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        row_number_over,
+    )
+
+    rows = [
+        {"id": 1, "k": "a", "t": 10},
+        {"id": 2, "k": "a", "t": 5},
+        {"id": 3, "k": "a", "t": 5},  # tie -> id order
+        {"id": 4, "k": "b", "t": 99},
+    ]
+    rn = (
+        row_number_over(
+            rd.from_items(rows), key_col="k", order_col="t", id_col="id",
+            out_col="rn",
+        )
+        .to_pandas()
+        .set_index("id")["rn"]
+    )
+    assert rn.to_dict() == {2: 1, 3: 2, 1: 3, 4: 1}
