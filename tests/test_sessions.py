@@ -144,3 +144,57 @@ def test_row_number_over_per_key(ray_session):
         .set_index("id")["rn"]
     )
     assert rn.to_dict() == {2: 1, 3: 2, 1: 3, 4: 1}
+
+
+def test_window_operators_randomized_match_duckdb(ray_session):
+    """lag_over + row_number_over vs DuckDB window functions on randomized
+    data with HEAVY order-value ties (id tie-break is load-bearing)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from moj_analytical_services_uk_address_matcher_ray.stages.sessions import (
+        lag_over,
+        row_number_over,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "k": rng.integers(0, 9, n),
+            "t": rng.integers(0, 15, n),  # coarse -> many ties per key
+            "v": rng.normal(0, 10, n),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    con = duckdb.connect()
+    con.register("e", df)
+
+    rn = (
+        row_number_over(ds, key_col="k", order_col="t", id_col="id", out_col="rn")
+        .to_pandas()
+        .sort_values("id")["rn"]
+        .astype(int)
+        .tolist()
+    )
+    want_rn = con.sql(
+        "SELECT row_number() OVER (PARTITION BY k ORDER BY t, id) AS rn "
+        "FROM e ORDER BY id"
+    ).df()["rn"].astype(int).tolist()
+    assert rn == want_rn
+
+    lag = (
+        lag_over(ds, key_col="k", order_col="t", value_col="v", id_col="id")
+        .to_pandas()
+        .sort_values("id")["lag_value"]
+        .tolist()
+    )
+    want_lag = con.sql(
+        "SELECT lag(v) OVER (PARTITION BY k ORDER BY t, id) AS lv "
+        "FROM e ORDER BY id"
+    ).df()["lv"].tolist()
+    assert len(lag) == len(want_lag)
+    for a, b in zip(lag, want_lag):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
